@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every registered query through Spark AND its DuckDB oracle at the
+given scale factor, then compares row count, column names, and an
+order-insensitive value hash (rows sorted, columns sorted by name,
+values stringified). Exit 0 iff everything matches.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bigdatatiler_spark.registry import load_all
+from bigdatatiler_spark.session import get_spark
+from bigdatatiler_spark.tables import TABLES
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
+
+    specs = load_all()
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures, checked, rows_only = [], 0, 0
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = spec.fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        if spec.oracle is None:
+            rows_only += 1
+            print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ores = con.execute(spec.oracle)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:  # oracle itself broken
+            failures.append((name, f"oracle error: {e}"))
+            print(f"  ✗ {name}: ORACLE ERROR {e}")
+            continue
+        checked += 1
+        sn, sh = table_hash(scols, srows)
+        on, oh = table_hash(ocols, orows)
+        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
+        status = "✓" if ok else "✗"
+        print(f"  {status} {name}: spark {sn} rows / oracle {on} rows, "
+              f"hash {'match' if sh == oh else f'{sh} != {oh}'} ({time.time()-t0:.1f}s)")
+        if not ok:
+            if sorted(scols) != sorted(ocols):
+                failures.append((name, f"cols spark={sorted(scols)} oracle={sorted(ocols)}"))
+            elif sn != on:
+                failures.append((name, f"rowcount {sn} != {on}"))
+            else:
+                # show first differing row pair to debug
+                so = sorted(
+                    "\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+                    for r in srows
+                )
+                oo = sorted(
+                    "\x1f".join(_norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
+                    for r in orows
+                )
+                diff = next(
+                    (f"spark={a!r}\n        oracle={b!r}" for a, b in zip(so, oo) if a != b),
+                    "tail rows differ",
+                )
+                failures.append((name, f"value diff:\n        {diff}"))
+
+    print(f"\n{checked} oracle-checked, {rows_only} rows-only, {len(failures)} failures")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
