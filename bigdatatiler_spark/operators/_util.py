@@ -1,0 +1,76 @@
+"""Shared helpers for oracle-deterministic relational operators.
+
+Floating-point aggregation order differs between Spark (parallel partial
+aggregates) and any single-threaded oracle, so float sums can differ in the
+last ulps. The engine therefore aggregates money-like columns in DECIMAL
+(exact, order-independent), rounds at decimal precision, and only then
+casts to double. With the rounded unscaled value < 2^53 the decimal→double
+conversion is a single correctly-rounded step in both Spark (BigDecimal)
+and DuckDB — bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: price-like columns (~1e5 magnitude, 2 decimals)
+PRICE = "decimal(10,2)"
+
+
+def ts_lit(s: str) -> Column:
+    """Timestamp literal matching the parquet tables' TIMESTAMP_NTZ columns.
+
+    Spark 4 reads the driver's ms-precision parquet timestamps as NTZ;
+    comparing against an NTZ literal keeps the predicate directly on the
+    physical column, so it pushes down to the parquet scan.
+    """
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def ms(col: str | Column) -> Column:
+    """Epoch-ms projection of any timestamp flavor (NTZ or LTZ).
+
+    NTZ → LTZ cast interprets wall-clock in the session tz (pinned UTC by
+    tune_session), which matches DuckDB's naive-timestamp epoch_ms().
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+#: rate-like columns (discount/tax, 0.00-0.99)
+RATE = "decimal(3,2)"
+
+
+def dec(col: str | Column, typ: str = PRICE) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def one_minus(col: str) -> Column:
+    """(1 - rate) as exact decimal — e.g. the TPC-H discount factor."""
+    return F.lit(1).cast(RATE) - dec(col, RATE)
+
+
+def one_plus(col: str) -> Column:
+    return F.lit(1).cast(RATE) + dec(col, RATE)
+
+
+def money_sum(expr: Column, alias: str, ndigits: int = 2) -> Column:
+    """Exact decimal sum → round at decimal precision → double."""
+    return F.round(F.sum(expr), ndigits).cast("double").alias(alias)
+
+
+def ratio(num: Column, den: Column, alias: str, ndigits: int = 4) -> Column:
+    """Deterministic average/ratio over already-deterministic doubles."""
+    return F.round(num / den, ndigits).alias(alias)
+
+
+# SQL-side mirrors (DuckDB) of the same discipline, for oracle strings.
+SQL_PRICE = "DECIMAL(10,2)"
+SQL_RATE = "DECIMAL(3,2)"
+
+
+def sql_dec(col: str, typ: str = SQL_PRICE) -> str:
+    return f"CAST({col} AS {typ})"
+
+
+def sql_money_sum(expr: str, alias: str, ndigits: int = 2) -> str:
+    return f"CAST(round(sum({expr}), {ndigits}) AS DOUBLE) AS {alias}"

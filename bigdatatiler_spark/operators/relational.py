@@ -1,0 +1,345 @@
+"""General relational surface: aggregations, multi-way joins, semi/anti.
+
+The reference's only aggregation is a client-side ordered merge
+(SURVEY.md §2.4) and it has no joins (§2.5); this module supplies the
+general surface the engine needs as a query platform, expressed as TPC-H
+-shaped queries over the driver's tables. Everything is built-in DataFrame
+API — Catalyst provides pushdown, column pruning, join planning; AQE picks
+broadcast/skew strategies at runtime.
+
+Scale notes per query are inline; the recurring patterns:
+- dimension tables broadcast (explicit F.broadcast where the dimension is
+  guaranteed small; AQE handles the rest),
+- aggregations are partial-aggregated map-side before the shuffle,
+- join order puts the most selective filter innermost so Catalyst prunes
+  early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, one_plus, ratio, ts_lit
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                     * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+      round(CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) / count(*), 4) AS avg_qty,
+      round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE) / count(*), 4) AS avg_price,
+      round(CAST(round(sum(CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) / count(*), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. One shuffle over a
+    2×3-value grouping key; all arithmetic stays in whole-stage codegen.
+    At 100 TB this is bandwidth-bound — filter + projection push to parquet
+    so only 7 of 11 columns are read."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= ts_lit("1998-09-02 00:00:00")
+    )
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(dec("l_quantity"), "sum_qty"),
+        money_sum(dec("l_extendedprice"), "sum_base_price"),
+        money_sum(disc_price, "sum_disc_price"),
+        money_sum(charge, "sum_charge"),
+        ratio(F.round(F.sum(dec("l_quantity")), 2).cast("double"), cnt, "avg_qty"),
+        ratio(F.round(F.sum(dec("l_extendedprice")), 2).cast("double"), cnt, "avg_price"),
+        ratio(F.round(F.sum(dec("l_discount", RATE)), 2).cast("double"), cnt, "avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate_ms ASC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → grouped
+    top-k. customer(filtered) broadcasts to the orders scan; orders→lineitem
+    is the only real shuffle. Total-order sort key → deterministic LIMIT."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < ts_lit("1998-03-15 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > ts_lit("1998-03-15 00:00:00")
+    )
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(revenue, "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate_ms"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with a region filter. All dimensions
+    (region→nation→supplier, customer) broadcast; the fact table shuffles
+    once for the orders join. Half-open date range pushes to the scan."""
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    asian_nations = nation.join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    asian_suppliers = supplier.join(
+        F.broadcast(asian_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(asian_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(money_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global aggregate.
+    Every predicate reaches the parquet reader (verified in test_plans) —
+    at 100 TB this reads only row groups whose min/max overlap the window."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(dec("l_extendedprice") * dec("l_discount", RATE), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_name,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+      round(CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE), 2) AS c_acctbal,
+      n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking. The returnflag
+    filter pushes into the fact scan; nation broadcasts; top-k via
+    TakeOrderedAndProject with unique tiebreak."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money_sum(revenue, "revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(dec("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 anti join — the natural form of the reference's existence checks
+    (O13). left_anti keeps only the probe side; no row widening, and the
+    orders side reduces to its join key before the build."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 semi join: EXISTS rewritten as left_semi — deduplicating
+    existence probe, no fan-out on multi-match."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "region_rollup",
+    oracle="""
+    SELECT
+      coalesce(r_name, 'ALL')       AS region_name,
+      coalesce(c_mktsegment, 'ALL') AS segment,
+      count(*)                      AS n_customers,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_acctbal,
+      CAST(grouping(r_name) AS INT) + CAST(grouping(c_mktsegment) AS INT) AS grouping_level
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, c_mktsegment)
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 generalization: hierarchical ROLLUP aggregation with GROUPING()
+    disambiguation (broadcast dims → single-shuffle rollup)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum(dec("c_acctbal"), "total_acctbal"),
+            (
+                F.grouping("r_name").cast("int") + F.grouping("c_mktsegment").cast("int")
+            ).alias("grouping_level"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_acctbal",
+            "grouping_level",
+        )
+    )

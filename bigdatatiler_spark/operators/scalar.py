@@ -1,0 +1,165 @@
+"""Scalar-function surface (SURVEY.md §2.8): string / date / math / JSON.
+
+Covers the reference's scalar operations — id generation O20
+(LogChange.cs:80-92), epoch-ms conversion O21, null/blank guards O22,
+enum-as-string O27 — plus the general function families the engine exposes.
+All built-in expressions: whole-stage codegen, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+from ._util import dec, ms, ts_lit
+
+
+@register(
+    "event_id_generation",
+    oracle="""
+    SELECT
+      event_id,
+      concat_ws('_',
+        CASE WHEN user_id IS NOT NULL THEN CAST(user_id AS VARCHAR) ELSE 'NoUserId' END,
+        CASE WHEN event_type IS NOT NULL AND trim(event_type) <> ''
+             THEN event_type ELSE 'NoTrigger' END,
+        CAST(epoch_ms(ts) AS VARCHAR)
+      ) AS doc_id,
+      CAST(props->>'$.k' AS BIGINT) AS prop_k,
+      epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def event_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20-O22 parity: `{UserId}_{Trigger}_{epochMs}` document ids with the
+    reference's null/blank fallbacks (LogChange.cs:80-85: NoUserId /
+    NoTrigger), plus JSON payload extraction. The ULID segment of the
+    reference id is random — covered by the deterministic logstore.ids
+    module and its unit tests, not an oracle query."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    blank_safe = F.when(
+        F.col("event_type").isNotNull() & (F.trim("event_type") != ""),
+        F.col("event_type"),
+    ).otherwise(F.lit("NoTrigger"))
+    return ev.select(
+        "event_id",
+        F.concat_ws(
+            "_",
+            F.when(F.col("user_id").isNotNull(), F.col("user_id").cast("string")).otherwise(
+                "NoUserId"
+            ),
+            blank_safe,
+            F.unix_millis("ts").cast("string"),
+        ).alias("doc_id"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+@register(
+    "part_string_functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_type)                              AS type_upper,
+      lower(p_brand)                             AS brand_lower,
+      substr(p_name, 1, 12)                      AS name_prefix,
+      length(p_name)                             AS name_len,
+      replace(p_brand, 'Brand#', 'B')            AS brand_short,
+      concat(p_brand, '/', p_type)               AS brand_type,
+      strpos(p_name, 'row')                      AS pos_row,
+      trim(p_name)                               AS name_trimmed,
+      lpad(CAST(p_size AS VARCHAR), 4, '0')      AS size_padded,
+      CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+    FROM part
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, replace, concat, search,
+    trim, pad, LIKE — all codegen'd JVM expressions."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.instr(F.col("p_name"), "row").alias("pos_row"),
+        F.trim("p_name").alias("name_trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("is_promo"),
+    )
+
+
+@register(
+    "order_date_functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                                  AS order_year,
+      month(o_orderdate)                                 AS order_month,
+      day(o_orderdate)                                   AS order_day,
+      quarter(o_orderdate)                               AS order_quarter,
+      epoch_ms(date_trunc('month', o_orderdate))         AS month_start_ms,
+      epoch_ms(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS month_end_ms,
+      epoch_ms(o_orderdate + INTERVAL 3 MONTH)           AS plus3m_ms,
+      date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    WHERE o_custkey <= 40
+    """,
+)
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: extraction, truncation, month arithmetic (end-of-month
+    clamping semantics match DuckDB's), day difference."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 40)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        ms(F.date_trunc("month", "o_orderdate")).alias("month_start_ms"),
+        ms(F.last_day("o_orderdate")).alias("month_end_ms"),
+        ms(F.add_months("o_orderdate", 3)).alias("plus3m_ms"),
+        F.datediff(
+            F.col("o_orderdate"), ts_lit("1995-01-01 00:00:00")
+        ).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "part_math_functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      abs(p_size - 25)                                   AS size_dev,
+      CAST(ceil(CAST(p_retailprice AS DECIMAL(10,2))) AS BIGINT)  AS price_ceil,
+      CAST(floor(CAST(p_retailprice AS DECIMAL(10,2))) AS BIGINT) AS price_floor,
+      round(sqrt(CAST(p_size AS DOUBLE)), 6)             AS size_sqrt,
+      p_partkey % 7                                      AS key_mod7,
+      greatest(p_size, 10)                               AS size_floor10,
+      least(p_size, 40)                                  AS size_cap40,
+      CAST(round(CAST(p_retailprice AS DECIMAL(10,2)) * 2, 2) AS DOUBLE) AS price_x2
+    FROM part
+    """,
+)
+def part_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/ceil/floor/sqrt/mod/greatest/least. sqrt is IEEE
+    correctly-rounded (identical across engines); other FP ops avoided or
+    decimal-exact."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil(dec("p_retailprice")).cast("bigint").alias("price_ceil"),
+        F.floor(dec("p_retailprice")).cast("bigint").alias("price_floor"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
+        F.round(dec("p_retailprice") * 2, 2).cast("double").alias("price_x2"),
+    )

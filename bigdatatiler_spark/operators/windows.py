@@ -1,0 +1,163 @@
+"""Window-function surface (SURVEY.md §2.6).
+
+The reference's closest construct is ORDER BY time DESC + OFFSET/LIMIT
+(BigDataLogControl.cs:267-268); these queries provide the full ranking /
+offset / frame surface. Window shuffles partition by their key — at scale
+the partition key (customer, user) must be high-cardinality, which all of
+these are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+from ._util import dec, money_sum, ms, ts_lit
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, total_spend, rnk
+    FROM (
+      SELECT
+        n_name,
+        c_custkey,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_spend,
+        rank() OVER (
+          PARTITION BY n_name
+          ORDER BY round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) DESC, c_custkey ASC
+        ) AS rnk
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_name, c_custkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() over per-nation spend: agg shuffle on (nation, customer) then
+    window shuffle on nation. Rank on the exact decimal (pre-cast) so ties
+    are decided on exact values in both engines, with custkey tiebreak."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    spend = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum(dec("o_totalprice")), 2).alias("spend_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend_dec"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "customer_order_running_total",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS DOUBLE) AS running_total,
+      row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      ) AS order_seq
+    FROM orders
+    WHERE o_custkey <= 30
+    """,
+)
+def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT): per-customer
+    running spend. Decimal accumulation keeps the prefix sums exact and
+    order-independent across engines."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 30)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ms("o_orderdate").alias("o_orderdate_ms"),
+        F.round(F.sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "order_gaps_lag_lead",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      epoch_ms(lag(o_orderdate) OVER w)  AS prev_order_ms,
+      epoch_ms(lead(o_orderdate) OVER w) AS next_order_ms,
+      date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: inter-order gaps per customer. datediff on
+    date-truncated values is integral — no FP concerns."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 30)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev_d = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ms("o_orderdate").alias("o_orderdate_ms"),
+        ms(prev_d).alias("prev_order_ms"),
+        ms(F.lead("o_orderdate").over(w)).alias("next_order_ms"),
+        F.datediff(F.col("o_orderdate"), prev_d).cast("long").alias("days_since_prev"),
+    )
+
+
+@register(
+    "order_value_quartiles",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderstatus,
+      ntile(4) OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY CAST(o_totalprice AS DECIMAL(10,2)) ASC, o_orderkey ASC
+      ) AS quartile,
+      dense_rank() OVER (
+        PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC
+      ) AS priority_rank
+    FROM orders
+    WHERE o_custkey <= 50
+    """,
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + dense_rank: distribution bucketing per order status. Ordering
+    on exact decimal + unique key keeps tile assignment deterministic."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w_val = Window.partitionBy("o_orderstatus").orderBy(
+        dec("o_totalprice").asc(), F.asc("o_orderkey")
+    )
+    w_pri = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_orderpriority"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w_val).alias("quartile"),
+        F.dense_rank().over(w_pri).alias("priority_rank"),
+    )
