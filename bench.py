@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes to completion via the noop sink (full computation, no
+driver-side materialization cost polluting the numbers). First a warmup
+query amortizes JVM/session startup out of the per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatatiler_spark.registry import load_all
+from bigdatatiler_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the scan/join/agg/window core + one of each LLM-pipeline
+#: operator family (dedup, ANN, text, tiling, asof).
+HEADLINE = (
+    "events_filtered_topk",
+    "events_latest_per_user",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "top_customers_per_nation",
+    "setops_customer_cohorts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "doc_token_stats",
+    "doc_tile_roundtrip",
+    "asof_purchase_to_click",
+)
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bigdatatiler-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    # warmup: JVM codegen + parquet footer caches
+    _run(specs["events_filtered_topk"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.time()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

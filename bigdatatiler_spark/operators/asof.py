@@ -1,0 +1,151 @@
+"""As-of (temporal) join — SURVEY.md §2.5's identified gap.
+
+OSS Spark has no native as-of join; the engine implements it as the
+union + last(ignorenulls) window pattern:
+
+1. union the probe ("query") and reference ("quote") streams with a
+   marker column,
+2. window per key ordered by (time, marker) — marker puts reference rows
+   first at equal timestamps, giving inclusive >= semantics,
+3. ``last(ref_col, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT
+   carries the latest reference row forward,
+4. keep probe rows.
+
+One shuffle on the join key; state is O(1) per row (vs. the naive
+range-join's quadratic blowup). This is the same plan merge_asof would
+produce, but stays in the JVM with no Python boundary. The DuckDB oracle
+uses its native ASOF LEFT JOIN, so the semantics (latest ref with
+ref.ts <= probe.ts, per key, null when none) are verified independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    on: str,
+    time_col: str,
+    payload_cols: tuple[str, ...],
+) -> DataFrame:
+    """Generic as-of join: for each probe row, attach the most recent ref
+    row (ref.time <= probe.time) with the same key. Returns probe columns
+    plus ``ref_<payload>`` columns (null if no prior ref row)."""
+    p = probe.withColumn("__is_probe", F.lit(1))
+    r = ref.withColumn("__is_probe", F.lit(0))
+    # align schemas: probe-only columns null on ref side and vice versa
+    all_cols = [c for c in p.columns if c != "__is_probe"]
+    for c in all_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(p.schema[c].dataType))
+    for c in r.columns:
+        if c not in p.columns:
+            p = p.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    u = p.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc(time_col), F.asc("__is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.when(F.col("__is_probe") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"ref_{c}")
+        for c in payload_cols
+    ]
+    return u.select("*", *carried).where(F.col("__is_probe") == 1).drop("__is_probe")
+
+
+@register(
+    "asof_purchase_to_click",
+    oracle="""
+    SELECT
+      p.event_id AS purchase_event_id,
+      p.user_id,
+      epoch_ms(p.ts) AS purchase_ts_ms,
+      c.event_id AS click_event_id,
+      epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the user's most
+    recent click at-or-before it. Ordering on the raw int64 nanos column
+    (total order, no precision loss)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", time_col="ts_ns", payload_cols=("event_id", "ts")
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ts_ms"),
+        F.col("ref_event_id").alias("click_event_id"),
+        F.unix_millis("ref_ts").alias("click_ts_ms"),
+    )
+
+
+@register(
+    "range_join_event_windows",
+    oracle="""
+    SELECT
+      s.event_id AS signup_event_id,
+      e.event_id AS error_event_id,
+      s.user_id,
+      epoch_ms(s.ts) AS signup_ts_ms,
+      epoch_ms(e.ts) AS error_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON s.user_id = e.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 24 HOURS
+    """,
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: errors within 24h after each signup, per user.
+    Expressed as equi-join on user + range predicate — Spark executes the
+    equi part as a hash join and evaluates the range residual on matches,
+    so there's no nested-loop blowup; at scale, bucketing both sides by
+    coarse time bands turns the residual into a band-equi join."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.col("ts_ns").alias("s_ns"),
+        F.col("ts").alias("s_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts_ns").alias("e_ns"),
+        F.col("ts").alias("e_ts"),
+    )
+    day_ns = 24 * 3600 * 1_000_000_000
+    return (
+        s.join(
+            e,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("e_ns") >= F.col("s_ns"))
+            & (F.col("e_ns") < F.col("s_ns") + F.lit(day_ns)),
+        )
+        .select(
+            "signup_event_id",
+            "error_event_id",
+            "user_id",
+            F.unix_millis("s_ts").alias("signup_ts_ms"),
+            F.unix_millis("e_ts").alias("error_ts_ms"),
+        )
+    )

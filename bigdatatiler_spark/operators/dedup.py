@@ -1,0 +1,390 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a first-class engine operator (BASELINE.json
+north star), all expressed Spark-first over the ``documents`` /
+``embeddings`` tables:
+
+- exact        — content-hash groupBy (normalize → md5 → groupBy)
+- minhash LSH  — shingle → K minhash signatures → banded bucket join →
+                 exact-Jaccard verification of candidates
+- simhash      — 32-bit rotation-free fingerprint from token hashes
+- n-gram Jaccard — blocked all-pairs word-set similarity
+- embedding cosine — near-dup pairs above a cosine threshold
+
+Scale design (100 TB): the LSH band join IS the scale path — candidate
+generation is an equi-join on (band_id, band_key), linear in corpus size,
+never all-pairs; only candidates pay the exact-Jaccard verification. The
+blocked Jaccard and brute-force cosine variants are the small-side /
+verification kernels; their docstrings note the LSH/IVF upgrade path.
+All hashing is md5-based (not Spark's murmur3 `F.hash`) so signatures are
+engine-independent and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+# MinHash parameters: K hashes, B bands of R=2 rows → catches pairs with
+# Jaccard ≳ (1/B)^(1/R) ≈ 0.35; verification threshold keeps true near-dups.
+MINHASH_K = 16
+MINHASH_BANDS = 8
+MINHASH_THRESHOLD = 0.6
+NGRAM_THRESHOLD = 0.9
+COSINE_THRESHOLD = 0.45
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _norm_col() -> Column:
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct word 3-shingles of the normalized text."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split(_norm_col(), " ").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+        )
+    )
+    return d.select("doc_id", shingles.alias("sh"))
+
+
+_SHINGLED_SQL = f"""
+  norm AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+  ),
+  shingled AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]) AS sh
+    FROM norm WHERE len(toks) >= 3
+  )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT
+      md5({_NORM_SQL}) AS content_hash,
+      count(*)         AS n_docs,
+      min(doc_id)      AS canonical_doc_id,
+      min(n_chars)     AS min_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: whitespace/case-normalize → md5 → hash-groupBy keeping
+    the smallest doc_id as canonical. One shuffle on the 128-bit hash —
+    uniformly distributed, skew-free at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_norm_col()).alias("content_hash"), "doc_id", "n_chars")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"list_sort([md5('{k}|' || s) for s in sh])[1] AS s{k}"
+        for k in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {j} AS band_id, md5(s{2 * j} || s{2 * j + 1}) AS band_key FROM sigs"
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLED_SQL},
+    sigs AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM shingled
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_id_1,
+      c.doc_id_2,
+      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN shingled x ON c.doc_id_1 = x.doc_id
+    JOIN shingled y ON c.doc_id_2 = y.doc_id
+    WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= {MINHASH_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: shingle → K=16 md5-minhash signatures →
+    8 bands × 2 rows → equi-join on (band_id, band_key) for candidates →
+    exact Jaccard ≥ 0.6 verification.
+
+    The band join is the 100 TB path: candidates ∝ true near-dups, not
+    corpus², and the join key is a uniform hash (no skew). md5 (not
+    murmur3) keeps signatures engine-portable."""
+    sh = _shingled(spark, sf_dir)
+
+    def _sig(k: int) -> Column:
+        # closure factory: pyspark counts *all* lambda params (including
+        # defaulted ones) when binding higher-order-function variables, so
+        # the loop var must be captured outside the lambda signature
+        prefix = f"{k}|"
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    sig_cols = [_sig(k).alias(f"s{k}") for k in range(MINHASH_K)]
+    sigs = sh.select("doc_id", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(F.concat(F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1")),
+        "doc_id_1",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2")),
+        "doc_id_2",
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        / F.size(F.array_union("sh1", "sh2")),
+        6,
+    )
+    return (
+        pairs.select("doc_id_1", "doc_id_2", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_cols = ",\n           ".join(
+        "list_sum([CASE WHEN substr(h, {pos}, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END for h in hashes]) AS b{j}".format(pos=j + 1, j=j)
+        for j in range(32)
+    )
+    value = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, [md5(t) for t in toks] AS hashes FROM norm
+    ),
+    bits AS (
+      SELECT doc_id,
+           {bit_cols}
+      FROM hashed
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 32-bit signature where bit j is the sign of
+    sum_tokens(±1) keyed off md5 hex digit j's high bit. Near-dup docs
+    (small token-set deltas) land at small Hamming distance; bucketing on
+    bit-ranges gives the scale path (same banding trick as LSH). Pure
+    array expressions — token hashes computed once per doc, no explode, no
+    shuffle for the fingerprint itself."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(_norm_col(), " "), lambda t: F.md5(t)).alias("hashes"),
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    def _bit_sum(j: int) -> Column:
+        # closure factory (see dedup_minhash_lsh): j must not appear in the
+        # lambda signature or pyspark binds it as a lambda variable
+        pos = j + 1
+        return F.aggregate(
+            "hashes",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, pos, 1).isin(*high), 1).otherwise(-1),
+        )
+
+    bit_cols = [_bit_sum(j).alias(f"b{j}") for j in range(32)]
+    bits = hashed.select("doc_id", *bit_cols)
+    value = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return bits.select("doc_id", value.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_id_1,
+      b.doc_id AS doc_id_2,
+      a.lang,
+      a.source,
+      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= {NGRAM_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram (word-set) Jaccard: all-pairs *within* a blocking key
+    (lang, source) — the classic blocking trick that bounds the quadratic
+    term to block size. At 100 TB the block key would include a coarse
+    length bucket and the per-block pairs run through the MinHash kernel
+    instead of literal all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(_norm_col(), " ")).alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("toks", "toks_b")).cast("double")
+        / F.size(F.array_union("toks", "toks_b")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_id") < F.col("doc_id_2")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_id_1"),
+            "doc_id_2",
+            "lang",
+            "source",
+            jaccard.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= NGRAM_THRESHOLD)
+    )
+
+
+_DOT64 = (
+    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y)"
+)
+_NORM_A = (
+    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y))"
+)
+_NORM_B = (
+    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT
+      a.vec_id AS vec_id_1,
+      b.vec_id AS vec_id_2,
+      round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
+    all-pairs here (verification kernel); the scale path buckets vectors
+    with random-hyperplane LSH first (see similarity.py) so the pair join
+    is band-blocked exactly like MinHash. Dot/norm are sequential
+    left-folds in double — deterministic and engine-identical."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    withnorm = e.select(
+        "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    a = withnorm.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+    )
+    cosine = F.round(
+        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 6
+    )
+    return (
+        a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", cosine.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )

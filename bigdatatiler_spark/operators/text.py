@@ -1,0 +1,185 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword/n-gram heuristic), quality scoring, token counting,
+and document fingerprinting (bottom-k sketch) — all pure built-in column
+expressions (codegen'd, no Python in the hot path), each oracle-checked.
+
+At 100 TB these are embarrassingly parallel map-side operators: no
+shuffles except the final profile aggregations, and every one runs in the
+same scan pass as ingest filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+#: words treated as English function-word markers by the heuristic
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+STOPWORD_RATIO_EN = 0.05
+
+
+def _norm_col():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id, lang, source, n_chars,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_distinct_tokens,
+      round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks), 4)
+        AS avg_token_len,
+      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        AS ttr,
+      length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals: token count, vocabulary size,
+    mean token length, type-token ratio, punctuation density. Integer
+    bases with one rounded division → deterministic. This is the
+    whitespace tokenizer; a BPE-ish regex tokenizer is in
+    functions/tokenize.py (rows-only check there)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source", "n_chars", "text", F.split(_norm_col(), " ").alias("toks")
+    )
+    n_tok = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    sum_len = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    return t.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.round(sum_len.cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(n_distinct.cast("double") / n_tok, 4).alias("ttr"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("bigint").alias("n_punct"),
+    )
+
+
+def _stopword_hits_sql() -> str:
+    in_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"len(list_filter(toks, x -> x IN ({in_list})))"
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang AS labeled_lang,
+      {_stopword_hits_sql()} AS en_stopword_hits,
+      round(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks), 4) AS en_stopword_ratio,
+      CASE WHEN CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) >= {STOPWORD_RATIO_EN}
+           THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM t
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word (stopword) hit ratio → 'en' vs
+    undetermined. A real deployment extends the marker lists per language
+    and scores char n-grams the same way — the plan shape (map-only filter
+    pass) is identical."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split(_norm_col(), " ").alias("toks"))
+    hits = F.size(F.filter("toks", lambda x: x.isin(*_EN_STOPWORDS)))
+    ratio = hits.cast("double") / F.size("toks")
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits.cast("bigint").alias("en_stopword_hits"),
+        F.round(ratio, 4).alias("en_stopword_ratio"),
+        F.when(ratio >= STOPWORD_RATIO_EN, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint_bottomk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT
+      doc_id,
+      array_to_string(list_sort([md5(s) for s in shingles])[1:4], ',') AS fingerprint,
+      len(shingles) AS n_shingles
+    FROM sh
+    """,
+)
+def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: bottom-4 sketch over shingle hashes (the
+    order-statistics cousin of minhash — union/containment estimable from
+    sketch overlap). Rolling-hash winnowing reduces to the same
+    min-over-window selection; bottom-k keeps it engine-portable."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(_norm_col(), " ").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+        )
+    )
+    sh = t.select("doc_id", shingles.alias("shingles"))
+    return sh.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.array_sort(F.transform("shingles", lambda s: F.md5(s))), 1, 4), ","
+        ).alias("fingerprint"),
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+    )
+
+
+@register(
+    "corpus_language_profile",
+    oracle="""
+    SELECT
+      lang,
+      source,
+      count(*) AS n_docs,
+      sum(n_chars) AS total_chars,
+      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+      min(n_chars) AS min_chars,
+      max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: per-(lang, source) document statistics — the
+    monitoring aggregation every ingest pipeline runs. Integer sums →
+    exact; single small shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

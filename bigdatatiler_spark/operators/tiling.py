@@ -1,0 +1,86 @@
+"""Oracle-matched queries for the tiling operator pair (SURVEY.md §2.9).
+
+Runs logstore.tile/reassemble over the documents table with a small chunk
+budget so every split path (unsplit fast path + multi-chunk) is exercised
+against the DuckDB oracle. The round-trip query checks the reference's key
+correctness property — ``CombineSplitLogs(loadXmlFile(x)) == x.OuterXml``
+(LogChange.cs:95-98) — as ``reassemble(tile(doc)) == doc.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..logstore.tile import reassemble, tile
+from ..registry import register
+from ..tables import table
+
+CHUNK = 120  # chars — small enough that most docs split into several tiles
+
+
+@register(
+    "doc_tile_chunks",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(i AS INT)                       AS split_index,
+      substr(text, i * {CHUNK} + 1, {CHUNK}) AS chunk,
+      CAST(greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) AS INT) AS total_splits,
+      CASE WHEN length(text) > {CHUNK} THEN doc_id END AS parent_id
+    FROM documents,
+         unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
+    """,
+)
+def doc_tile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23/O29: fixed-size chunk fan-out. sequence+transform+posexplode —
+    one narrow stage, no shuffle, no UDF; row count multiplies but bytes
+    don't (each chunk is a substring view)."""
+    docs = table(spark, sf_dir, "documents")
+    return tile(docs, "text", "doc_id", chunk_chars=CHUNK).select(
+        "doc_id",
+        "split_index",
+        "chunk",
+        "total_splits",
+        "parent_id",
+    )
+
+
+@register(
+    "doc_tile_roundtrip",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT
+        doc_id,
+        CAST(i AS INT) AS split_index,
+        substr(text, i * {CHUNK} + 1, {CHUNK}) AS chunk
+      FROM documents,
+           unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
+    ),
+    merged AS (
+      SELECT doc_id, string_agg(chunk, '' ORDER BY split_index) AS payload,
+             count(*) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT m.doc_id AS record_id,
+           m.n_chunks,
+           length(m.payload) AS payload_len,
+           CASE WHEN m.payload = d.text THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM merged m JOIN documents d ON m.doc_id = d.doc_id
+    """,
+)
+def doc_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17/O19 + the §2.9 round-trip invariant: tile → reassemble → compare
+    with the original. Ordered merge via array_sort(collect_list(struct)) —
+    order-correct regardless of partitioning; one shuffle on the record id."""
+    docs = table(spark, sf_dir, "documents")
+    tiled = tile(docs, "text", "doc_id", chunk_chars=CHUNK)
+    merged = reassemble(tiled, id_col="doc_id")
+    return (
+        merged.join(docs, merged.record_id == docs.doc_id)
+        .select(
+            "record_id",
+            "n_chunks",
+            F.length("payload").alias("payload_len"),
+            F.when(F.col("payload") == F.col("text"), 1).otherwise(0).alias("roundtrip_ok"),
+        )
+    )

@@ -1,0 +1,34 @@
+"""as-of join semantics on controlled data."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatatiler_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    probe = spark.createDataFrame(
+        [(100, "u1", 50), (101, "u1", 10), (102, "u2", 30), (103, "u3", 99)],
+        ["event_id", "user_id", "t"],
+    )
+    ref = spark.createDataFrame(
+        [(1, "u1", 20), (2, "u1", 50), (3, "u2", 31)],
+        ["event_id", "user_id", "t"],
+    )
+    return probe, ref
+
+
+def test_asof_semantics(spark, frames):
+    probe, ref = frames
+    out = {
+        r["event_id"]: r["ref_event_id"]
+        for r in asof_join(
+            probe, ref, on="user_id", time_col="t", payload_cols=("event_id",)
+        ).collect()
+    }
+    assert out[100] == 2  # equal timestamp matches (inclusive >=)
+    assert out[101] is None  # no ref at-or-before t=10
+    assert out[102] is None  # u2's only ref is later (t=31 > 30)
+    assert out[103] is None  # key with no ref rows at all

@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the 100 TB design properties must be visible
+in the executed plan, not just intended (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from bigdatatiler_spark.logstore.queries import flagship
+from bigdatatiler_spark.operators.relational import (
+    tpch_q3_shipping_priority,
+    tpch_q6_forecast_revenue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_flagship_pushdown_and_topk(spark):
+    df = flagship(spark, SF)
+    plan = _executed_plan(df)
+    full = _optimized(df)
+    # ORDER BY + LIMIT must compile to top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # equality + range predicates reach the parquet scan
+    assert "PushedFilters" in full
+    assert "event_type" in full.split("PushedFilters")[1][:300]
+
+
+def test_q6_filters_reach_scan(spark):
+    df = tpch_q6_forecast_revenue(spark, SF)
+    full = _optimized(df)
+    pushed = full.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet scan"
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _executed_plan(tpch_q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the fact-side join must not broadcast lineitem (dim side only)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning(spark):
+    """O8 upgrade: the reference always SELECT * — our engine must prune.
+    Flagship reads 5-6 of events' 7 physical columns at most."""
+    df = flagship(spark, SF)
+    full = _optimized(df)
+    read_schema = full.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
