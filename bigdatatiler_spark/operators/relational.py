@@ -261,21 +261,27 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
+    "customers_without_pending_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_pending_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 anti join — the natural form of the reference's existence checks
     (O13). left_anti keeps only the probe side; no row widening, and the
-    orders side reduces to its join key before the build."""
+    orders side reduces to its join key before the build. (Filtered on 'P'
+    status so the result is non-trivial — every customer has *some* order
+    in this corpus.)"""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    pending = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    ).select("o_custkey")
     return cust.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 

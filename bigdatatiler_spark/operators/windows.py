@@ -161,3 +161,67 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_val).alias("quartile"),
         F.dense_rank().over(w_pri).alias("priority_rank"),
     )
+
+
+# --- time-window aggregations shared with the streaming module -----------
+# (same transformation functions run on streaming frames in
+#  bigdatatiler_spark/streaming/ingest.py; batch runs are oracle-checked)
+
+from ..streaming.ingest import session_windows, tumbling_counts  # noqa: E402
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT
+      epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+      event_type,
+      count(*) AS n_events,
+      round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (F.window == hour truncation for
+    aligned windows). Identical code path powers the streaming variant —
+    watermark-evicted state there, plain shuffle here."""
+    from ..tables import table as _table
+
+    return tumbling_counts(_table(spark, sf_dir, "events"), size="1 hour")
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      epoch_ms(min(ts)) AS session_start_ms,
+      epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end_ms,
+      count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — F.session_window
+    in batch; the oracle derives identical sessions via gaps-and-islands
+    (new session when the gap is >= the timeout, matching Spark's
+    half-open [start, last+gap) semantics)."""
+    from ..tables import table as _table
+
+    return session_windows(_table(spark, sf_dir, "events"), gap="30 minutes")
