@@ -1,0 +1,596 @@
+"""Deep relational surface: the harder TPC-H query shapes.
+
+The reference has no joins or subqueries at all (SURVEY.md §2.5) — this
+module, like relational.py, supplies the general query capability the
+engine needs as a platform, exercising the Catalyst features a 100 TB
+deployment leans on:
+
+- semi joins with non-equi residuals (q4)
+- multi-way snowflake joins with two independent dimension paths (q7, q8, q9)
+- outer joins preserving unmatched keys + re-aggregation (q13)
+- conditional aggregation / ratio-of-sums (q8, q14)
+- aggregate-then-self-join ("max over an aggregate", q15; "per-group avg
+  threshold", q17)
+- having-filtered IN subqueries (q18)
+- OR-of-ANDs disjunctive predicates spanning both join sides (q19)
+- scalar subquery + anti join (q22)
+- CUBE grouping sets (priority_status_cube)
+
+The driver's tables are a reduced TPC-H (no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode, no p_container/p_mfgr), so queries
+needing those columns are adapted to equivalent *plan shapes* over the
+available columns; each docstring notes the adaptation.
+
+Scale notes: every dimension path (region→nation→customer/supplier, part)
+broadcasts; the only big-big shuffles are lineitem⋈orders on l_orderkey —
+at 100 TB both sides would be bucketed on orderkey so this becomes a
+shuffle-free sort-merge. Aggregates partial-aggregate map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, ts_lit
+
+_DISC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(10,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _disc_price():
+    return dec("l_extendedprice") * one_minus("l_discount")
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left_semi join with a non-equi residual
+    (l_shipdate > o_orderdate stands in for the missing
+    l_commitdate < l_receiptdate). The semi join never widens rows and
+    ships only (l_orderkey, l_shipdate) from the probe side; the quarter
+    filter prunes orders before the shuffle."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit("1996-04-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT
+      sn.n_name AS supp_nation,
+      cn.n_name AS cust_nation,
+      year(l_shipdate) AS l_year,
+      CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year. Two
+    independent dimension paths hang off lineitem — supplier→nation and
+    orders→customer→nation — both broadcast; lineitem⋈orders is the one
+    real shuffle. The nation-pair disjunction is evaluated after both
+    broadcasts so Catalyst can still push the shipdate range to the scan."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01 00:00:00"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(money_sum(_disc_price(), "revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT
+        year(o_orderdate) AS o_year,
+        {_DISC_SQL} AS volume,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part      ON l_partkey = p_partkey
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT
+      o_year,
+      round(CAST(round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END), 2) AS DOUBLE)
+            / CAST(round(sum(volume), 2) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of ECONOMY-part volume sold into EUROPE,
+    by order year. Seven-table snowflake; every non-lineitem side broadcasts
+    (region→nation prunes customers *before* the fact join). The share is a
+    conditional-sum / total-sum ratio in one aggregation pass — no second
+    shuffle, no self-join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cn_keys = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn_keys), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    zero = F.lit(0).cast(PRICE)
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.round(F.sum(nation_vol), 2).cast("double")
+                / F.round(F.sum(vol), 2).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    oracle=f"""
+    SELECT
+      sn.n_name AS nation,
+      year(o_orderdate) AS o_year,
+      CAST(round(sum({_DISC_SQL}
+                     - CAST(p_retailprice AS DECIMAL(10,2))
+                       * CAST(l_quantity AS DECIMAL(10,2))
+                       * CAST(0.10 AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget parts by supplier nation and year.
+    No partsupp table exists, so supply cost is modeled as 10% of
+    p_retailprice — the *plan* (part-name LIKE prefilter, 5-way join,
+    two-column group) is the Q9 plan. The LIKE filter reduces part to ~1/6
+    before its broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _disc_price() - dec("p_retailprice") * dec("l_quantity") * F.lit(
+        "0.10"
+    ).cast(RATE)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(money_sum(profit, "sum_profit"))
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, customers with
+    zero orders included — which is exactly what the left outer join
+    preserves (count(o_orderkey) ignores the null-extended rows). The join
+    filter lives in the join condition, not a WHERE, or zero-order
+    customers would vanish. Two shuffles: join on custkey, then the tiny
+    re-aggregation on c_count."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                                        ELSE CAST(0 AS DECIMAL(10,2)) END), 2) AS DOUBLE)
+            / CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO parts' share of one month's revenue. Single
+    broadcast join + global conditional-ratio aggregate; the month filter
+    prunes lineitem at the scan (parquet min/max on l_shipdate), so at
+    100 TB this reads ~1/80 of the fact table."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit("1997-04-01 00:00:00"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _disc_price()
+    zero = F.lit(0).cast(PRICE)
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(F.sum(promo), 2).cast("double")
+                / F.round(F.sum(vol), 2).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue. The revenue CTE
+    aggregates once; the max is a scalar aggregate of that small result
+    broadcast back as a cross-join filter (Catalyst plans the scalar
+    subquery exactly so). Revenue is an exact rounded decimal, so the
+    equality against max is deterministic — the TPC-H spec's own tie rule."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit("1997-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(_disc_price(), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if below-half-average-quantity orders of
+    Brand#1 parts stopped. The correlated avg subquery decorrelates into a
+    per-part aggregate joined back on partkey — the aggregate is keyed on
+    the *filtered* brand's parts only (semi-filtered before the avg), so
+    the second pass over lineitem touches just those keys. avg uses
+    count(*) per spec (no null quantities exist)."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")) / F.lit(7.0), 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT
+      c_name, c_custkey, o_orderkey,
+      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(10,2))) > 140
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders totalling > 140 units (threshold
+    scaled to this corpus' ~4 lines/order). The IN subquery is a left_semi
+    join against the having-filtered aggregate — the aggregate output is
+    tiny (high-volume tail), so it broadcasts; lineitem is scanned twice
+    but shuffled only once (the semi side reduces to orderkeys first)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .where(F.col("sq") > 140)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(money_sum(dec("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs spanning both join sides. Catalyst factors the
+    common parts: per-side implied filters (p_brand IN (...), l_quantity
+    BETWEEN overall min/max) are derived and pushed below the join, the
+    residual disjunction evaluates post-join. The part side shrinks to 3
+    brands before broadcasting."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 15))
+        | ((br == "Brand#11") & sz.between(1, 25) & q.between(10, 30))
+        | ((br == "Brand#21") & sz.between(1, 35) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(money_sum(_disc_price(), "revenue"))
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    SELECT
+      c_custkey % 10 AS cohort,
+      count(*) AS numcust,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT avg(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-recently-idle customers by cohort
+    (c_custkey % 10 stands in for the missing phone country code). Scalar
+    avg subquery → broadcast single-row cross join; NOT EXISTS → left_anti
+    against recent orders reduced to their custkeys. The avg is computed
+    in double on both sides (identical summation over a 1.5k-row set;
+    deterministic because the filter threshold is far from any c_acctbal
+    value)."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal"))
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= ts_lit("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cohort"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(dec("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+@register(
+    "priority_status_cube",
+    oracle="""
+    SELECT
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      count(*) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (§7 step 4 alongside region_rollup's ROLLUP):
+    all 2^2 grouping combinations in one pass — Spark expands the cube
+    map-side and shuffles once on the expanded grouping-id key. NULL
+    grouping slots are coalesced to 'ALL' so the driver's hash treats both
+    engines' grand-total rows identically."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -38,6 +38,7 @@ QUERIES: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "bigdatatiler_spark.logstore.queries",
     "bigdatatiler_spark.operators.relational",
+    "bigdatatiler_spark.operators.tpch_deep",
     "bigdatatiler_spark.operators.windows",
     "bigdatatiler_spark.operators.setops",
     "bigdatatiler_spark.operators.scalar",
