@@ -197,3 +197,117 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+N_CELLS = 16  # coarse-quantizer centroids (vec_id 0..15 act as anchors)
+
+
+def _assign_sql(src: str) -> str:
+    """DuckDB CTE body: nearest-centroid cell per vector of ``src``."""
+    dot_ec = (
+        "list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)"
+        " for i in generate_series(1, 64)], (x, y) -> x + y)"
+    )
+    return f"""
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.vec_id AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({dot_ec} / ({_self_norm('e')} * {_self_norm('c')}), 6) DESC,
+                          c.vec_id ASC
+               ) AS rn
+        FROM {src} e JOIN embeddings c ON c.vec_id < {N_CELLS}
+      ) WHERE rn = 1
+    """
+
+
+def ivf_assign(base: DataFrame) -> DataFrame:
+    """(vec_id, cell_id): nearest of the N_CELLS anchor vectors by rounded
+    cosine (vec_id-asc tiebreak → total order → deterministic).
+
+    ``base`` must carry (vec_id, embedding, nrm). The centroid table is
+    N_CELLS rows — broadcast; assignment is a narrow map over the corpus
+    (the 100 TB path: no shuffle until the downstream per-cell work).
+    """
+    cent = F.broadcast(
+        base.where(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_nrm")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    return (
+        base.join(cent)
+        .select("vec_id", "cell_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cells AS ({_assign_sql('embeddings')}),
+    qcells AS (
+      SELECT vec_id AS query_id, cell_id FROM cells WHERE query_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cell_id, cosine, rank FROM (
+      SELECT
+        qc.query_id, cand.vec_id AS neighbor_id, qc.cell_id,
+        round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) AS cosine,
+        row_number() OVER (
+          PARTITION BY qc.query_id
+          ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) DESC,
+                   cand.vec_id ASC
+        ) AS rank
+      FROM qcells qc
+      JOIN cells cand ON cand.cell_id = qc.cell_id AND cand.vec_id <> qc.query_id
+      JOIN embeddings q ON q.vec_id = qc.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): corpus partitioned into N_CELLS inverted lists
+    by nearest anchor; each query searches only its own cell. The anchor
+    set here is the first N_CELLS vectors — at scale it would be sampled
+    k-means centroids, but the *plan* is identical: broadcast centroids →
+    narrow assignment → equi-join on cell_id → exact kernel per cell.
+    Candidates drop ~N_CELLS× vs brute force; recall trades off via
+    nprobe (join against the n nearest cells instead of 1)."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cells = ivf_assign(base)
+    qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = cells.join(
+        base.select("vec_id", F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell_id", "c_emb", "c_nrm")
+    cosine = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(qcells.join(q, "query_id"))
+        .join(cand, "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )

@@ -183,3 +183,80 @@ def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- quality scoring ------------------------------------------------------
+
+#: weights of the composite quality score (stopword-, alpha-, length-term)
+QW_STOP, QW_ALPHA, QW_LEN = 0.4, 0.3, 0.3
+STOP_SAT = 0.05  # stopword ratio at which the stopword term saturates
+LEN_SAT = 50.0  # token count at which the length term saturates
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id, source,
+      round(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+      round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / n_chars, 4) AS alpha_ratio,
+      round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+            / n_chars, 4) AS punct_ratio,
+      round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
+            + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
+            + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) AS quality_score,
+      CASE
+        WHEN round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
+                   + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
+                   + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) >= 0.8 THEN 'high'
+        WHEN round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
+                   + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
+                   + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) >= 0.5 THEN 'medium'
+        ELSE 'low'
+      END AS quality_tier
+    FROM t
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for training-data filtering: stopword
+    ratio (fluency proxy), alphabetic-character ratio (boilerplate/noise
+    proxy), saturating length term — combined into a weighted [0,1] score
+    and a high/medium/low tier. Map-only pass, no shuffle; at 100 TB this
+    is the pre-dedup corpus filter, and the tier column is the natural
+    partition for downstream sampling. Every ratio is one int/int
+    division and the score one fixed-order double expression →
+    engine-deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "text", "n_chars", F.split(_norm_col(), " ").alias("toks")
+    )
+    n_tok = F.size("toks")
+    hits = F.size(F.filter("toks", lambda x: x.isin(*_EN_STOPWORDS)))
+    stop_ratio = hits.cast("double") / n_tok
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = alpha / F.col("n_chars")
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+    score = F.round(
+        F.lit(QW_STOP) * F.least(stop_ratio / STOP_SAT, F.lit(1.0))
+        + F.lit(QW_ALPHA) * alpha_ratio
+        + F.lit(QW_LEN) * F.least(n_tok / LEN_SAT, F.lit(1.0)),
+        4,
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct / F.col("n_chars"), 4).alias("punct_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.8, "high")
+        .when(score >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_tier"),
+    )
