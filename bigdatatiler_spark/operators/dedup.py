@@ -144,8 +144,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band join is the 100 TB path: candidates ∝ true near-dups, not
     corpus², and the join key is a uniform hash (no skew). md5 (not
-    murmur3) keeps signatures engine-portable."""
-    sh = _shingled(spark, sf_dir)
+    murmur3) keeps signatures engine-portable.
+
+    The shingle frame feeds three plan branches (bands + both sides of
+    the verification join) and the band frame two (self-join) — persist
+    both so shingling/minhashing runs once, not 3×/2×; at 100 TB these
+    become staged intermediate tables (write once, read per branch)."""
+    sh = _shingled(spark, sf_dir).persist()
 
     def _sig(k: int) -> Column:
         # closure factory: pyspark counts *all* lambda params (including
@@ -169,8 +174,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_key"
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_key")
+        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
