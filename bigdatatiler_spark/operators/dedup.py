@@ -34,6 +34,7 @@ MINHASH_BANDS = 8
 MINHASH_THRESHOLD = 0.6
 NGRAM_THRESHOLD = 0.9
 COSINE_THRESHOLD = 0.45
+BLOCKED_COSINE_THRESHOLD = 0.35  # blocked variant keeps a fatter tail (bucketing already prunes)
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -394,4 +395,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
         .select("vec_id_1", "vec_id_2", cosine.alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+def _lsh_blocked_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    return f"""
+    WITH bucketed AS (
+      SELECT e.vec_id, e.embedding, {_lsh_bucket_sql('e')} AS bucket
+      FROM embeddings e
+    )
+    SELECT
+      a.vec_id AS vec_id_1,
+      b.vec_id AS vec_id_2,
+      a.bucket,
+      round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) >= {BLOCKED_COSINE_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_lsh_blocked", oracle=_lsh_blocked_oracle())
+def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-blocked — the 100 TB path for
+    dedup_embedding_cosine: vectors hash to random-hyperplane sign
+    buckets, the pair join becomes an equi-join on the bucket key, and
+    only bucket-mates pay the exact cosine. Candidate count scales with
+    bucket occupancy (corpus/2^bits per bucket in expectation), not
+    corpus²; recall recovers via multi-probe or a second hash table, the
+    same band trick as MinHash."""
+    from .similarity import lsh_bucket
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+        F.col("bucket").alias("bucket_2"),
+    )
+    cosine = F.round(
+        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_2"))
+            & (F.col("vec_id_1") < F.col("vec_id_2")),
+        )
+        .select("vec_id_1", "vec_id_2", "bucket", cosine.alias("cosine"))
+        .where(F.col("cosine") >= BLOCKED_COSINE_THRESHOLD)
     )

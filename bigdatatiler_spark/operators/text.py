@@ -50,8 +50,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals: token count, vocabulary size,
     mean token length, type-token ratio, punctuation density. Integer
     bases with one rounded division → deterministic. This is the
-    whitespace tokenizer; a BPE-ish regex tokenizer is in
-    functions/tokenize.py (rows-only check there)."""
+    whitespace tokenizer; the BPE-ish regex tokenizer is in
+    functions/tokenize.py (oracle-checked as doc_bpe_token_counts)."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", "source", "n_chars", "text", F.split(_norm_col(), " ").alias("toks")

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.text",
     "bigdatatiler_spark.operators.tiling",
     "bigdatatiler_spark.operators.multimodal",
+    "bigdatatiler_spark.functions.tokenize",
 )
 
 

@@ -1,0 +1,116 @@
+"""Format surface: parquet/json/csv round-trips, binary blob IO, and the
+distributed byte sink (O7 parity — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdatatiler_spark.sources.io import (
+    read_binary_files,
+    read_csv,
+    read_json,
+    read_table,
+    write_csv,
+    write_json,
+    write_payload_files,
+    write_table,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("n", IntegerType()),
+        StructField("note", StringType()),
+    ]
+)
+
+ROWS = [
+    Row(user_id="u1", n=1, note="alpha"),
+    Row(user_id="u1", n=2, note="beta,with comma"),
+    Row(user_id="u2", n=3, note=None),
+]
+
+
+def test_parquet_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "t")
+    write_table(df, path, partition_by=("user_id",), mode="overwrite")
+    back = read_table(spark, path)
+    assert back.count() == 3
+    # partition pruning works on the partition column
+    assert back.where(F.col("user_id") == "u2").count() == 1
+    pruned = back.where(F.col("user_id") == "u2")._jdf.queryExecution().toString()
+    assert "PartitionFilters" in pruned
+
+    # append mode adds rows (O3/O4 semantics)
+    write_table(df.limit(1), path, partition_by=("user_id",))
+    assert read_table(spark, path).count() == 4
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "j")
+    write_json(df, path)
+    back = read_json(spark, path, SCHEMA)
+    assert back.select("user_id", "n", "note").sort("n").collect() == df.sort(
+        "n"
+    ).collect()
+
+
+def test_json_corrupt_rows_quarantined(spark, tmp_path):
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"user_id": "u1", "n": 1, "note": "ok"}\n{not json at all\n'
+    )
+    # StructType.add mutates in place — build a fresh schema instead
+    schema = StructType(SCHEMA.fields + [StructField("_corrupt_record", StringType())])
+    back = read_json(spark, str(bad), schema)
+    rows = back.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1  # bad line kept, not crashed on
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "c")
+    write_csv(df, path)
+    back = read_csv(spark, path, SCHEMA)
+    got = {(r.user_id, r.n, r.note) for r in back.collect()}
+    assert got == {("u1", 1, "alpha"), ("u1", 2, "beta,with comma"), ("u2", 3, None)}
+
+
+def test_payload_file_sink_and_binary_read(spark, tmp_path):
+    """O7: byte[] payload → one .zip file per row, then read back as blobs."""
+    out = tmp_path / "blobs"
+    payloads = []
+    rows = []
+    for i in range(3):
+        import io as _io
+
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr(f"{i}.xml", f"<log id='{i}'/>")
+        payloads.append(buf.getvalue())
+        rows.append(Row(id=f"doc{i}", payload=buf.getvalue()))
+    df = spark.createDataFrame(rows)
+    n = write_payload_files(df, str(out), name_col="id", payload_col="payload")
+    assert n == 3
+
+    # each file is a valid zip holding the original XML
+    with zipfile.ZipFile(out / "doc1.zip") as z:
+        assert z.read("1.xml") == b"<log id='1'/>"
+
+    back = read_binary_files(spark, str(out), glob="*.zip")
+    assert back.count() == 3
+    content = {r.content for r in back.select("content").collect()}
+    assert content == set(payloads)

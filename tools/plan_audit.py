@@ -1,0 +1,76 @@
+"""Sweep every registered query and report executed-plan quality.
+
+Usage: python tools/plan_audit.py [sf_dir] [name ...]
+
+Prints one line per query — join strategies, exchange count, codegen
+stages, pushdown status — and a WARN block for scale anti-patterns
+(cartesian products, row-at-a-time Python evals, unexpected nested-loop
+joins). Exit 1 if any warnings fire, so it can gate CI like a test.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdatatiler_spark.plans.audit import audit  # noqa: E402
+from bigdatatiler_spark.registry import load_all  # noqa: E402
+from bigdatatiler_spark.session import get_spark  # noqa: E402
+
+
+#: queries whose BroadcastNestedLoopJoin is by design: the broadcast side
+#: is a constant-size frame (a ≤5-row query set or a 1-row scalar
+#: aggregate), so the "nested loop" is one pass over the big side.
+BNLJ_BY_DESIGN = {
+    "knn_bruteforce_cosine",  # 5 query vectors × corpus (exact baseline)
+    "ann_ivf_topk",  # 5 query vectors; cell equi-join does the pruning
+    "dedup_embedding_cosine",  # self-pair generation, id<id residual
+    "tpch_q22_idle_customers",  # 1-row scalar avg broadcast
+}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:]
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    warned = False
+    for name, spec in sorted(specs.items()):
+        if names and name not in names:
+            continue
+        try:
+            a = audit(spec.fn(spark, sf_dir))
+        except Exception as e:  # audit must cover everything — surface, don't die
+            print(f"  ✗ {name}: audit failed: {e}")
+            warned = True
+            continue
+        joins = []
+        if a.broadcast_joins:
+            joins.append(f"bhj={a.broadcast_joins}")
+        if a.sortmerge_joins:
+            joins.append(f"smj={a.sortmerge_joins}")
+        if a.shuffledhash_joins:
+            joins.append(f"shj={a.shuffledhash_joins}")
+        if a.nestedloop_joins:
+            joins.append(f"bnlj={a.nestedloop_joins}")
+        print(
+            f"  {name}: {' '.join(joins) or 'no-join'}"
+            f" exch={a.exchanges} wscg={a.codegen_stages}"
+            f" pushed={len(a.pushed_filters)}"
+            f"{' topk' if a.takeordered else ''}"
+        )
+        for w in a.warnings:
+            if "BroadcastNestedLoopJoin" in w and name in BNLJ_BY_DESIGN:
+                print(f"    note {w} (by design: tiny broadcast side)")
+                continue
+            print(f"    WARN {w}")
+            warned = True
+    return 1 if warned else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
