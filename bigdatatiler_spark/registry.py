@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.tiling",
     "bigdatatiler_spark.operators.multimodal",
     "bigdatatiler_spark.functions.tokenize",
+    "bigdatatiler_spark.operators.skew",
 )
 
 
