@@ -28,17 +28,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = (
     "events_filtered_topk",
     "events_latest_per_user",
+    "events_tumbling_hourly",
+    "events_session_windows",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "priority_status_cube",
     "top_customers_per_nation",
     "setops_customer_cohorts",
+    "skew_salted_user_activity",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh_blocked",
     "knn_bruteforce_cosine",
+    "ann_ivf_topk",
     "doc_token_stats",
+    "doc_quality_score",
+    "doc_bpe_token_counts",
     "doc_tile_roundtrip",
     "asof_purchase_to_click",
 )
