@@ -1,0 +1,130 @@
+"""SQL-surface operators: JSON residue, GROUPING SETS, offset pagination.
+
+Three capabilities rounding out SURVEY.md §2.8/§2.3/§7-step-4:
+
+- The reference's model is a fixed class over schemaless storage (§1.1);
+  the driver's `events.props` JSON-string column is exactly that residue,
+  and `get_json_object`/`from_json` is the Spark-native accessor.
+- GROUPING SETS complements the ROLLUP (region_rollup) and CUBE
+  (priority_status_cube) queries — expressed through ``spark.sql`` to
+  exercise the engine's SQL entry point as well as the DataFrame API.
+- O15's `OFFSET 0 LIMIT n` generalizes to real pagination: a non-zero
+  offset is a `row_number()` window + range filter (Spark has no OFFSET
+  pushdown in the DataFrame API; the window on a total order is the
+  deterministic, scale-safe form — the sort shuffles once, the filter is
+  free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+PAGE_SIZE = 50
+PAGE = 3  # 0-based → rows [150, 200) of the total order
+
+
+@register(
+    "events_props_json",
+    oracle="""
+    SELECT
+      event_type,
+      count(*) AS n_events,
+      count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+      sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+      max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the schemaless `props` column (the
+    reference's fixed-class-over-schemaless pattern, SURVEY.md §1.1) +
+    grouped aggregation of the extracted field. `get_json_object` is a
+    JVM-side expression — the JSON never crosses into Python; at 100 TB
+    prefer materializing hot JSON paths to typed columns at ingest, which
+    is exactly this projection."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "nation_grouping_sets",
+    oracle="""
+    SELECT
+      coalesce(n_name, 'ALL') AS nation,
+      coalesce(c_mktsegment, 'ALL') AS segment,
+      count(*) AS n_customers,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+    """,
+)
+def nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube), issued
+    through the engine's SQL entry point — the DataFrame and SQL surfaces
+    compile to the same Expand + single-shuffle aggregate plan."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(n_name, 'ALL') AS nation,
+          coalesce(c_mktsegment, 'ALL') AS segment,
+          count(*) AS n_customers,
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
+        FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
+        """
+    )
+
+
+@register(
+    "orders_page_offset",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {PAGE_SIZE} OFFSET {PAGE * PAGE_SIZE}
+    """,
+)
+def orders_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page {PAGE} of orders by price — the non-zero-offset generalization
+    of the reference's `OFFSET 0 LIMIT n` (BigDataLogControl.cs:268,
+    SURVEY.md §2.3 O15). Scale shape: `.limit(offset + page)` compiles to
+    TakeOrderedAndProject (distributed partial top-k, no global sort
+    shuffle), and only the resulting offset+page rows — not the table —
+    pay the single-partition row_number window that drops the first
+    `offset`. Deep pagination (offset ≫ page) should keyset-paginate on
+    (price, orderkey) > last-seen instead; this is the O15 form."""
+    o = table(spark, sf_dir, "orders")
+    lo, hi = PAGE * PAGE_SIZE, (PAGE + 1) * PAGE_SIZE
+    top = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(hi)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > lo)
+        .drop("_rn")
+    )

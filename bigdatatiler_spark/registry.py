@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.multimodal",
     "bigdatatiler_spark.functions.tokenize",
     "bigdatatiler_spark.operators.skew",
+    "bigdatatiler_spark.operators.sqlsurface",
 )
 
 
