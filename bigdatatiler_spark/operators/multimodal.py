@@ -122,3 +122,87 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length(payload) / F.lit(float(FRAME_BYTES))).cast("int").alias("n_frames"),
         F.when(F.length(payload) > F.length("text"), 1).otherwise(0).alias("is_multibyte"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame, target_w: int, target_h: int, fake: bool = True
+) -> DataFrame:
+    """Resize stage over decoded media: (payload, width, height) →
+    (payload', target_w, target_h). Fake mode scales the byte budget by
+    the area ratio and truncates — deterministic, so the batch plumbing
+    (binary in AND out of Arrow) is testable; ``fake=False`` is the
+    real-resampler slot (PIL/ffmpeg), not available in this container.
+    """
+
+    def _resize(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resizing requires PIL/ffmpeg — use fake=True"
+                )
+
+            def _scale(row):
+                area = max(row["width"] * row["height"], 1)
+                keep = max(
+                    1, int(len(row["payload"]) * min(target_w * target_h / area, 1.0))
+                )
+                return row["payload"][:keep]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf.apply(_scale, axis=1),
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stage: one input payload → every_n-th FRAME_BYTES
+    slice as its own row (the 1→N fan-out shape of video frame
+    extraction). mapInPandas output rows need not align 1:1 with input
+    rows — the returned batch is simply longer; Spark re-batches. The
+    fan-out multiplies downstream row count, so at 100 TB sample *before*
+    shuffling (this stage is narrow) and repartition after."""
+
+    def _sample(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    out_ids.append(row["doc_id"])
+                    out_idx.append(i)
+                    out_frames.append(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+            )
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)

@@ -39,3 +39,33 @@ def test_decode_stub_fake(spark, docs):
 def test_decode_stub_real_raises(spark, docs):
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         decode_stub(with_payload(docs), fake=False).collect()
+
+
+def test_resize_stub_scales_payload(spark, docs):
+    from bigdatatiler_spark.operators.multimodal import resize_stub
+
+    decoded = decode_stub(with_payload(docs), fake=True)
+    src = decoded.join(with_payload(docs).select("doc_id", "payload"), "doc_id")
+    out = resize_stub(src.select("doc_id", "width", "height", "payload"), 4, 4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows.values())
+    # byte budget shrank for the large doc (area ratio < 1), kept ≥ 1 byte
+    assert 1 <= len(rows[3]["payload"]) < 1000
+
+
+def test_sample_frames_fanout(spark, docs):
+    from bigdatatiler_spark.operators.multimodal import FRAME_BYTES, sample_frames
+
+    out = sample_frames(
+        with_payload(docs).select("doc_id", "payload"), every_n=2
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3: 1000 bytes → 4 frames → sampled frames 0 and 2
+    idx = sorted(r["frame_index"] for r in by_doc[3])
+    assert idx == [0, 2]
+    frame0 = next(r for r in by_doc[3] if r["frame_index"] == 0)
+    assert frame0["frame"] == b"x" * FRAME_BYTES
+    # short docs yield exactly one frame (index 0)
+    assert [r["frame_index"] for r in by_doc[1]] == [0]
