@@ -225,3 +225,58 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import table as _table
 
     return session_windows(_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    SELECT
+      epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes')
+        AS window_start_ms,
+      epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               + INTERVAL '1 hour') AS window_end_ms,
+      event_type,
+      count(*) AS n_events
+    FROM events CROSS JOIN generate_series(0, 3) AS t(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes: each event lands in
+    size/slide = 4 windows (Spark expands map-side, one shuffle on the
+    expanded key — the oracle derives the same 4 epoch-aligned windows
+    per event via a generate_series cross join). Shared transformation
+    with the streaming variant in streaming/ingest.py."""
+    from ..streaming.ingest import sliding_counts
+    from ..tables import table as _table
+
+    return sliding_counts(
+        _table(spark, sf_dir, "events"), size="1 hour", slide="15 minutes"
+    )
+
+
+@register(
+    "order_price_percentiles",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      count(DISTINCT o_custkey) AS n_distinct_customers,
+      round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50_price,
+      round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + distinct aggregation per group.
+    `percentile` (exact) matches DuckDB's quantile_cont interpolation;
+    at 100 TB swap in approx_percentile (t-digest sketch, one pass,
+    mergeable) — exact percentile needs a per-group sort. The distinct
+    count adds the two-shuffle distinct-agg plan (expand → partial)."""
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_distinct_customers"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90_price"),
+    )
