@@ -1,0 +1,164 @@
+"""Iterative graph operator: connected components for dedup clustering.
+
+Pair-level dedup (MinHash/SimHash/cosine) emits *edges*; turning them
+into canonical groups ("keep one doc per cluster") is connected
+components over the dup graph — the step every large-scale dedup
+pipeline ends with, and the engine's one genuinely iterative algorithm.
+
+Spark-first shape: label propagation to a fixpoint —
+each node starts labeled with itself, every iteration each node takes the
+min label among itself and its neighbors, convergence when no label
+changes. Each iteration is two equi-joins + a groupBy (all built-in,
+shuffle on doc_id); the *driver* only coordinates the loop and reads a
+1-row convergence count — no data ever collects. ``localCheckpoint``
+truncates lineage each round, or iteration N replays rounds 1..N-1 and
+the plan grows exponentially (the classic iterative-Spark trap).
+
+Iterations needed = graph diameter (near-dup clusters are shallow — a
+handful of rounds); MAX_ITERS bounds the worst case. The DuckDB oracle
+computes the same fixpoint declaratively with a recursive CTE (min label
+over the reachable set), so the iterative implementation is verified
+against an independent formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from .dedup import _SHINGLED_SQL, MINHASH_BANDS, MINHASH_K
+
+MAX_ITERS = 15
+
+
+def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> DataFrame:
+    """(node, cluster_id): min node id reachable in the undirected graph.
+
+    ``edges`` rows are undirected pairs; isolated nodes (absent from
+    edges) are the caller's concern — a left join + coalesce(doc_id)
+    afterwards keeps singletons as their own cluster.
+    """
+    fwd = edges.select(
+        F.col(node_col_a).alias("src"), F.col(node_col_b).alias("dst")
+    )
+    both = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_ITERS):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan per round
+        )
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _cc_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"list_sort([md5('{k}|' || s) for s in sh])[1] AS s{k}"
+        for k in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {j} AS band_id, md5(s{2 * j} || s{2 * j + 1}) AS band_key FROM sigs"
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    sigs AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM shingled
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach
+    GROUP BY node
+    """
+
+
+@register("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup clusters: MinHash band-mate candidate pairs as
+    edges → connected components → (doc_id, cluster_id = min doc in
+    component). cluster_id is the canonical survivor; `WHERE doc_id !=
+    cluster_id` is the delete list. Iterative label propagation (see
+    module docstring) verified against DuckDB's recursive-CTE fixpoint."""
+    # band-mate candidate edges: same banding machinery as minhash LSH
+    from .dedup import _shingled
+
+    sh = _shingled(spark, sf_dir).persist()
+
+    def _sig(k: int):
+        prefix = f"{k}|"
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    sigs = sh.select("doc_id", *[_sig(k).alias(f"s{k}") for k in range(MINHASH_K)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(F.concat(F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_key")
+        .persist()
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return connected_components(edges, "a", "b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.functions.tokenize",
     "bigdatatiler_spark.operators.skew",
     "bigdatatiler_spark.operators.sqlsurface",
+    "bigdatatiler_spark.operators.graph",
 )
 
 
