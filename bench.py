@@ -30,6 +30,8 @@ HEADLINE = (
     "events_latest_per_user",
     "events_tumbling_hourly",
     "events_session_windows",
+    "events_sliding_counts",
+    "events_props_json",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -39,13 +41,18 @@ HEADLINE = (
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q2_cheapest_part",
     "priority_status_cube",
+    "nation_grouping_sets",
+    "orders_page_offset",
+    "order_price_percentiles",
     "top_customers_per_nation",
     "setops_customer_cohorts",
     "skew_salted_user_activity",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh_blocked",
+    "dedup_connected_components",
     "knn_bruteforce_cosine",
     "ann_ivf_topk",
     "doc_token_stats",

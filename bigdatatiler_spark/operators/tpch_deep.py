@@ -594,3 +594,40 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "tpch_q2_cheapest_part",
+    oracle="""
+    SELECT p_type, p_partkey, p_name,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT min(p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    """,
+)
+def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery (no partsupp table,
+    so "min supply cost per part in region" adapts to "min retail price
+    per type"). Catalyst decorrelates this into exactly what the
+    DataFrame form writes by hand: a per-group min aggregate joined back
+    on the correlation key — the aggregate output is group-cardinality
+    (6 types), so it broadcasts. Ties keep all rows, per spec."""
+    p = table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("m_type")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("m_type"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+    )
