@@ -99,25 +99,98 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+# Signature family: K = 16 min-hashes from only 4 md5 calls per shingle —
+# md5's 32 hex chars slice into 4 independent 32-bit (8-hex) sub-hashes,
+# so group g, slice j gives signature s_{4g+j} = min over shingles of
+# substr(md5(g|s), 8j+1, 8). Hash work drops 4× vs one md5 per signature
+# with the same banding quality (32-bit sub-keys, 64-bit band keys).
+MINHASH_GROUPS = 4
+MINHASH_SLICES = 4
+
+
+def _sig_indices() -> list[tuple[int, int, int]]:
+    """(k, group, slice) for each of the K signatures."""
+    return [
+        (g * MINHASH_SLICES + j, g, j)
+        for g in range(MINHASH_GROUPS)
+        for j in range(MINHASH_SLICES)
+    ]
+
+
+def minhash_bands_sql() -> str:
+    """DuckDB CTEs ``sigs`` + ``bands`` over the ``shingled`` CTE."""
+    hash_cols = ",\n           ".join(
+        f"[md5('{g}|' || s) for s in sh] AS h{g}" for g in range(MINHASH_GROUPS)
+    )
     sig_cols = ",\n           ".join(
-        f"list_sort([md5('{k}|' || s) for s in sh])[1] AS s{k}"
-        for k in range(MINHASH_K)
+        f"list_sort([substr(h, {8 * j + 1}, 8) for h in h{g}])[1] AS s{k}"
+        for k, g, j in _sig_indices()
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {j} AS band_id, md5(s{2 * j} || s{2 * j + 1}) AS band_key FROM sigs"
         for j in range(MINHASH_BANDS)
     )
     return f"""
-    WITH {_SHINGLED_SQL},
+    hashed AS (
+      SELECT doc_id,
+           {hash_cols}
+      FROM shingled
+    ),
     sigs AS (
       SELECT doc_id,
            {sig_cols}
-      FROM shingled
+      FROM hashed
     ),
     bands AS (
       {band_selects}
-    ),
+    )"""
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) from a (doc_id, sh) shingle frame.
+
+    Shared candidate-generation kernel for dedup_minhash_lsh and the
+    connected-components clustering. The per-shingle md5s are computed
+    once into arrays, then every signature is a cheap substring-min over
+    those arrays — no repeated hashing across the K signatures."""
+    hash_cols = [
+        F.transform(
+            "sh",
+            (lambda prefix: lambda s: F.md5(F.concat(F.lit(prefix), s)))(f"{g}|"),
+        ).alias(f"h{g}")
+        for g in range(MINHASH_GROUPS)
+    ]
+    hashed = sh.select("doc_id", *hash_cols)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                f"h{g}",
+                (lambda off: lambda h: F.substring(h, off, 8))(8 * j + 1),
+            )
+        ).alias(f"s{k}")
+        for k, g, j in _sig_indices()
+    ]
+    sigs = hashed.select("doc_id", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(F.concat(F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_SHINGLED_SQL},
+    {minhash_bands_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
       FROM bands a
@@ -152,34 +225,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     both so shingling/minhashing runs once, not 3×/2×; at 100 TB these
     become staged intermediate tables (write once, read per branch)."""
     sh = _shingled(spark, sf_dir).persist()
-
-    def _sig(k: int) -> Column:
-        # closure factory: pyspark counts *all* lambda params (including
-        # defaulted ones) when binding higher-order-function variables, so
-        # the loop var must be captured outside the lambda signature
-        prefix = f"{k}|"
-        return F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
-
-    sig_cols = [_sig(k).alias(f"s{k}") for k in range(MINHASH_K)]
-    sigs = sh.select("doc_id", *sig_cols)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.md5(F.concat(F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias(
-                    "band_key"
-                ),
-            )
-            for j in range(MINHASH_BANDS)
-        ]
-    )
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("b"))
-        .select("doc_id", "b.band_id", "b.band_key")
-        .persist()
-    )
+    bands = minhash_bands(sh).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

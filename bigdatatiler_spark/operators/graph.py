@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from .dedup import _SHINGLED_SQL, MINHASH_BANDS, MINHASH_K
+from .dedup import _SHINGLED_SQL, minhash_bands, minhash_bands_sql
 
 MAX_ITERS = 15
 
@@ -75,24 +75,9 @@ def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> 
 
 
 def _cc_oracle() -> str:
-    sig_cols = ",\n           ".join(
-        f"list_sort([md5('{k}|' || s) for s in sh])[1] AS s{k}"
-        for k in range(MINHASH_K)
-    )
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {j} AS band_id, md5(s{2 * j} || s{2 * j + 1}) AS band_key FROM sigs"
-        for j in range(MINHASH_BANDS)
-    )
     return f"""
     WITH RECURSIVE {_SHINGLED_SQL},
-    sigs AS (
-      SELECT doc_id,
-           {sig_cols}
-      FROM shingled
-    ),
-    bands AS (
-      {band_selects}
-    ),
+    {minhash_bands_sql()},
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bands x
@@ -120,34 +105,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component). cluster_id is the canonical survivor; `WHERE doc_id !=
     cluster_id` is the delete list. Iterative label propagation (see
     module docstring) verified against DuckDB's recursive-CTE fixpoint."""
-    # band-mate candidate edges: same banding machinery as minhash LSH
+    # band-mate candidate edges: the shared banding kernel from dedup.py
     from .dedup import _shingled
 
-    sh = _shingled(spark, sf_dir).persist()
-
-    def _sig(k: int):
-        prefix = f"{k}|"
-        return F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
-
-    sigs = sh.select("doc_id", *[_sig(k).alias(f"s{k}") for k in range(MINHASH_K)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.md5(F.concat(F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias(
-                    "band_key"
-                ),
-            )
-            for j in range(MINHASH_BANDS)
-        ]
-    )
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("b"))
-        .select("doc_id", "b.band_id", "b.band_key")
-        .persist()
-    )
+    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
     a, b = bands.alias("a"), bands.alias("b")
     edges = (
         a.join(
