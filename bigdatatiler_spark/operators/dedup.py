@@ -483,12 +483,14 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # both sides of the self-join read this frame — persist so the 8
+    # hyperplane projections per vector run once
     bucketed = e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).persist()
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
