@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, one_plus, ratio, ts_lit
+from ._util import RATE, dec, money_sum, ms, one_minus, one_plus, ratio, ts_lit
 
 
 @register(

@@ -260,3 +260,52 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("quality_tier"),
     )
+
+
+# --- rolling-hash fingerprint --------------------------------------------
+
+ROLL_BASE = 1_000_003  # polynomial base (prime)
+ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    )
+    SELECT
+      doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          [CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % {ROLL_MOD} AS BIGINT)
+           for x in toks]),
+        (h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD}
+      ) AS fingerprint,
+      len(toks) AS n_tokens
+    FROM t
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a Karp-Rabin-style polynomial rolling
+    hash over the token stream: h ← (h·B + tok) mod M, tokens mapped to
+    ints through an md5 prefix (engine-portable, unlike builtin hash()).
+    Order-sensitive — permuted documents get different fingerprints,
+    unlike bag-of-shingle schemes (doc_fingerprint_bottomk); windowed
+    variants of the same recurrence give substring-match fingerprints.
+    One fold per document, map-only, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+    tok_int = lambda x: (
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint") % ROLL_MOD
+    )
+    fingerprint = F.aggregate(
+        "toks",
+        F.lit(0).cast("bigint"),
+        lambda h, x: (h * ROLL_BASE + tok_int(x)) % ROLL_MOD,
+    )
+    return t.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
