@@ -128,3 +128,35 @@ def orders_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") > lo)
         .drop("_rn")
     )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+    SELECT
+      o_orderpriority AS priority,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status, statuses as columns. The
+    explicit value list matters at scale — without it Spark runs an extra
+    distinct pass to discover the pivot domain; with it the pivot is one
+    conditional-aggregation shuffle (what the oracle writes as FILTER
+    clauses)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )

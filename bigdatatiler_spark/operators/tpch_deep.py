@@ -631,3 +631,92 @@ def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").cast("double").alias("p_retailprice"),
         )
     )
+
+
+@register(
+    "tpch_q12_late_shipment",
+    oracle="""
+    SELECT
+      CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAYS
+           THEN 'late' ELSE 'on-time' END AS ship_bucket,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts split by priority class across
+    shipping-delay buckets (l_shipdate − o_orderdate > 90 days stands in
+    for the missing commit/receipt dates; priority classes for shipmode).
+    One fact-fact join + conditional-sum aggregation — the pivot-like
+    CASE-sum pattern that avoids a second pass."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        "late",
+    ).otherwise("on-time")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_sole_supplier_orders",
+    oracle="""
+    SELECT s_suppkey, s_name, count(DISTINCT o_orderkey) AS n_sole_orders
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated NOT EXISTS with a non-equi residual —
+    finished orders where the supplier was the *only* supplier (stands in
+    for the waiting-supplier condition; same plan: join + anti join on
+    the same fact with an inequality). The anti join ships only
+    (l_orderkey, l_suppkey) pairs; distinct-count per supplier after."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l3 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole = li.join(
+        l3,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("n_sole_orders"))
+    )
