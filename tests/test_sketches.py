@@ -1,0 +1,49 @@
+"""Approximate (sketch) aggregates: the one-pass, mergeable profile ops a
+100 TB deployment uses where exact distinct/percentile would need a
+per-group sort or a distinct shuffle.
+
+Sketches are engine-specific (not DuckDB-comparable), so they are tested
+here for accuracy-vs-exact and for MERGEABILITY — the property that makes
+them scale: partial sketches from independent partitions must combine to
+the same estimate as one global pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_accuracy(spark):
+    n = 10_000
+    df = spark.range(n).select((F.col("id") % 3000).alias("k"))
+    exact = df.select(F.count_distinct("k")).first()[0]
+    approx = df.select(F.approx_count_distinct("k", rsd=0.02)).first()[0]
+    assert exact == 3000
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_percentile_tracks_exact(spark):
+    df = spark.range(100_000).select(F.col("id").cast("double").alias("v"))
+    approx, exact = df.select(
+        F.percentile_approx("v", 0.5, 10_000).alias("a"),
+        F.percentile(F.col("v"), F.lit(0.5)).alias("e"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_hll_sketches_merge(spark):
+    """Partial HLL sketches built per-partition union to the global
+    estimate — the mergeability contract that lets distinct-count run as
+    a map-side combine at any scale."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).alias("part"), (F.col("id") % 5000).alias("k")
+    )
+    partials = df.groupBy("part").agg(F.hll_sketch_agg("k").alias("sk"))
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    global_est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).first()["est"]
+    assert abs(merged - 5000) / 5000 < 0.05
+    assert merged == global_est
