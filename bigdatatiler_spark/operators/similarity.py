@@ -311,3 +311,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+N_PROBE = 2  # cells searched per query in the multi-probe variant
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH cells AS ({_assign_sql('embeddings')}),
+    qprobes AS (
+      SELECT vec_id AS query_id, cell_id, rn AS probe_rank FROM (
+        SELECT e.vec_id, c.vec_id AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(
+                   list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                for i in generate_series(1, 64)], (x, y) -> x + y)
+                   / ({_self_norm('e')} * {_self_norm('c')}), 6) DESC,
+                 c.vec_id ASC
+               ) AS rn
+        FROM embeddings e JOIN embeddings c ON c.vec_id < {N_CELLS}
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT
+        qp.query_id, cand.vec_id AS neighbor_id,
+        round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) AS cosine,
+        row_number() OVER (
+          PARTITION BY qp.query_id
+          ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) DESC,
+                   cand.vec_id ASC
+        ) AS rank
+      FROM qprobes qp
+      JOIN cells cand ON cand.cell_id = qp.cell_id AND cand.vec_id <> qp.query_id
+      JOIN embeddings q ON q.vec_id = qp.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its two nearest cells,
+    recovering neighbors that fell just across a cell boundary (the
+    standard recall knob — candidates scale linearly with nprobe while
+    staying ~corpus/N_CELLS per probe). Same plan as nprobe=1 plus one
+    more row per query in the probe table; candidates from both probes
+    rank in a single window."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cent = F.broadcast(
+        base.where(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    qbase = base.where(F.col("vec_id") < N_QUERIES)
+    qcos = F.round(
+        dot(F.col("embedding"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_nrm")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    qprobes = (
+        qbase.join(cent)
+        .select(F.col("vec_id").alias("query_id"), "cell_id", qcos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell_id")
+    )
+    cells = ivf_assign(base)
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = cells.join(
+        base.select(
+            "vec_id", F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell_id", "c_emb", "c_nrm")
+    cosine = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(qprobes.join(q, "query_id"))
+        .join(cand, "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )

@@ -160,3 +160,40 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_pending"),
         )
     )
+
+
+# keyset-pagination anchor: strictly after (ANCHOR_PRICE, ANCHOR_KEY) in
+# (price DESC, orderkey ASC) order
+ANCHOR_PRICE = 100_000.0
+ANCHOR_KEY = 0
+
+
+@register(
+    "orders_page_keyset",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) < {ANCHOR_PRICE}
+       OR (CAST(o_totalprice AS DOUBLE) = {ANCHOR_PRICE} AND o_orderkey > {ANCHOR_KEY})
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {PAGE_SIZE}
+    """,
+)
+def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the deep-pagination complement of
+    orders_page_offset: instead of discarding `offset` rows, the anchor
+    tuple from the previous page becomes a sargable filter, so every page
+    is filter + TakeOrderedAndProject regardless of depth. The filter on
+    o_totalprice reaches the parquet scan (min/max pruning); O(page), not
+    O(offset + page)."""
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    after_anchor = (price < ANCHOR_PRICE) | (
+        (price == ANCHOR_PRICE) & (F.col("o_orderkey") > ANCHOR_KEY)
+    )
+    return (
+        o.where(after_anchor)
+        .select("o_orderkey", "o_custkey", price.alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(PAGE_SIZE)
+    )
