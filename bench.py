@@ -40,11 +40,15 @@ HEADLINE = (
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume_customer",
+    "tpch_q12_late_shipment",
     "tpch_q19_disjunctive_revenue",
     "tpch_q2_cheapest_part",
+    "tpch_q21_sole_supplier_orders",
     "priority_status_cube",
     "nation_grouping_sets",
     "orders_page_offset",
+    "orders_page_keyset",
+    "orders_status_pivot",
     "order_price_percentiles",
     "top_customers_per_nation",
     "setops_customer_cohorts",
@@ -55,7 +59,9 @@ HEADLINE = (
     "dedup_connected_components",
     "knn_bruteforce_cosine",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "doc_token_stats",
+    "doc_rolling_hash",
     "doc_quality_score",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",

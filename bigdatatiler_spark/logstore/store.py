@@ -125,5 +125,23 @@ class LogStore:
     def scan(self, **kwargs) -> DataFrame:
         return filtered_scan(self.df(), user_col=self.user_col, **kwargs)
 
+    def combined(
+        self, user_id, parent_id, id_col="id", parent_col="parent_log_id"
+    ) -> DataFrame:
+        """E3, the reassembly read: GetCombinedLogChange(userId, parentId)
+        (BigDataLogControl.cs:120-190) as ONE plan — gather self-or-children
+        (O13) → ordered merge (O17). The reference's two service round-trips
+        (point read, then gather query) and its client-side unsplit
+        short-circuit (O18) collapse into the same group-and-merge: an
+        unsplit parent is simply a 1-chunk group. Single shuffle on the
+        record id, partition-pruned to one user."""
+        from .tile import reassemble
+
+        return reassemble(
+            self.gather(user_id, parent_id, id_col=id_col, parent_col=parent_col),
+            id_col=id_col,
+            parent_col=parent_col,
+        )
+
 
 __all__ = ["LogStore", "filtered_scan"]

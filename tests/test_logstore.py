@@ -84,3 +84,26 @@ def test_logstore_gather(spark, tmp_path):
     store.create(df)
     got = store.gather("u1", "p1").collect()
     assert [r["id"] for r in got] == ["p1", "p1_split1", "p1_split2"]
+
+
+def test_logstore_combined_reassembly(spark, tmp_path):
+    """E3 end-to-end: gather + ordered merge in one plan, including the
+    unsplit short-circuit (O18) as a 1-chunk group."""
+    rows = [
+        ("u1", "p1", 0, 3, None, "AAA"),
+        ("u1", "p1_split1", 1, 3, "p1", "BBB"),
+        ("u1", "p1_split2", 2, 3, "p1", "CCC"),
+        ("u1", "q9", 0, 1, None, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["user_id", "id", "split_index", "total_splits", "parent_log_id", "chunk"],
+    )
+    store = LogStore(spark, str(tmp_path / "combined"))
+    store.create(df)
+    split = {r["record_id"]: r for r in store.combined("u1", "p1").collect()}
+    assert split == {"p1": split["p1"]}
+    assert split["p1"]["payload"] == "AAABBBCCC"
+    assert split["p1"]["n_chunks"] == 3
+    solo = store.combined("u1", "q9").first()
+    assert (solo["payload"], solo["n_chunks"]) == ("solo", 1)
