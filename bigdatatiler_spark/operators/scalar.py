@@ -163,3 +163,76 @@ def part_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
         F.round(dec("p_retailprice") * 2, 2).cast("double").alias("price_x2"),
     )
+
+
+@register(
+    "part_array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+    )
+    SELECT
+      p_partkey,
+      len(words) AS n_words,
+      array_to_string(list_sort(words), '|') AS sorted_words,
+      list_contains(words, 'widget') AS has_widget,
+      words[1] AS first_word,
+      words[len(words)] AS last_word,
+      array_to_string(list_transform(words, w -> upper(w)), ' ') AS upper_name,
+      list_sort(words)[1] AS min_word
+    FROM t
+    """,
+)
+def part_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function surface (SURVEY.md §2.8): split, size, sort,
+    contains, element_at (head/tail), transform, array_min — the
+    higher-order-function family the dedup/text operators build on,
+    exercised standalone. All JVM expressions inside one codegen stage."""
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    t = p.select("p_partkey", words.alias("words"))
+    return t.select(
+        "p_partkey",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.array_join(F.array_sort("words"), "|").alias("sorted_words"),
+        F.array_contains("words", "widget").alias("has_widget"),
+        F.element_at("words", 1).alias("first_word"),
+        F.element_at("words", -1).alias("last_word"),
+        F.array_join(F.transform("words", lambda w: F.upper(w)), " ").alias(
+            "upper_name"
+        ),
+        F.array_min("words").alias("min_word"),
+    )
+
+
+@register(
+    "events_map_functions",
+    oracle="""
+    SELECT
+      event_type,
+      count(*) AS n_events,
+      map(['type', 'bucket'],
+          [event_type, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END]
+         )['bucket'][1] AS value_bucket
+    FROM events
+    GROUP BY 1, 3
+    """,
+)
+def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function surface: create_map + element access feeding a
+    grouping key (the remaining §2.8 container type). The map is
+    constant-shaped so Catalyst simplifies the lookup to the CASE value —
+    zero runtime map allocation after optimization."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("bucket"),
+        F.when(F.col("value") >= 50, "high").otherwise("low"),
+    )
+    return (
+        ev.select("event_type", m.getItem("bucket").alias("value_bucket"))
+        .groupBy("event_type", "value_bucket")
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", "n_events", "value_bucket")
+    )

@@ -26,6 +26,7 @@ from bigdatatiler_spark.session import get_spark  # noqa: E402
 BNLJ_BY_DESIGN = {
     "knn_bruteforce_cosine",  # 5 query vectors × corpus (exact baseline)
     "ann_ivf_topk",  # 5 query vectors; cell equi-join does the pruning
+    "ann_ivf_multiprobe",  # 5 queries × 16 centroids probe assignment
     "dedup_embedding_cosine",  # self-pair generation, id<id residual
     "tpch_q22_idle_customers",  # 1-row scalar avg broadcast
 }
