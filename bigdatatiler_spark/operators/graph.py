@@ -23,7 +23,7 @@ against an independent formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from .dedup import _SHINGLED_SQL, minhash_bands, minhash_bands_sql
@@ -122,4 +122,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(edges, "a", "b").select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _cc_verified_oracle() -> str:
+    from .dedup import MINHASH_THRESHOLD
+
+    jaccard = (
+        "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+      FROM bands p
+      JOIN bands q ON p.band_id = q.band_id AND p.band_key = q.band_key
+                  AND p.doc_id < q.doc_id
+    ),
+    verified AS (
+      SELECT c.a, c.b
+      FROM cand c
+      JOIN shingled x ON c.a = x.doc_id
+      JOIN shingled y ON c.b = y.doc_id
+      WHERE {jaccard} >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a, b FROM verified UNION SELECT b, a FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id, count(*) OVER () AS n_clustered_docs
+    FROM reach
+    GROUP BY node
+    """
+
+
+@register("dedup_clusters_verified", oracle=_cc_verified_oracle())
+def dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True near-dup clusters: the full dedup endgame in one plan —
+    MinHash banding → candidate pairs → exact-Jaccard verification
+    (≥ 0.6) → connected components over the *verified* edges only.
+    Clusters here are guaranteed chains of real near-dups (candidate-only
+    clustering, dedup_connected_components, can glue unrelated docs
+    through a band collision). `WHERE doc_id != cluster_id` is the
+    delete list."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    labels = connected_components(pairs, "a", "b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        # unpartitioned window is fine: the clustered-node set is tiny
+        F.count("*").over(Window.partitionBy()).alias("n_clustered_docs"),
     )
