@@ -44,6 +44,9 @@ HEADLINE = (
     "tpch_q19_disjunctive_revenue",
     "tpch_q2_cheapest_part",
     "tpch_q21_sole_supplier_orders",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_concentrated_suppliers",
     "priority_status_cube",
     "nation_grouping_sets",
     "orders_page_offset",

@@ -720,3 +720,163 @@ def tpch_q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("s_suppkey", "s_name")
         .agg(F.count_distinct(F.col("o_orderkey")).alias("n_sole_orders"))
     )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH nat_supp AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ), per_part AS (
+      SELECT l_partkey, sum({_DISC_SQL}) AS v
+      FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE v * 1000 > (SELECT sum(v) FROM per_part)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group aggregate filtered against a scalar
+    subquery over the *same* aggregate (no partsupp, so "stock value per
+    part for one nation's suppliers" adapts to discounted revenue per
+    part). The per-part agg is computed once and reused for the grand
+    total — in Spark that's an explicit cache-free reuse: the 1-row total
+    cross-joins (broadcast) back onto the per-part frame, so the fact
+    shuffles once. The share threshold compares in DECIMAL (v*1000 >
+    total), exact and order-independent in both engines; doubles only at
+    the output edge. At 100 TB the nation filter prunes the supplier dim
+    before its broadcast semi join onto lineitem."""
+    n = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per_part = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("v"))
+    )
+    total = per_part.agg(F.sum("v").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("v") * F.lit(1000) > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("v"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a NOT IN exclusion subquery (negative-balance suppliers
+    stand in for the missing complaint-comment filter; lineitem stands in
+    for partsupp as the part↔supplier relation). The exclusion list is
+    tiny → broadcast anti join, never a shuffle; the part dim filters
+    before its broadcast join, so the only shuffle is the final distinct
+    aggregation, which AQE coalesces. count(DISTINCT) is exact —
+    no float involvement anywhere."""
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_concentrated_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(10,2))
+                      ELSE CAST(0 AS DECIMAL(10,2)) END) AS q97,
+             sum(CAST(l_quantity AS DECIMAL(10,2))) AS qall
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (SELECT l_suppkey FROM sp WHERE q97 * 2 > qall)
+    """,
+)
+def tpch_q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries over a per-(supplier, part)
+    aggregate threshold (availqty > ½·shipped-qty adapts to "shipped more
+    than half this part's lifetime volume in 1997", since there is no
+    partsupp.availqty). Quantity sums run in DECIMAL — l_quantity is a
+    physical double, and a float sum would be partial-aggregation-order
+    dependent. Plan: part name-filter broadcasts onto lineitem, one
+    shuffle for the (suppkey, partkey) agg, then the qualifying-supplier
+    set (tiny) broadcast-semi-joins onto the nation-filtered supplier dim."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qty = dec("l_quantity")
+    in_97 = (F.col("l_shipdate") >= ts_lit("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < ts_lit("1998-01-01 00:00:00")
+    )
+    sp = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, qty).otherwise(F.lit(0).cast(PRICE))).alias("q97"),
+            F.sum(qty).alias("qall"),
+        )
+        .where(F.col("q97") * F.lit(2) > F.col("qall"))
+        .select("l_suppkey")
+    )
+    n = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(sp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
