@@ -58,6 +58,9 @@ HEADLINE = (
     "skew_salted_user_activity",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "sketch_kmv_distinct",
+    "sample_train_test_split",
     "dedup_embedding_lsh_blocked",
     "dedup_connected_components",
     "knn_bruteforce_cosine",

@@ -515,3 +515,60 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_1", "vec_id_2", "bucket", cosine.alias("cosine"))
         .where(F.col("cosine") >= BLOCKED_COSINE_THRESHOLD)
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical names (Levenshtein
+    1-2) within a blocking key. Completes the dedup family with the
+    string-metric member — minhash/simhash catch token-level overlap,
+    edit distance catches character-level typos. Blocking on
+    (p_type, p_brand) bounds the candidate set to within-block pairs —
+    the same candidate-generation discipline as the LSH dedups: never
+    corpus², and the block key is the join key, so the self-join
+    shuffles each side once. distance 0 (exact dupes) is excluded —
+    that's dedup_exact's job; the key inequality halves the pairs.
+
+    Per-pair cost is bounded two ways, both distance-preserving: a
+    length-difference guard (|len a − len b| ≤ 2 is implied by dist ≤ 2)
+    rejects pairs before any DP runs, and the surviving pairs use
+    Spark's thresholded levenshtein(l, r, 2) — banded O(n·k) with early
+    exit instead of the full O(n²) matrix. The result set is unchanged,
+    so the oracle (full levenshtein) still hash-matches."""
+    cols = ("p_partkey", "p_name", "p_type", "p_brand")
+    a = table(spark, sf_dir, "part").select(*cols)
+    b = (
+        table(spark, sf_dir, "part")
+        .select(*cols)
+        .toDF(*(f"{c}_2" for c in cols))
+    )
+    len_guard = (
+        F.abs(F.length("p_name") - F.length("p_name_2")) <= F.lit(2)
+    )
+    dist = F.levenshtein(F.col("p_name"), F.col("p_name_2"), 2)
+    return (
+        a.join(
+            b,
+            (F.col("p_type") == F.col("p_type_2"))
+            & (F.col("p_brand") == F.col("p_brand_2"))
+            & (F.col("p_partkey") < F.col("p_partkey_2"))
+            & len_guard,
+        )
+        .select(
+            F.col("p_partkey").alias("key_1"),
+            F.col("p_partkey_2").alias("key_2"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist").between(1, 2))
+    )

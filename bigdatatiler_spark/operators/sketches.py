@@ -1,0 +1,116 @@
+"""Sketch-based approximate aggregation queries.
+
+The reference has no aggregation at all (SURVEY.md §2.4 — its one "agg"
+is the client-side ordered merge O17), but a 100 TB engine needs
+cardinality sketches: exact count-distinct is a full shuffle of every
+distinct key, while a sketch is a few KB per group, mergeable across
+partitions and across time (the partial-aggregation path Spark already
+uses for approx aggregates).
+
+Two surfaces:
+
+- ``sketch_kmv_distinct`` — a K-minimum-values estimator built from
+  *engine-portable* md5 hashing, so DuckDB can run the identical
+  algorithm and the driver's exact hash-compare still applies. KMV is
+  the classic bottom-k theta sketch (Bar-Yossef et al. 2002): keep the
+  K smallest uniform hashes; with v_K the Kth smallest of a 32-bit
+  space, distinct ≈ (K-1)·2³²/v_K.
+- ``sketch_hll_native`` — Spark's built-in Apache DataSketches HLL
+  (hll_sketch_agg / hll_union_agg), the real production path: binary
+  sketches that merge across groups. No cross-engine oracle exists for
+  HLL internals (DuckDB's approx_count_distinct is a different
+  implementation), so this entry is a rows-only check by design —
+  test_sketches.py covers mergeability and accuracy bounds instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+#: bottom-K size: 64 keeps the estimator's relative error ≈ 1/√(K-2) ≈ 13%
+KMV_K = 64
+
+_HASH_SPACE = float(2**32)
+
+
+def _hv32(col: Column) -> Column:
+    """Portable uniform 32-bit hash: md5 hex prefix → bigint.
+
+    Same construction as text.py's rolling hash — md5, not F.hash
+    (murmur3), because DuckDB must reproduce it bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS BIGINT) AS hv,
+             count(*) OVER (PARTITION BY event_type) AS exact_distinct,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM d
+    )
+    SELECT event_type,
+           max(exact_distinct) AS exact_distinct,
+           CAST(round(({KMV_K} - 1) * {_HASH_SPACE!r} / max(hv), 2) AS DOUBLE)
+             AS kmv_estimate
+    FROM h WHERE rn <= {KMV_K}
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-K theta) distinct-user estimate per event type, next
+    to the exact count. One shuffle on (event_type, user_id) for the
+    distinct, then the bottom-K selection rides the same event_type
+    partitioning (window rank + unbounded count share one exchange). At
+    100 TB the window sort is the naive form — the production variant
+    keeps a K-element heap per partial aggregate exactly like Spark's
+    own approx aggregates; semantics (and this query's output) are
+    identical, so the oracle checks the algorithm, not the schedule."""
+    d = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    w = Window.partitionBy("event_type")
+    h = d.select(
+        "event_type",
+        _hv32(F.col("user_id")).alias("hv"),
+        F.count("*").over(w).alias("exact_distinct"),
+    ).withColumn("rn", F.row_number().over(w.orderBy("hv")))
+    return (
+        h.where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("exact_distinct").alias("exact_distinct"),
+            F.round(F.lit((KMV_K - 1) * _HASH_SPACE) / F.max("hv"), 2)
+            .cast("double")
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+@register("sketch_hll_native", oracle=None)
+def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production cardinality path: DataSketches HLL per event type plus
+    a merged ALL row (hll_union_agg over the per-type sketches — the
+    merge is the point: per-partition/per-day sketches roll up without
+    touching raw data again). Rows-only driver check — HLL binaries are
+    implementation-specific, so no cross-engine oracle exists; accuracy
+    and mergeability are asserted in tests/test_sketches.py."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return by_type.unionByName(merged)
