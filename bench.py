@@ -60,6 +60,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_edit_distance",
     "sketch_kmv_distinct",
+    "sketch_frequent_tokens",
     "sample_train_test_split",
     "dedup_embedding_lsh_blocked",
     "dedup_connected_components",

@@ -94,6 +94,79 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitter support threshold: keep tokens above 2% of all occurrences
+FREQ_SUPPORT = 0.02
+
+
+@register(
+    "sketch_frequent_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, count(*) AS occurrences FROM t GROUP BY token)
+    SELECT token, occurrences,
+           round(CAST(occurrences AS DOUBLE) / (SELECT sum(occurrences) FROM c), 6)
+             AS support
+    FROM c
+    WHERE occurrences > {FREQ_SUPPORT} * (SELECT sum(occurrences) FROM c)
+    """,
+)
+def sketch_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters): corpus tokens above a 2% support
+    threshold. This exact form is the semantic contract a Misra-Gries /
+    SpaceSaving sketch approximates — any ε-counter with ε < support/2
+    returns exactly this set — so the oracle pins the answer while the
+    plan stays the 100 TB shape: explode is map-side, the token count is
+    a partial-agg shuffle on a bounded vocabulary (≪ corpus), and the
+    grand total joins back as a broadcast scalar, not a second pass over
+    the data."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+            ).alias("token")
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("occurrences"))
+    total = counts.agg(F.sum("occurrences").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("occurrences") > FREQ_SUPPORT * F.col("total"))
+        .select(
+            "token",
+            "occurrences",
+            F.round(F.col("occurrences") / F.col("total"), 6).alias("support"),
+        )
+    )
+
+
+@register(
+    "sketch_topk_native",
+    oracle="""
+    SELECT event_type AS item, count(*) AS est_count
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native approx_top_k over the event-type column, exploded
+    to (item, est_count) rows. Oracle-exact on purpose: a frequency
+    sketch is *exact* whenever the tracked-item capacity (default 10000)
+    covers the domain, and k = the full domain means no cut-off
+    tie-break either — so the driver's hash compare verifies the sketch
+    path end-to-end against a plain GROUP BY. At 100 TB the same
+    expression holds any fixed accuracy budget per group while a plain
+    count needs the full distinct shuffle."""
+    return (
+        table(spark, sf_dir, "events")
+        .agg(F.explode(F.expr("approx_top_k(event_type, 5)")).alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
+    )
+
+
 @register("sketch_hll_native", oracle=None)
 def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production cardinality path: DataSketches HLL per event type plus

@@ -31,6 +31,54 @@ def test_approx_percentile_tracks_exact(spark):
     assert abs(approx - exact) / exact < 0.01
 
 
+def test_kmv_estimate_within_bound(spark):
+    """The portable KMV estimator's relative error stays inside the
+    theoretical ~1/sqrt(K-2) bound (with slack) on a known cardinality."""
+    from bigdatatiler_spark.operators.sketches import KMV_K, _HASH_SPACE, _hv32
+    from pyspark.sql import Window
+
+    n_distinct = 5000
+    df = spark.range(50_000).select((F.col("id") % n_distinct).alias("k"))
+    w = Window.orderBy("hv")
+    kth = (
+        df.select(_hv32(F.col("k")).alias("hv"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == KMV_K)
+        .first()["hv"]
+    )
+    est = (KMV_K - 1) * _HASH_SPACE / kth
+    assert abs(est - n_distinct) / n_distinct < 3.0 / (KMV_K - 2) ** 0.5
+
+
+def test_approx_top_k_exact_when_domain_fits(spark):
+    """approx_top_k degrades to exact counts when tracked capacity covers
+    the domain — the property sketch_topk_native's oracle relies on."""
+    df = spark.range(9_000).select((F.col("id") % 7).cast("string").alias("k"))
+    rows = (
+        df.agg(F.explode(F.expr("approx_top_k(k, 7)")).alias("e"))
+        .select("e.item", "e.count")
+        .collect()
+    )
+    got = {r["item"]: r["count"] for r in rows}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_frequent_tokens_is_superset_free(spark):
+    """Exact heavy hitters: every returned token clears the support
+    threshold and nothing below it leaks in."""
+    from bigdatatiler_spark.operators.sketches import FREQ_SUPPORT, sketch_frequent_tokens
+
+    rows = sketch_frequent_tokens(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one heavy hitter"
+    for r in rows:
+        assert r["support"] > FREQ_SUPPORT - 1e-9
+
+
 def test_hll_sketches_merge(spark):
     """Partial HLL sketches built per-partition union to the global
     estimate — the mergeability contract that lets distinct-count run as
