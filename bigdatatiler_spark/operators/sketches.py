@@ -167,6 +167,46 @@ def sketch_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GK sketch accuracy: rank error ≤ 1/accuracy; exact while groups fit
+QUANTILE_ACCURACY = 100_000
+
+
+@register(
+    "sketch_quantile_gk",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5)  AS p50,
+           quantile_disc(o_totalprice, 0.9)  AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sketch_quantile_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch: Spark's Greenwald-Khanna percentile_approx per
+    order priority, pinned against DuckDB's discrete quantiles. Same
+    verification trick as sketch_topk_native: a GK summary with
+    accuracy=100k is *exact* (returns a real data element at the exact
+    rank) while each group holds fewer rows than that, so the driver's
+    hash compare validates the sketch path; at 100 TB the identical
+    expression keeps a fixed memory budget per group with rank error
+    ≤ 1/accuracy, where the exact form (order_price_percentiles) needs a
+    per-group sort. One partial-agg shuffle, sketches merged map-side."""
+    q = F.percentile_approx(
+        "o_totalprice", [0.5, 0.9, 0.99], QUANTILE_ACCURACY
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(q.alias("q"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+        )
+    )
+
+
 @register("sketch_hll_native", oracle=None)
 def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production cardinality path: DataSketches HLL per event type plus
