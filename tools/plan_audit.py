@@ -29,6 +29,8 @@ BNLJ_BY_DESIGN = {
     "ann_ivf_multiprobe",  # 5 queries × 16 centroids probe assignment
     "dedup_embedding_cosine",  # self-pair generation, id<id residual
     "tpch_q22_idle_customers",  # 1-row scalar avg broadcast
+    "tpch_q11_important_parts",  # 1-row scalar threshold broadcast
+    "sketch_frequent_tokens",  # 1-row grand-total broadcast
 }
 
 
