@@ -82,7 +82,12 @@ def _run(df) -> None:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bigdatatiler-bench")
+    # The dedup/ANN pipelines persist() their shared intermediates; at the
+    # local-mode default 1g driver heap, 47 queries of accumulated cache
+    # means storage eviction + GC churn mid-run (observed 6x inflation on
+    # dedup_minhash_lsh). Real heap + clearCache between queries keeps each
+    # timing a cold, independent measurement.
+    spark = get_spark("bigdatatiler-bench", extra_conf={"spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
@@ -95,6 +100,7 @@ def main() -> None:
         t0 = time.time()
         _run(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
