@@ -41,9 +41,14 @@ def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> 
     fwd = edges.select(
         F.col(node_col_a).alias("src"), F.col(node_col_b).alias("dst")
     )
-    both = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the symmetrized edge set once — every iteration joins it,
+    # and without this the upstream edge computation (e.g. the MinHash band
+    # self-join) replays per round
+    both = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
