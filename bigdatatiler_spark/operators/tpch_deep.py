@@ -637,7 +637,7 @@ def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipment",
     oracle="""
     SELECT
-      CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAYS
+      CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
            THEN 'late' ELSE 'on-time' END AS ship_bucket,
       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 1 ELSE 0 END) AS high_line_count,
@@ -654,7 +654,14 @@ def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping-delay buckets (l_shipdate − o_orderdate > 90 days stands in
     for the missing commit/receipt dates; priority classes for shipmode).
     One fact-fact join + conditional-sum aggregation — the pivot-like
-    CASE-sum pattern that avoids a second pass."""
+    CASE-sum pattern that avoids a second pass.
+
+    The delay bucket uses integer day arithmetic (``datediff`` /
+    ``date_diff('day', ...)``), NOT timestamp + INTERVAL: day-count math
+    is invariant under every session-timezone / parquet NTZ-vs-LTZ
+    inference combination, whereas ``o_orderdate + INTERVAL 90 DAYS``
+    flipped boundary rows in environments whose session tz differed from
+    the oracle's (round-1 driver red row)."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= ts_lit("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < ts_lit("1998-01-01 00:00:00"))
@@ -664,7 +671,7 @@ def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     bucket = F.when(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90,
         "late",
     ).otherwise("on-time")
     return (
