@@ -101,6 +101,12 @@ def main() -> None:
         _run(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
+        # clearCache only drops DataFrame persist() entries; iterative
+        # operators (connected components) also pin localCheckpoint RDD
+        # blocks — unpersist those too so every timing stays a cold,
+        # independent measurement.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

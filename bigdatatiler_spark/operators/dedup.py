@@ -36,6 +36,10 @@ NGRAM_THRESHOLD = 0.9
 COSINE_THRESHOLD = 0.45
 BLOCKED_COSINE_THRESHOLD = 0.35  # blocked variant keeps a fatter tail (bucketing already prunes)
 
+#: hard input bound for the exact all-pairs kernels — above this, refuse and
+#: point at the LSH-blocked sibling rather than launch an O(n²) join
+EXACT_PAIRS_MAX_INPUT = 50_000
+
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
@@ -338,24 +342,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram (word-set) Jaccard: all-pairs *within* a blocking key
-    (lang, source) — the classic blocking trick that bounds the quadratic
-    term to block size. At 100 TB the block key would include a coarse
-    length bucket and the per-block pairs run through the MinHash kernel
-    instead of literal all-pairs."""
+    """Blocked n-gram (word-set) Jaccard with a length-bucketed block key.
+
+    Blocking key = (lang, source, floor(log2(|distinct tokens|))) with
+    ±1-bucket probing — the quadratic term is bounded by the size of a
+    (lang, source, length-octave) cell, not a whole (lang, source) block,
+    so block size no longer grows with the corpus' largest language.
+
+    The length filter is lossless: Jaccard ≥ 0.9 forces the token-set
+    sizes within ratio 1/0.9 < 2, so a qualifying pair spans at most one
+    factor-2 bucket boundary. Probing is an equi-join — the probe side
+    replicates each doc to buckets {b−1, b, b+1} and the build side keys
+    on its own bucket, so every candidate pair matches on exactly one key
+    (no dedup pass needed) and the shuffle stays hash-partitioned. The
+    oracle remains plain all-pairs-per-(lang, source); the driver's hash
+    compare is what proves the bucketing drops no qualifying pair.
+    floor(log2(n)) on integer n is exact in IEEE double on both engines
+    (only powers of two have integer log2, where log2 is exact)."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split(_norm_col(), " ")).alias("toks"),
-    )
+    ).withColumn("lb", F.floor(F.log2(F.size("toks"))))
     a = d.alias("a")
     b = d.select(
         F.col("doc_id").alias("doc_id_2"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("toks").alias("toks_b"),
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb_probe"),
     )
     jaccard = F.round(
         F.size(F.array_intersect("toks", "toks_b")).cast("double")
@@ -367,6 +386,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("lang") == F.col("lang_b"))
             & (F.col("source") == F.col("source_b"))
+            & (F.col("lb") == F.col("lb_probe"))
             & (F.col("doc_id") < F.col("doc_id_2")),
         )
         .select(
@@ -411,8 +431,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs here (verification kernel); the scale path buckets vectors
     with random-hyperplane LSH first (see similarity.py) so the pair join
     is band-blocked exactly like MinHash. Dot/norm are sequential
-    left-folds in double — deterministic and engine-identical."""
+    left-folds in double — deterministic and engine-identical.
+
+    Guarded: all-pairs is O(n²) by construction, so this kernel refuses
+    inputs past ``EXACT_PAIRS_MAX_INPUT`` vectors instead of silently
+    launching a corpus² nested-loop join on a real corpus — use
+    ``dedup_embedding_lsh_blocked`` (same threshold family, bucketed
+    equi-join) as the production path. The count gate is one
+    metadata-only parquet job, not a collect of data rows."""
     e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > EXACT_PAIRS_MAX_INPUT:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact verification kernel and is "
+            f"capped at {EXACT_PAIRS_MAX_INPUT} vectors (got {n}); run "
+            f"dedup_embedding_lsh_blocked for corpus-scale near-dup detection"
+        )
 
     def _dot(x: Column, y: Column) -> Column:
         return F.aggregate(

@@ -60,8 +60,11 @@ def _hv32(col: Column) -> Column:
     )
     SELECT event_type,
            max(exact_distinct) AS exact_distinct,
-           CAST(round(({KMV_K} - 1) * {_HASH_SPACE!r} / max(hv), 2) AS DOUBLE)
-             AS kmv_estimate
+           CASE WHEN max(exact_distinct) < {KMV_K}
+                THEN CAST(max(exact_distinct) AS DOUBLE)
+                ELSE CAST(round(({KMV_K} - 1) * {_HASH_SPACE!r} / max(hv), 2)
+                          AS DOUBLE)
+           END AS kmv_estimate
     FROM h WHERE rn <= {KMV_K}
     GROUP BY event_type
     """,
@@ -74,7 +77,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the window sort is the naive form — the production variant
     keeps a K-element heap per partial aggregate exactly like Spark's
     own approx aggregates; semantics (and this query's output) are
-    identical, so the oracle checks the algorithm, not the schedule."""
+    identical, so the oracle checks the algorithm, not the schedule.
+
+    Standard KMV small-sample branch: a group with fewer than K distinct
+    hashes hasn't filled the sketch, so the observed count IS the
+    cardinality — emit it exactly instead of the (K-1)·2³²/v_K formula,
+    which would return ≈K regardless of the true count."""
     d = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
     w = Window.partitionBy("event_type")
     h = d.select(
@@ -87,8 +95,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("exact_distinct").alias("exact_distinct"),
-            F.round(F.lit((KMV_K - 1) * _HASH_SPACE) / F.max("hv"), 2)
-            .cast("double")
+            F.when(
+                F.max("exact_distinct") < KMV_K,
+                F.max("exact_distinct").cast("double"),
+            )
+            .otherwise(
+                F.round(F.lit((KMV_K - 1) * _HASH_SPACE) / F.max("hv"), 2)
+                .cast("double")
+            )
             .alias("kmv_estimate"),
         )
     )
@@ -155,14 +169,17 @@ def sketch_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native approx_top_k over the event-type column, exploded
     to (item, est_count) rows. Oracle-exact on purpose: a frequency
     sketch is *exact* whenever the tracked-item capacity (default 10000)
-    covers the domain, and k = the full domain means no cut-off
+    covers the domain, and k ≥ the full domain means no cut-off
     tie-break either — so the driver's hash compare verifies the sketch
-    path end-to-end against a plain GROUP BY. At 100 TB the same
-    expression holds any fixed accuracy budget per group while a plain
-    count needs the full distinct shuffle."""
+    path end-to-end against a plain GROUP BY. k=100 keeps ~20× headroom
+    over the generator's event-type domain (5 today) so a future data
+    generation with more types cannot silently turn this into a lossy
+    cut-off comparison (tests pin the domain-fits-capacity invariant).
+    At 100 TB the same expression holds any fixed accuracy budget per
+    group while a plain count needs the full distinct shuffle."""
     return (
         table(spark, sf_dir, "events")
-        .agg(F.explode(F.expr("approx_top_k(event_type, 5)")).alias("e"))
+        .agg(F.explode(F.expr("approx_top_k(event_type, 100)")).alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
     )
 

@@ -60,11 +60,18 @@ def _merge_chunks(key: Any, pdfs: Any, state: GroupState) -> Any:
             idx.append(int(row["split_index"]))
             chunks.append(row["chunk"])
             total = int(row["total_splits"])
-    if total is not None and len(idx) >= total:
-        payload = "".join(c for _, c in sorted(zip(idx, chunks)))
+    # dedup by ordinal (first delivery wins): at-least-once redelivery must
+    # neither corrupt the merge nor trigger early emission via a raw length
+    # test — completion requires the distinct ordinals to cover [0, total)
+    seen: dict[int, str] = {}
+    for i, c in zip(idx, chunks):
+        if i not in seen:
+            seen[i] = c
+    if total is not None and set(seen) >= set(range(total)):
+        payload = "".join(seen[i] for i in sorted(seen))
         state.remove()
         yield pd.DataFrame(
-            {"record_id": [key[0]], "payload": [payload], "n_chunks": [len(idx)]}
+            {"record_id": [key[0]], "payload": [payload], "n_chunks": [len(seen)]}
         )
     else:
         state.update((idx, chunks, total))

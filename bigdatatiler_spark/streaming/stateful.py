@@ -99,13 +99,25 @@ class ChunkReassembler(StatefulProcessor):
             )
             self._total.update((int(pdf["total_splits"].iloc[-1]),))
 
-        have = list(self._chunks.get())
+        # Dedup by split_index: under at-least-once chunk redelivery the
+        # ListState can hold the same ordinal twice; emitting on a raw
+        # length test would corrupt the payload (duplicate segment) or
+        # fire early. Keep the first delivery of each ordinal and gate
+        # completion on the distinct-ordinal set covering [0, total).
+        seen: dict[int, str] = {}
+        for i, c in self._chunks.get():
+            if i not in seen:
+                seen[i] = c
         total = self._total.get()
-        if total is not None and len(have) >= total[0]:
-            payload = "".join(c for _, c in sorted(have))
-            n = len(have)
+        if total is not None and set(seen) >= set(range(total[0])):
+            payload = "".join(seen[i] for i in sorted(seen))
+            n = len(seen)
             self._chunks.clear()
             self._total.clear()
+            # disarm the abandoned-chain timer: a later chain reusing this
+            # record_id must not be evicted by this chain's stale timer
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
             yield pd.DataFrame(
                 {"record_id": [key[0]], "payload": [payload], "n_chunks": [n]}
             )

@@ -1,0 +1,66 @@
+"""Scale guards on the exact (verification-kernel) dedup paths."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_embedding_cosine_refuses_oversized_input(spark, monkeypatch):
+    """The all-pairs cosine kernel must refuse corpus-scale inputs and
+    point at the LSH-blocked sibling instead of launching an O(n²) join."""
+    from bigdatatiler_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "EXACT_PAIRS_MAX_INPUT", 10)
+    with pytest.raises(ValueError, match="lsh_blocked"):
+        dedup.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+
+
+def test_embedding_cosine_runs_under_bound(spark):
+    """Within the bound the kernel still runs (sf0.001 has 500 vectors)."""
+    from bigdatatiler_spark.operators.dedup import dedup_embedding_cosine
+
+    assert dedup_embedding_cosine(spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_ngram_length_bucket_is_lossless(spark):
+    """±1-octave probing must reproduce the unbucketed all-pairs result —
+    Jaccard ≥ 0.9 bounds token-set sizes within a factor 1/0.9 < 2, so no
+    qualifying pair can span two bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.dedup import (
+        NGRAM_THRESHOLD,
+        _norm_col,
+        dedup_ngram_jaccard,
+    )
+    from bigdatatiler_spark.tables import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split(_norm_col(), " ")).alias("toks"),
+    )
+    b = d.select(*[F.col(c).alias(f"{c}_2") for c in d.columns])
+    jac = (
+        F.size(F.array_intersect("toks", "toks_2")).cast("double")
+        / F.size(F.array_union("toks", "toks_2"))
+    )
+    want = {
+        (r["doc_id"], r["doc_id_2"])
+        for r in d.join(
+            b,
+            (F.col("lang") == F.col("lang_2"))
+            & (F.col("source") == F.col("source_2"))
+            & (F.col("doc_id") < F.col("doc_id_2")),
+        )
+        .where(F.round(jac, 6) >= NGRAM_THRESHOLD)
+        .select("doc_id", "doc_id_2")
+        .collect()
+    }
+    assert got == want and got, "bucketed candidates diverge from all-pairs"

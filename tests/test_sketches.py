@@ -68,6 +68,46 @@ def test_approx_top_k_exact_when_domain_fits(spark):
     assert got == exact
 
 
+def test_topk_domain_fits_capacity(spark):
+    """sketch_topk_native's oracle (a plain GROUP BY) is valid only while
+    k ≥ |domain(event_type)| — pin that the data generator's domain stays
+    far under the query's k=100 so a future generation can't silently
+    turn the comparison into a lossy cut-off."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_types = ev.select(F.count_distinct("event_type")).first()[0]
+    assert n_types <= 50, f"event_type domain ({n_types}) nearing approx_top_k k=100"
+
+
+def test_kmv_small_group_is_exact(spark, tmp_path):
+    """A group with fewer than K distinct keys must report its exact
+    cardinality on BOTH engines, not the ~K bias of the unfilled-sketch
+    formula — exercised through the registered query + its oracle on a
+    synthetic 5-distinct events table."""
+    import duckdb
+
+    from bigdatatiler_spark.operators.sketches import sketch_kmv_distinct
+    from bigdatatiler_spark.registry import QUERIES
+
+    # ts in int64 nanos: the canonical table() loader derives ts/ts_ns on
+    # every events read, so the synthetic table must carry the column
+    df = spark.createDataFrame(
+        [("tiny", f"u{i % 5}", 1_700_000_000_000_000_000 + i) for i in range(20)],
+        "event_type string, user_id string, ts long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = sketch_kmv_distinct(spark, str(tmp_path)).first()
+    assert out["exact_distinct"] == 5 and out["kmv_estimate"] == 5.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    row = con.execute(QUERIES["sketch_kmv_distinct"].oracle).fetchone()
+    assert row[1] == 5 and row[2] == 5.0, row
+
+
 def test_frequent_tokens_is_superset_free(spark):
     """Exact heavy hitters: every returned token clears the support
     threshold and nothing below it leaks in."""

@@ -110,6 +110,40 @@ def test_stateful_reassembly_across_batches(spark, tmp_path):
     assert got == {1: ("AAABBBCCC", 3), 2: ("solo", 1)}
 
 
+def test_stateful_reassembly_dedups_redelivered_chunks(spark, tmp_path):
+    """At-least-once sources can redeliver a chunk in a later micro-batch.
+    The merge must neither emit early (raw length ≥ total) nor duplicate a
+    segment — completion requires distinct ordinals covering [0, total)."""
+    src = str(tmp_path / "chunks")
+    batch1 = spark.createDataFrame(
+        [(1, 0, "AAA", 3), (1, 1, "BBB", 3)],
+        ["record_id", "split_index", "chunk", "total_splits"],
+    )
+    # chunk 1 redelivered alongside the final chunk
+    batch2 = spark.createDataFrame(
+        [(1, 1, "BBB", 3), (1, 2, "CCC", 3)],
+        ["record_id", "split_index", "chunk", "total_splits"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        reassemble_stream(stream)
+        .writeStream.format("memory")
+        .queryName("reasm_redeliver")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM reasm_redeliver").collect()
+    assert len(rows) == 1
+    assert (rows[0]["payload"], rows[0]["n_chunks"]) == ("AAABBBCCC", 3)
+
+
 def test_transform_with_state_reassembly(spark, tmp_path):
     """Same cross-batch merge contract on the transformWithState API
     (typed ListState/ValueState + timers, RocksDB state store)."""
