@@ -26,6 +26,18 @@ from ..tables import table
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 act as the query set
 LSH_BITS = 8  # sign bits per bucket key
+LSH_TABLES = 2  # independent hash tables (recall ≈ 1-(1-p)^T vs p for one)
+DIM = 64
+
+# k-means training (coarse quantizer): fixed Lloyd rounds so the oracle can
+# replay the identical computation. Centroid update is the *integer* sum of
+# member components quantized to a 2^-20 grid — integer addition is
+# order-independent, so the trained centroids are bit-identical across
+# engines, unlike a float mean whose value depends on summation order.
+# Cosine assignment is invariant to centroid scale, so the un-divided sum
+# IS the centroid (no mean, no float division anywhere in training).
+KMEANS_ITERS = 2
+QUANT = 1 << 20
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -105,13 +117,25 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket(emb: Column, n_bits: int = LSH_BITS, dim: int = 64) -> Column:
+def _seed(t: int, j: int, i: int) -> str:
+    """Hyperplane seed string: table 0 keeps the original 'j|i' namespace
+    (dedup_embedding_lsh_blocked's oracle depends on it); further tables
+    get an independent namespace."""
+    return f"{j}|{i}" if t == 0 else f"t{t}:{j}|{i}"
+
+
+def lsh_bucket(
+    emb: Column, n_bits: int = LSH_BITS, dim: int = DIM, hash_table: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket key.
 
-    Hyperplane h_j has components in {-1,+1} derived from md5("j|i") hex
+    Hyperplane h_j has components in {-1,+1} derived from md5(seed) hex
     digit parity — a deterministic, engine-portable pseudo-random sign
     matrix. Bucket bit j = sign(h_j · v). Returns an n_bits-char '0'/'1'
-    string key.
+    string key. ``hash_table`` selects an independent hyperplane family —
+    a near-dup pair split by one table's planes collides in another with
+    independent probability, so T tables lift pair recall from p to
+    1-(1-p)^T at T× index cost (the standard LSH recall knob).
     """
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
     bits = []
@@ -119,7 +143,7 @@ def lsh_bucket(emb: Column, n_bits: int = LSH_BITS, dim: int = 64) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 emb,
-                F.array(*[F.lit(f"{j}|{i}") for i in range(dim)]),
+                F.array(*[F.lit(_seed(hash_table, j, i)) for i in range(dim)]),
                 lambda v, seed: F.when(
                     F.substring(F.md5(seed), 1, 1).isin(*high), v.cast("double")
                 ).otherwise(-v.cast("double")),
@@ -131,11 +155,14 @@ def lsh_bucket(emb: Column, n_bits: int = LSH_BITS, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
-def _lsh_bucket_sql(alias: str, n_bits: int = LSH_BITS, dim: int = 64) -> str:
+def _lsh_bucket_sql(
+    alias: str, n_bits: int = LSH_BITS, dim: int = DIM, hash_table: int = 0
+) -> str:
+    prefix = "" if hash_table == 0 else f"t{hash_table}:"
     parts = []
     for j in range(n_bits):
         terms = (
-            f"[CASE WHEN substr(md5('{j}|' || CAST(i - 1 AS VARCHAR)), 1, 1)"
+            f"[CASE WHEN substr(md5('{prefix}{j}|' || CAST(i - 1 AS VARCHAR)), 1, 1)"
             f" IN ('8','9','a','b','c','d','e','f')"
             f" THEN CAST({alias}.embedding[i] AS DOUBLE)"
             f" ELSE -CAST({alias}.embedding[i] AS DOUBLE) END"
@@ -150,25 +177,41 @@ def _lsh_bucket_sql(alias: str, n_bits: int = LSH_BITS, dim: int = 64) -> str:
 
 @register(
     "ann_lsh_buckets",
-    oracle=f"""
-    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT {t} AS hash_table, bucket,
+           count(*) AS n_vectors, min(vec_id) AS min_vec_id
     FROM (
-      SELECT e.vec_id, {_lsh_bucket_sql('e')} AS bucket
+      SELECT e.vec_id, {_lsh_bucket_sql('e', hash_table=t)} AS bucket
       FROM embeddings e
     )
     GROUP BY bucket
-    """,
+    """
+        for t in range(LSH_TABLES)
+    ),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index build: every vector hashed to its random-hyperplane
-    bucket. Downstream ANN = equi-join query buckets against this table
-    (optionally multi-probing neighbor buckets), then the exact kernel
-    within matches. One narrow stage + one groupBy shuffle."""
+    bucket in each of LSH_TABLES independent hash tables. Downstream ANN
+    = equi-join query (hash_table, bucket) keys against this index, union
+    candidates across tables, then the exact kernel within matches. Two
+    tables double the index size but lift pair recall from p to
+    1-(1-p)², which is what makes 8-bit keys usable at scale; the build
+    stays one narrow projection per table + one groupBy shuffle."""
     e = table(spark, sf_dir, "embeddings").alias("e")
-    return (
-        e.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    per_table = [
+        e.select(
+            F.lit(t).alias("hash_table"),
+            "vec_id",
+            lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"),
+        )
+        for t in range(LSH_TABLES)
+    ]
+    indexed = per_table[0]
+    for frame in per_table[1:]:
+        indexed = indexed.unionByName(frame)
+    return indexed.groupBy("hash_table", "bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
 
 
@@ -201,61 +244,168 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
-N_CELLS = 16  # coarse-quantizer centroids (vec_id 0..15 act as anchors)
+N_CELLS = 16  # coarse-quantizer centroids (trained, see kmeans_centroids)
 
 
-def _assign_sql(src: str) -> str:
-    """DuckDB CTE body: nearest-centroid cell per vector of ``src``."""
-    dot_ec = (
-        "list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)"
-        " for i in generate_series(1, 64)], (x, y) -> x + y)"
+def _cent_dot(alias_e: str, alias_c: str) -> str:
+    return (
+        f"list_reduce([CAST({alias_e}.embedding[i] AS DOUBLE) * {alias_c}.cent[i]"
+        f" for i in generate_series(1, {DIM})], (x, y) -> x + y)"
     )
+
+
+def _cent_norm(alias_c: str) -> str:
+    return (
+        f"sqrt(list_reduce([{alias_c}.cent[i] * {alias_c}.cent[i]"
+        f" for i in generate_series(1, {DIM})], (x, y) -> x + y))"
+    )
+
+
+def _seeds_sql() -> str:
+    """Seed centroids: the N_CELLS vectors ranked first by md5(vec_id) —
+    a deterministic pseudo-random corpus sample (not the first rows,
+    which could share a locality bias)."""
+    return f"""
+      SELECT cell_id, cent FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                 AS cell_id,
+               [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, {DIM})]
+                 AS cent
+        FROM embeddings
+      ) WHERE cell_id < {N_CELLS}
+    """
+
+
+def _asg_sql(cent_cte: str, src_filter: str = "", n_probe: int = 1) -> str:
+    """Nearest-centroid assignment of embeddings against ``cent_cte``."""
+    cos = f"round({_cent_dot('e', 'c')} / ({_self_norm('e')} * {_cent_norm('c')}), 6)"
     return f"""
       SELECT vec_id, cell_id FROM (
-        SELECT e.vec_id, c.vec_id AS cell_id,
+        SELECT e.vec_id, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round({dot_ec} / ({_self_norm('e')} * {_self_norm('c')}), 6) DESC,
-                          c.vec_id ASC
+                 ORDER BY {cos} DESC, c.cell_id ASC
                ) AS rn
-        FROM {src} e JOIN embeddings c ON c.vec_id < {N_CELLS}
-      ) WHERE rn = 1
+        FROM embeddings e CROSS JOIN {cent_cte} c
+        {src_filter}
+      ) WHERE rn <= {n_probe}
     """
 
 
-def ivf_assign(base: DataFrame) -> DataFrame:
-    """(vec_id, cell_id): nearest of the N_CELLS anchor vectors by rounded
-    cosine (vec_id-asc tiebreak → total order → deterministic).
-
-    ``base`` must carry (vec_id, embedding, nrm). The centroid table is
-    N_CELLS rows — broadcast; assignment is a narrow map over the corpus
-    (the 100 TB path: no shuffle until the downstream per-cell work).
-    """
-    cent = F.broadcast(
-        base.where(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("nrm").alias("cent_nrm"),
-        )
+def _cent_update_sql(asg_cte: str) -> str:
+    sums = ",\n             ".join(
+        f"CAST(sum(CAST(floor(CAST(e.embedding[{i + 1}] AS DOUBLE) * {QUANT})"
+        f" AS BIGINT)) AS DOUBLE)"
+        for i in range(DIM)
     )
+    return f"""
+      SELECT a.cell_id,
+             [{sums}] AS cent
+      FROM {asg_cte} a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cell_id
+    """
+
+
+def _trained_cents_ctes() -> tuple[str, str]:
+    """(CTE chain text, final centroid CTE name) for the k-means rounds."""
+    parts = [f"seeds AS ({_seeds_sql()})"]
+    prev = "seeds"
+    for t in range(KMEANS_ITERS):
+        parts.append(f"kasg{t} AS ({_asg_sql(prev)})")
+        parts.append(f"cents{t + 1} AS ({_cent_update_sql(f'kasg{t}')})")
+        prev = f"cents{t + 1}"
+    return ",\n    ".join(parts), prev
+
+
+def kmeans_centroids(
+    base: DataFrame, k: int = N_CELLS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Train the IVF coarse quantizer: (cell_id, cent_emb, cent_nrm).
+
+    Deterministic, engine-portable Lloyd's: seeds are the k vectors
+    ranked first by md5(vec_id) (pseudo-random sample via sort+limit →
+    TakeOrderedAndProject, no global sort materialization); each round
+    reassigns by rounded cosine (cell_id tiebreak → total order) and
+    rebuilds each centroid as the INTEGER sum of member components
+    quantized to a 2^-20 grid — integer addition commutes, so the result
+    is independent of partitioning/summation order, which is what lets
+    DuckDB replay training bit-for-bit. Cosine is scale-invariant, so
+    the un-divided sum is the centroid (no float mean anywhere). Cells
+    that lose all members drop out (same on both engines).
+
+    Scale: assignment is broadcast-centroids × narrow map (no shuffle),
+    the update is one partial-agg shuffle on k cells per round, and each
+    round's centroid table (k rows) is persisted so the next round's
+    lineage doesn't recompute the corpus scan. 100 TB would sample the
+    update (k-means on a deterministic md5 sample); the plan is
+    unchanged."""
+    seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    seeds = (
+        base.select("vec_id", "embedding")
+        .orderBy(*seed_order)
+        .limit(k)
+        .withColumn("cell_id", F.row_number().over(Window.orderBy(*seed_order)) - 1)
+    )
+    cents = seeds.select(
+        "cell_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cent_emb"),
+    ).withColumn("cent_nrm", norm(F.col("cent_emb")))
+    for _ in range(iters):
+        asg = nearest_cells(base, cents)
+        sums = (
+            asg.join(base.select("vec_id", "embedding"), "vec_id")
+            .groupBy("cell_id")
+            .agg(
+                *[
+                    F.sum(
+                        F.floor(F.col("embedding")[i].cast("double") * QUANT)
+                    ).alias(f"s{i}")
+                    for i in range(DIM)
+                ]
+            )
+        )
+        cents = (
+            sums.select(
+                "cell_id",
+                F.array(*[F.col(f"s{i}").cast("double") for i in range(DIM)]).alias(
+                    "cent_emb"
+                ),
+            )
+            .withColumn("cent_nrm", norm(F.col("cent_emb")))
+            .persist()
+        )
+    return cents
+
+
+def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(vec_id, cell_id): each vector's ``n_probe`` nearest centroids by
+    rounded cosine (cell_id-asc tiebreak → total order → deterministic).
+
+    ``base`` carries (vec_id, embedding, nrm); ``cents`` is k rows —
+    broadcast, so assignment is a narrow map over the corpus (the 100 TB
+    path: no shuffle until the downstream per-cell work)."""
     cos = F.round(
         dot(F.col("embedding"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_nrm")),
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
     return (
-        base.join(cent)
+        base.join(F.broadcast(cents))
         .select("vec_id", "cell_id", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n_probe)
         .select("vec_id", "cell_id")
     )
+
+
+_KMEANS_CTES, _FINAL_CENTS = _trained_cents_ctes()
 
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cells AS ({_assign_sql('embeddings')}),
+    WITH {_KMEANS_CTES},
+    cells AS ({_asg_sql(_FINAL_CENTS)}),
     qcells AS (
       SELECT vec_id AS query_id, cell_id FROM cells WHERE query_id < {N_QUERIES}
     )
@@ -278,15 +428,19 @@ def ivf_assign(base: DataFrame) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (nprobe=1): corpus partitioned into N_CELLS inverted lists
-    by nearest anchor; each query searches only its own cell. The anchor
-    set here is the first N_CELLS vectors — at scale it would be sampled
-    k-means centroids, but the *plan* is identical: broadcast centroids →
-    narrow assignment → equi-join on cell_id → exact kernel per cell.
-    Candidates drop ~N_CELLS× vs brute force; recall trades off via
-    nprobe (join against the n nearest cells instead of 1)."""
+    by nearest TRAINED centroid (kmeans_centroids — md5-seeded sample +
+    fixed Lloyd rounds, engine-deterministic so the oracle replays the
+    same index); each query searches only its own cell. Plan: broadcast
+    centroids → narrow assignment → equi-join on cell_id → exact kernel
+    per cell. Candidates drop ~N_CELLS× vs brute force; recall trades
+    off via nprobe (join against the n nearest cells instead of 1) and
+    is pinned vs the brute-force kernel in tests/test_ann_recall.py."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    cells = ivf_assign(base)
+    base = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    cents = kmeans_centroids(base)
+    cells = nearest_cells(base, cents)
     qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell_id"
     )
@@ -316,24 +470,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # cells searched per query in the multi-probe variant
 
 
+_QPROBE_SQL = _asg_sql(
+    _FINAL_CENTS, src_filter=f"WHERE e.vec_id < {N_QUERIES}", n_probe=N_PROBE
+)
+
+
 @register(
     "ann_ivf_multiprobe",
     oracle=f"""
-    WITH cells AS ({_assign_sql('embeddings')}),
+    WITH {_KMEANS_CTES},
+    cells AS ({_asg_sql(_FINAL_CENTS)}),
     qprobes AS (
-      SELECT vec_id AS query_id, cell_id, rn AS probe_rank FROM (
-        SELECT e.vec_id, c.vec_id AS cell_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(
-                   list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
-                                for i in generate_series(1, 64)], (x, y) -> x + y)
-                   / ({_self_norm('e')} * {_self_norm('c')}), 6) DESC,
-                 c.vec_id ASC
-               ) AS rn
-        FROM embeddings e JOIN embeddings c ON c.vec_id < {N_CELLS}
-        WHERE e.vec_id < {N_QUERIES}
-      ) WHERE rn <= {N_PROBE}
+      SELECT vec_id AS query_id, cell_id FROM ({_QPROBE_SQL})
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT
@@ -353,35 +501,21 @@ N_PROBE = 2  # cells searched per query in the multi-probe variant
     """,
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with nprobe=2: each query searches its two nearest cells,
-    recovering neighbors that fell just across a cell boundary (the
-    standard recall knob — candidates scale linearly with nprobe while
-    staying ~corpus/N_CELLS per probe). Same plan as nprobe=1 plus one
-    more row per query in the probe table; candidates from both probes
-    rank in a single window."""
+    """IVF ANN (trained centroids) with nprobe=2: each query searches its
+    two nearest cells, recovering neighbors that fell just across a cell
+    boundary (the standard recall knob — candidates scale linearly with
+    nprobe while staying ~corpus/N_CELLS per probe). Same plan as
+    nprobe=1 plus one more row per query in the probe table; candidates
+    from both probes rank in a single window."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    cent = F.broadcast(
-        base.where(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("nrm").alias("cent_nrm"),
-        )
-    )
-    qbase = base.where(F.col("vec_id") < N_QUERIES)
-    qcos = F.round(
-        dot(F.col("embedding"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_nrm")),
-        6,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell_id"))
-    qprobes = (
-        qbase.join(cent)
-        .select(F.col("vec_id").alias("query_id"), "cell_id", qcos.alias("cos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "cell_id")
-    )
-    cells = ivf_assign(base)
+    base = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    cents = kmeans_centroids(base)
+    qprobes = nearest_cells(
+        base.where(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    cells = nearest_cells(base, cents)
     q = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -1,0 +1,110 @@
+"""ANN quality contracts: trained-IVF recall vs the exact kernel, and
+multi-table LSH candidate coverage.
+
+The test embeddings are unstructured (no label clustering — verified
+during round 2), so absolute recall at 16 cells / nprobe≤2 sits in the
+0.2-0.4 band by nature of random high-dim data; the contracts below pin
+(a) a floor well above the 1/N_CELLS chance rate, (b) the monotonicity
+knobs users actually rely on: nprobe=2 ≥ nprobe=1, and a second LSH
+table strictly growing the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df, qcol="query_id", ncol="neighbor_id"):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r[qcol], set()).add(r[ncol])
+    return out
+
+
+def _recall(got: dict[int, set[int]], want: dict[int, set[int]]) -> float:
+    return sum(len(got.get(q, set()) & s) / len(s) for q, s in want.items()) / len(
+        want
+    )
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from bigdatatiler_spark.operators.similarity import (
+        ann_ivf_multiprobe,
+        ann_ivf_topk,
+        knn_bruteforce_cosine,
+    )
+
+    bf = _topk_sets(knn_bruteforce_cosine(spark, SF_DIR))
+    r1 = _recall(_topk_sets(ann_ivf_topk(spark, SF_DIR)), bf)
+    r2 = _recall(_topk_sets(ann_ivf_multiprobe(spark, SF_DIR)), bf)
+    # chance rate for one cell of 16 is ~0.0625; trained cells must beat
+    # it by a wide margin, and the nprobe knob must not lose recall
+    assert r1 >= 0.2, f"nprobe=1 recall {r1:.3f} below floor"
+    assert r2 >= r1, f"nprobe=2 recall {r2:.3f} < nprobe=1 {r1:.3f}"
+
+
+def test_kmeans_centroids_balance_and_determinism(spark):
+    """Trained cells must (a) use every seed's capacity reasonably — no
+    cell hoarding the corpus, which is what breaks per-cell candidate
+    bounds at scale — and (b) be bit-deterministic across runs (the
+    property the DuckDB oracle relies on)."""
+    from bigdatatiler_spark.operators.similarity import (
+        N_CELLS,
+        kmeans_centroids,
+        nearest_cells,
+        norm,
+    )
+    from bigdatatiler_spark.tables import table
+
+    e = table(spark, SF_DIR, "embeddings")
+    base = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    cents = kmeans_centroids(base)
+    sizes = (
+        nearest_cells(base, cents)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in sizes)
+    assert len(sizes) == N_CELLS
+    assert max(r["count"] for r in sizes) <= 4 * n / N_CELLS, "a cell hoards the corpus"
+
+    again = {
+        (r["cell_id"], tuple(r["cent_emb"]))
+        for r in kmeans_centroids(base).collect()
+    }
+    first = {(r["cell_id"], tuple(r["cent_emb"])) for r in cents.collect()}
+    assert again == first, "centroid training is not deterministic"
+
+
+def test_second_lsh_table_grows_candidates(spark):
+    """A candidate pair survives if ANY table buckets it together — the
+    2-table index must strictly dominate table 0 alone on pair coverage
+    (that is the recall mechanism: p -> 1-(1-p)^2)."""
+    from bigdatatiler_spark.operators.similarity import lsh_bucket
+    from bigdatatiler_spark.tables import table
+
+    e = table(spark, SF_DIR, "embeddings")
+
+    def pairs(t: int) -> set[tuple[int, int]]:
+        b = e.select("vec_id", lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"))
+        a, c = b.alias("a"), b.select(
+            F.col("vec_id").alias("vec_id_2"), F.col("bucket").alias("bucket_2")
+        )
+        return {
+            (r["vec_id"], r["vec_id_2"])
+            for r in a.join(
+                c,
+                (F.col("bucket") == F.col("bucket_2"))
+                & (F.col("vec_id") < F.col("vec_id_2")),
+            ).collect()
+        }
+
+    p0, p1 = pairs(0), pairs(1)
+    union = p0 | p1
+    assert p0 != p1, "hash tables are not independent"
+    assert len(union) > len(p0), "second table adds no candidate pairs"
