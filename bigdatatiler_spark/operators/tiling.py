@@ -11,11 +11,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..logstore.tile import reassemble, tile
+from ..logstore.tile import reassemble, tile, tile_bytecap
 from ..registry import register
 from ..tables import table
 
 CHUNK = 120  # chars — small enough that most docs split into several tiles
+
+# byte-cap scaled to the test corpus (the reference's 1.5 MB cap with
+# 50k/10k floors would never trigger on ~1k-char docs): same policy,
+# proportional constants.
+BYTECAP = 220
+BYTECAP_FIRST_FLOOR = 50
+BYTECAP_RESPLIT_FLOOR = 15
 
 
 @register(
@@ -82,5 +89,45 @@ def doc_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunks",
             F.length("payload").alias("payload_len"),
             F.when(F.col("payload") == F.col("text"), 1).otherwise(0).alias("roundtrip_ok"),
+        )
+    )
+
+
+@register(
+    "doc_tile_bytecap_roundtrip",
+    oracle="""
+    SELECT doc_id AS record_id, md5(text) AS payload_md5, 1 AS within_cap
+    FROM documents
+    """,
+)
+def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O26: the compressed-size-validated re-chunk fixpoint
+    (LogChange.cs:214-257) end-to-end — tile under a hard zip-byte cap,
+    reassemble, and emit md5 of the reconstruction plus the cap
+    invariant. The oracle's md5 is computed from the ORIGINAL text, so a
+    single lost/duplicated/reordered chunk anywhere in the estimate →
+    validate → re-split loop breaks the hash compare; within_cap is the
+    engine-side guarantee (every emitted archive ≤ cap — the floors are
+    scaled so forcing can't occur on this corpus) checked against the
+    oracle's constant truth."""
+    docs = table(spark, sf_dir, "documents")
+    tiled = tile_bytecap(
+        docs,
+        "text",
+        "doc_id",
+        max_zip_bytes=BYTECAP,
+        first_floor=BYTECAP_FIRST_FLOOR,
+        resplit_floor=BYTECAP_RESPLIT_FLOOR,
+    )
+    merged = reassemble(tiled, id_col="doc_id")
+    caps = tiled.groupBy(F.col("doc_id").alias("record_id")).agg(
+        F.max("zip_bytes").alias("max_zip")
+    )
+    return (
+        merged.join(caps, "record_id")
+        .select(
+            "record_id",
+            F.md5("payload").alias("payload_md5"),
+            F.when(F.col("max_zip") <= BYTECAP, 1).otherwise(0).alias("within_cap"),
         )
     )

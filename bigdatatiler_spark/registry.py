@@ -129,6 +129,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_train_test_split",
     "sample_stratified_by_lang",
     # — new round-2 queries append here (slots up to #50) —
+    "doc_tile_bytecap_roundtrip",
 )
 
 
