@@ -108,6 +108,50 @@ def events_gather_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keyset-cursor anchor (page 2+): strictly after this (ts, event_id) in
+# (ts DESC, id DESC) order — value-based, so it works at every SF
+CURSOR_TS = "2024-01-16 00:00:00"
+CURSOR_ID = 5000
+CURSOR_PAGE = 100
+
+
+@register(
+    "events_page_keyset",
+    oracle=f"""
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+    FROM events
+    WHERE ts < TIMESTAMP '{CURSOR_TS}'
+       OR (ts = TIMESTAMP '{CURSOR_TS}' AND event_id < {CURSOR_ID})
+    ORDER BY ts DESC, event_id DESC
+    LIMIT {CURSOR_PAGE}
+    """,
+)
+def events_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: the log-store cursor — one keyset page strictly after a
+    (ts, id) anchor, the reference's FeedIterator drain re-expressed so
+    each page is a sargable composite filter + TakeOrderedAndProject
+    (O(page) at any depth; the filter and sort ride the physical int64
+    nanos column so min/max row-group pruning applies). LogStore.cursor
+    wraps this page shape in the drain loop
+    (BigDataLogControl.cs:141-150)."""
+    from .store import keyset_page
+
+    ev = table(spark, sf_dir, "events")
+    page = keyset_page(
+        ev,
+        anchor=(event_ns(CURSOR_TS), CURSOR_ID),
+        page_size=CURSOR_PAGE,
+        time_col="ts_ns",
+        id_col="event_id",
+    )
+    return page.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+    )
+
+
 @register(
     "events_user_activity",
     oracle="""

@@ -79,6 +79,36 @@ def filtered_scan(
     return out
 
 
+def keyset_page(
+    df: DataFrame,
+    *,
+    anchor: tuple | None = None,
+    page_size: int = 100,
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One cursor page: rows strictly after ``anchor`` in
+    (``time_col`` DESC, ``id_col`` DESC) order — O6, the reference's
+    FeedIterator paging (BigDataLogControl.cs:141-150, 281-296) with
+    *intended* semantics (a real page size, not the MaxItemCount=1
+    pathology documented in SURVEY.md §2.12).
+
+    The anchor tuple from the previous page's last row becomes a sargable
+    composite predicate (``t < aT OR (t = aT AND id < aId)``), so every
+    page compiles to pushed-filter scan + TakeOrderedAndProject — O(page)
+    at any depth, unlike OFFSET's O(offset + page). The (time, id) pair
+    is a total order, so pages are disjoint and exhaustive.
+    """
+    out = df
+    if anchor is not None:
+        a_time, a_id = anchor
+        out = out.where(
+            (F.col(time_col) < F.lit(a_time))
+            | ((F.col(time_col) == F.lit(a_time)) & (F.col(id_col) < F.lit(a_id)))
+        )
+    return out.orderBy(F.col(time_col).desc(), F.col(id_col).desc()).limit(page_size)
+
+
 class LogStore:
     """Partitioned append-only log table (Parquet), keyed like the reference
     container: hash partition on user — here a directory-partition column,
@@ -124,6 +154,56 @@ class LogStore:
 
     def scan(self, **kwargs) -> DataFrame:
         return filtered_scan(self.df(), user_col=self.user_col, **kwargs)
+
+    def page(
+        self,
+        user_id=None,
+        anchor: tuple | None = None,
+        page_size: int = 100,
+        time_col: str = "ts",
+        id_col: str = "id",
+    ) -> DataFrame:
+        """One keyset page of this store (O6), optionally partition-scoped."""
+        df = self.df()
+        if user_id is not None:
+            df = df.where(F.col(self.user_col) == F.lit(user_id))
+        return keyset_page(
+            df, anchor=anchor, page_size=page_size, time_col=time_col, id_col=id_col
+        )
+
+    def cursor(
+        self,
+        user_id=None,
+        page_size: int = 100,
+        time_col: str = "ts",
+        id_col: str = "id",
+        max_pages: int | None = None,
+    ):
+        """Drain loop over keyset pages — the reference's
+        ``while HasMoreResults: ReadNextAsync`` cursor
+        (BigDataLogControl.cs:141-150) as a generator of row lists.
+
+        This is deliberately a CLIENT API (each page collects), mirroring
+        the reference's request/response cursor; the per-page *plan* stays
+        O(page) via :func:`keyset_page`, so draining N rows costs N log
+        work total instead of re-scanning from offset 0 per page. Bulk
+        processing should use the DataFrame surface instead.
+        """
+        anchor = None
+        n = 0
+        while max_pages is None or n < max_pages:
+            rows = self.page(
+                user_id=user_id,
+                anchor=anchor,
+                page_size=page_size,
+                time_col=time_col,
+                id_col=id_col,
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            anchor = (rows[-1][time_col], rows[-1][id_col])
+            n += 1
 
     def combined(
         self, user_id, parent_id, id_col="id", parent_col="parent_log_id"

@@ -130,6 +130,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_stratified_by_lang",
     # — new round-2 queries append here (slots up to #50) —
     "doc_tile_bytecap_roundtrip",
+    "events_page_keyset",
 )
 
 

@@ -69,6 +69,21 @@ def test_logstore_write_read(spark, events_df, tmp_path):
     assert store.df().count() == 6
 
 
+def test_cursor_drain_is_disjoint_ordered_exhaustive(spark, events_df, tmp_path):
+    """O6: the keyset cursor must drain the store in (ts DESC, id DESC)
+    order with disjoint pages covering every row — the reference's
+    FeedIterator loop contract, minus its MaxItemCount=1 pathology."""
+    store = LogStore(spark, str(tmp_path / "cursor"))
+    store.create(events_df)
+    pages = list(store.cursor(page_size=2, id_col="event_id"))
+    assert [len(p) for p in pages] == [2, 2, 1]
+    ids = [r["event_id"] for p in pages for r in p]
+    assert ids == [5, 4, 3, 2, 1]  # ts desc, id desc (4 ties 3 on ts)
+    # partition-scoped drain honors the caller's user (SURVEY §2.12 fix)
+    u1 = [r["event_id"] for p in store.cursor(user_id="u1", page_size=2, id_col="event_id") for r in p]
+    assert u1 == [3, 2, 1]
+
+
 def test_logstore_gather(spark, tmp_path):
     """O13 + O16: self-or-children fetch ordered by split_index."""
     rows = [
