@@ -31,29 +31,59 @@ from .dedup import _SHINGLED_SQL, minhash_bands, minhash_bands_sql
 MAX_ITERS = 15
 
 
-def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    node_col_a: str,
+    node_col_b: str,
+    lineage_cut: str = "local",
+) -> DataFrame:
     """(node, cluster_id): min node id reachable in the undirected graph.
 
     ``edges`` rows are undirected pairs; isolated nodes (absent from
     edges) are the caller's concern — a left join + coalesce(doc_id)
     afterwards keeps singletons as their own cluster.
+
+    ``lineage_cut`` picks how each round's result is materialized so the
+    plan stays O(1) per iteration (without a cut, iteration N replays
+    rounds 1..N-1 and the plan grows without bound):
+
+    - ``"local"`` — ``localCheckpoint``: executor-local blocks, no extra
+      I/O. Right for local mode and short interactive runs, but an
+      executor loss mid-loop destroys its blocks and FAILS THE JOB
+      (the lineage needed to recompute them was just truncated).
+    - ``"reliable"`` — ``checkpoint``: rounds persist to the cluster's
+      fault-tolerant checkpoint dir (``spark.sparkContext.
+      setCheckpointDir`` — HDFS/object store on a real cluster), so the
+      loop survives executor loss. The per-round write is labels+edges
+      only, not the upstream corpus. This is the 100 TB setting.
     """
+    if lineage_cut not in ("local", "reliable"):
+        raise ValueError(f"lineage_cut must be 'local' or 'reliable', got {lineage_cut!r}")
+    if lineage_cut == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "lineage_cut='reliable' needs spark.sparkContext.setCheckpointDir "
+                "(a fault-tolerant path on a real cluster)"
+            )
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+
     fwd = edges.select(
         F.col(node_col_a).alias("src"), F.col(node_col_b).alias("dst")
     )
     # materialize the symmetrized edge set once — every iteration joins it,
     # and without this the upstream edge computation (e.g. the MinHash band
     # self-join) replays per round
-    both = (
+    both = cut(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = cut(
         both.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(MAX_ITERS):
         neighbor_min = (
@@ -61,7 +91,7 @@ def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> 
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = cut(  # truncate lineage: O(1) plan per round
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -70,7 +100,6 @@ def connected_components(edges: DataFrame, node_col_a: str, node_col_b: str) -> 
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint()  # truncate lineage: O(1) plan per round
         )
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
