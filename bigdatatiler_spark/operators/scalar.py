@@ -236,3 +236,39 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select("event_type", "n_events", "value_bucket")
     )
+
+
+@register(
+    "events_xml_inspection",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE user_id <= 50
+    """,
+)
+def events_xml_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28: XML payload inspection (the reference stores XmlDocument
+    OuterXml as its payload, LogChange.cs:104; the engine treats stored
+    payloads as opaque text but CAN look inside). Each event synthesizes
+    the reference-style XML document, then ``from_xml`` parses it back
+    into typed fields — the oracle emits the ORIGINAL columns, so any
+    parse/typing defect (element order, whitespace, numeric coercion)
+    breaks the hash compare. Both synthesis and parse are built-in
+    expressions: one narrow projection, no UDF, no shuffle."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    xml = F.concat(
+        F.lit("<log><user>"),
+        F.col("user_id"),
+        F.lit("</user><type>"),
+        F.col("event_type"),
+        F.lit("</type><ts>"),
+        F.unix_millis("ts"),
+        F.lit("</ts></log>"),
+    )
+    parsed = F.from_xml(xml, "user BIGINT, type STRING, ts BIGINT")
+    return ev.select("event_id", parsed.alias("p")).select(
+        "event_id",
+        F.col("p.user").alias("user_id"),
+        F.col("p.type").alias("event_type"),
+        F.col("p.ts").alias("ts_ms"),
+    )

@@ -131,6 +131,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # — new round-2 queries append here (slots up to #50) —
     "doc_tile_bytecap_roundtrip",
     "events_page_keyset",
+    "events_xml_inspection",
 )
 
 
