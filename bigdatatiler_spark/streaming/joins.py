@@ -67,15 +67,19 @@ def write_foreach_batch(
     handler: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    output_mode: str = "append",
 ):
     """Run a stream through a foreachBatch handler with checkpointing.
 
     The handler receives (batch_df, batch_id); it must be idempotent in
     batch_id — on recovery Spark may re-deliver the last uncommitted
     batch. Returns the started query (caller awaits termination).
+    ``output_mode='update'`` is required upstream of stateful operators
+    (applyInPandasWithState/transformWithState) that emit on completion.
     """
     writer = (
         stream.writeStream.foreachBatch(handler)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:

@@ -53,6 +53,39 @@ def test_resize_stub_scales_payload(spark, docs):
     assert 1 <= len(rows[3]["payload"]) < 1000
 
 
+def test_binaryfile_source_to_decode_pipeline(spark, docs, tmp_path):
+    """End-to-end media ingestion: payloads written as individual files →
+    binaryFile source → decode_stub → frame sampling. This is the real
+    on-cluster shape (spark.read.format('binaryFile') over an object
+    store); the decode stays the deterministic fake, the plumbing —
+    file scan schema, binary content column, id recovery from the path,
+    Arrow batches in and out — is all real."""
+    from bigdatatiler_spark.operators.multimodal import sample_frames
+    from bigdatatiler_spark.sources.io import read_binary_files, write_payload_files
+
+    media_dir = str(tmp_path / "media")
+    n = write_payload_files(
+        with_payload(docs), media_dir, name_col="doc_id", payload_col="payload",
+        suffix=".bin",
+    )
+    assert n == 3
+
+    scanned = read_binary_files(spark, media_dir, glob="*.bin")
+    assert dict(scanned.dtypes)["content"] == "binary"
+    media = scanned.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    decoded = {r["doc_id"]: r for r in decode_stub(media, fake=True).collect()}
+    assert decoded[1]["payload_len"] == 11
+    assert decoded[3]["n_frames"] == 4
+    # and the frame fan-out runs off the file-sourced payloads too
+    frames = sample_frames(media, every_n=2).collect()
+    assert {r["frame_index"] for r in frames if r["doc_id"] == 3} == {0, 2}
+
+
 def test_sample_frames_fanout(spark, docs):
     from bigdatatiler_spark.operators.multimodal import FRAME_BYTES, sample_frames
 

@@ -234,6 +234,50 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert len(want) > 0  # non-vacuous
 
 
+def test_reassembly_survives_restart_exactly_once(spark, tmp_path):
+    """Chaos/recovery contract: a stateful reassembly stream stopped
+    mid-chain and RESTARTED from its checkpoint must (a) restore the
+    partial chain from the state store, (b) not reprocess batch 1, and
+    (c) emit each completed record exactly once through the idempotent
+    batch_id-keyed sink — even with a chunk redelivered across the
+    restart (at-least-once source semantics)."""
+    from bigdatatiler_spark.streaming.joins import write_foreach_batch
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    cols = ["record_id", "split_index", "chunk", "total_splits"]
+    batch1 = spark.createDataFrame(
+        [(1, 0, "AAA", 3), (1, 1, "BBB", 3), (2, 0, "solo", 1)], cols
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    def _handle(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id={batch_id}")
+
+    def _run_once() -> None:
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        q = write_foreach_batch(
+            reassemble_stream(stream), _handle, ckpt, output_mode="update"
+        )
+        q.awaitTermination(120)
+
+    _run_once()  # run 1 consumes batch 1, then "dies" (stop after drain)
+    got1 = spark.read.parquet(f"{out}/*")
+    assert {r["record_id"] for r in got1.collect()} == {2}, "record 1 must wait"
+
+    # chunk 1 redelivered together with the final chunk, then restart
+    spark.createDataFrame([(1, 1, "BBB", 3), (1, 2, "CCC", 3)], cols).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run_once()  # run 2 recovers offsets + state from ckpt
+
+    rows = spark.read.parquet(f"{out}/*").collect()
+    got = {r["record_id"]: (r["payload"], r["n_chunks"]) for r in rows}
+    assert got == {1: ("AAABBBCCC", 3), 2: ("solo", 1)}
+    assert len(rows) == 2, f"duplicate emissions: {rows}"
+
+
 def test_foreach_batch_idempotent_sink(spark, tmp_path):
     """foreachBatch handler keyed by batch_id: output parquet holds
     exactly the input rows, tagged with their micro-batch."""
