@@ -215,6 +215,100 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_topk_oracle() -> str:
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT {t} AS ht, vec_id, {_lsh_bucket_sql('e', hash_table=t)} AS bucket "
+        "FROM embeddings e"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH idx AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM idx q
+      JOIN idx c ON c.ht = q.ht AND c.bucket = q.bucket
+                AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT
+        cd.query_id, cd.neighbor_id,
+        round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) AS cosine,
+        row_number() OVER (
+          PARTITION BY cd.query_id
+          ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) DESC,
+                   cd.neighbor_id ASC
+        ) AS rank
+      FROM cand cd
+      JOIN embeddings q ON q.vec_id = cd.query_id
+      JOIN embeddings c ON c.vec_id = cd.neighbor_id
+    )
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_topk_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search through the multi-table LSH index: candidates are
+    vectors sharing a (hash_table, bucket) key with the query in ANY of
+    the LSH_TABLES hyperplane families, deduped, then exact-cosine
+    reranked to top-k. This is the query-side complement of
+    ann_lsh_buckets and the pure-LSH alternative to the IVF family: no
+    training pass, candidate volume ∝ bucket occupancy × tables
+    (corpus/2^bits per bucket in expectation), and the whole plan is
+    narrow hashing + one equi-join + the per-candidate kernel — no
+    all-pairs anywhere."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    per_table = [
+        base.select(
+            F.lit(t).alias("ht"),
+            "vec_id",
+            lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"),
+        )
+        for t in range(LSH_TABLES)
+    ]
+    idx = per_table[0]
+    for frame in per_table[1:]:
+        idx = idx.unionByName(frame)
+    idx = idx.persist()
+    q_idx = idx.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "ht", "bucket"
+    )
+    cand = (
+        F.broadcast(q_idx)
+        .join(idx, ["ht", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cosine = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle=f"""
@@ -352,17 +446,20 @@ def kmeans_centroids(
     ).withColumn("cent_nrm", norm(F.col("cent_emb")))
     for _ in range(iters):
         asg = nearest_cells(base, cents)
-        sums = (
+        # quantize each vector ONCE into an integer array, then sum plain
+        # elements — inlining floor(cast(...)) into all DIM aggregate
+        # expressions doubles the codegen size and compile time
+        quantized = (
             asg.join(base.select("vec_id", "embedding"), "vec_id")
-            .groupBy("cell_id")
-            .agg(
-                *[
-                    F.sum(
-                        F.floor(F.col("embedding")[i].cast("double") * QUANT)
-                    ).alias(f"s{i}")
-                    for i in range(DIM)
-                ]
+            .select(
+                "cell_id",
+                F.transform(
+                    "embedding", lambda x: F.floor(x.cast("double") * QUANT)
+                ).alias("q"),
             )
+        )
+        sums = quantized.groupBy("cell_id").agg(
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)]
         )
         cents = (
             sums.select(
@@ -381,20 +478,41 @@ def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFr
     """(vec_id, cell_id): each vector's ``n_probe`` nearest centroids by
     rounded cosine (cell_id-asc tiebreak → total order → deterministic).
 
-    ``base`` carries (vec_id, embedding, nrm); ``cents`` is k rows —
-    broadcast, so assignment is a narrow map over the corpus (the 100 TB
-    path: no shuffle until the downstream per-cell work)."""
-    cos = F.round(
-        dot(F.col("embedding"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_nrm")),
-        6,
+    ``base`` carries (vec_id, embedding, nrm); ``cents`` (k rows) folds
+    into ONE broadcast row of centroid structs, so assignment is a
+    single narrow projection per vector — all k cosines, the sort, and
+    the top-n_probe selection happen inside one codegen'd array
+    expression with NO join, NO window, NO shuffle. That matters twice:
+    each k-means round stops paying a row_number exchange over
+    corpus × k rows, and at 100 TB the inverted-list build touches the
+    corpus exactly once before the downstream per-cell shuffle.
+    collect_list's order doesn't matter: array_sort on (−cos, cell_id)
+    structs yields the same total order from any permutation."""
+    cent_row = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("cell_id", "cent_emb", "cent_nrm")).alias(
+                "_cents"
+            )
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    scored = F.transform(
+        "_cents",
+        lambda c: F.struct(
+            (
+                -F.round(
+                    dot(F.col("embedding"), c["cent_emb"])
+                    / (F.col("nrm") * c["cent_nrm"]),
+                    6,
+                )
+            ).alias("neg_cos"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, n_probe)
     return (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "cell_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_probe)
-        .select("vec_id", "cell_id")
+        base.crossJoin(cent_row)
+        .select("vec_id", F.explode(top).alias("t"))
+        .select("vec_id", F.col("t.cell_id").alias("cell_id"))
     )
 
 

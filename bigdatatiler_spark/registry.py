@@ -85,7 +85,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "events_session_windows",         # timestamp-heavy window family
     "order_price_percentiles",        # percentile family
     "setops_customer_cohorts",        # set operations
-    "order_date_functions",           # scalar date/tz-sensitive family
     "asof_purchase_to_click",         # as-of join (custom operator)
     "range_join_event_windows",       # range join (custom operator)
     # — round-1 red row, fixed this round: needs a fresh green —
@@ -129,9 +128,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_train_test_split",
     "sample_stratified_by_lang",
     # — new round-2 queries append here (slots up to #50) —
+    # (order_date_functions rotated out: round-1 driver-green, and the
+    # tz-canary role is covered by events_xml_inspection + the datediff
+    # form of q12; scalar-family window coverage stays via the XML query)
     "doc_tile_bytecap_roundtrip",
     "events_page_keyset",
     "events_xml_inspection",
+    "ann_lsh_topk",
 )
 
 

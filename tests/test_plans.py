@@ -55,6 +55,44 @@ def test_column_pruning(spark):
     assert "props" not in read_schema
 
 
+def test_keyset_page_is_topk_with_pushed_anchor(spark):
+    """O6: every cursor page must be pushed-filter scan + top-k — a page
+    that global-sorts or scans unfiltered breaks the O(page) promise."""
+    from bigdatatiler_spark.registry import load_all
+
+    df = load_all()["events_page_keyset"].fn(spark, SF)
+    plan = _executed_plan(df)
+    full = _optimized(df)
+    assert "TakeOrderedAndProject" in plan, "page is not a top-k"
+    pushed = full.split("PushedFilters")[1][:400]
+    assert "ts" in pushed, "anchor predicate not pushed to the scan"
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """Trained-IVF cell assignment must stay shuffle-free: the centroid
+    table folds into one broadcast row and the argmax runs inside a
+    projection — an Exchange before the assignment output would mean the
+    corpus is being shuffled just to pick cells."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.similarity import (
+        kmeans_centroids,
+        nearest_cells,
+        norm,
+    )
+    from bigdatatiler_spark.tables import table
+
+    e = table(spark, SF, "embeddings")
+    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cents = kmeans_centroids(base)
+    plan = _executed_plan(nearest_cells(base, cents))
+    # the only join is the 1-row broadcast of folded centroids
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    head = plan.split("Scan parquet")[0]
+    assert "SortMergeJoin" not in head
+    assert "Window" not in head, "assignment regressed to a window sort"
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """SURVEY.md §8 open thread: shuffle-side pruning when the selective
     predicate is on the other join side. Under scale-representative confs
