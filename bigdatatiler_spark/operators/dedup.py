@@ -22,7 +22,7 @@ engine-independent and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -258,6 +258,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_id_1", "doc_id_2", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+# Incoming-batch split for the incremental variant: every 10th doc plays
+# the "new arrivals" role, the rest are the already-indexed corpus.
+INCREMENTAL_BATCH_MOD = 10
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+      FROM bands n
+      JOIN bands o ON n.band_id = o.band_id AND n.band_key = o.band_key
+      WHERE n.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+        AND o.doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+    )
+    SELECT doc_id, dup_of, jaccard FROM (
+      SELECT s.doc_id, s.dup_of, s.jaccard,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY s.jaccard DESC, s.dup_of ASC
+             ) AS rn
+      FROM (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN shingled x ON c.doc_id = x.doc_id
+        JOIN shingled y ON c.dup_of = y.doc_id
+      ) s
+      WHERE s.jaccard >= {MINHASH_THRESHOLD}
+    ) WHERE rn = 1
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_incremental_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: match an incoming batch against the already-
+    indexed corpus WITHOUT rescoring the corpus against itself — for each
+    new doc, its best corpus near-dup (Jaccard ≥ 0.6), or no row if it's
+    novel.
+
+    This is the shape a training pipeline actually runs day to day: the
+    corpus's band index (minhash_bands output) is a persisted table built
+    once and appended to; each arriving batch computes ITS bands only and
+    equi-joins the index on (band_id, band_key). Cost per ingest is
+    O(batch × bands + collisions) — corpus size only enters through
+    bucket occupancy, never a corpus×corpus term, and the batch side of
+    the join broadcasts when the batch is small. Here both roles are
+    carved from the documents table (doc_id mod {INCREMENTAL_BATCH_MOD})
+    so the oracle can replay the split."""
+    sh = _shingled(spark, sf_dir).persist()
+    bands = minhash_bands(sh).persist()
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    cand = (
+        bands.where(is_batch)
+        .alias("n")
+        .join(
+            bands.where(~is_batch).alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select("doc_id", F.col("sh").alias("sh_new")), "doc_id"
+    ).join(
+        sh.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_old")),
+        "dup_of",
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
+        / F.size(F.array_union("sh_new", "sh_old")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        pairs.select("doc_id", "dup_of", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
     )
 
 

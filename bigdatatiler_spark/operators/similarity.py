@@ -732,3 +732,38 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_kmeans_cells",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    cells AS ({_asg_sql(_FINAL_CENTS)})
+    SELECT cell_id,
+           count(*)    AS n_vectors,
+           min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id
+    FROM cells
+    GROUP BY cell_id
+    """,
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering as a first-class output: every vector's trained
+    k-means cell, profiled per cell. This is the op a training pipeline
+    runs for mixture balancing / topic-aware sampling / curriculum
+    buckets — the same trained index the ANN queries probe, read as a
+    partition of the corpus instead of a search structure. Narrow
+    broadcast assignment + one k-group aggregate; with the index memo
+    warm this touches the corpus exactly once."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    return (
+        nearest_cells(base, cents)
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )

@@ -64,3 +64,26 @@ def test_ngram_length_bucket_is_lossless(spark):
         .collect()
     }
     assert got == want and got, "bucketed candidates diverge from all-pairs"
+
+
+def test_incremental_minhash_pairs_batch_to_corpus_only(spark):
+    """Every emitted match must pair a batch doc with a corpus doc (never
+    batch×batch or corpus×corpus), at most one match per batch doc, and
+    each match must also appear in the full symmetric LSH dedup — the
+    incremental path is a filtered view of it, not a different metric."""
+    from bigdatatiler_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD as MOD,
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = dedup_incremental_minhash(spark, sf).collect()
+    assert all(r.doc_id % MOD == 0 and r.dup_of % MOD != 0 for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows), "a batch doc matched twice"
+
+    full = {
+        frozenset((r.doc_id_1, r.doc_id_2))
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert all(frozenset((r.doc_id, r.dup_of)) in full for r in rows)
