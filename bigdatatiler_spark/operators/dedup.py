@@ -346,6 +346,75 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benchmark-set split for decontamination: every 53rd doc plays the held-
+# out eval set; a coprime-to-10 modulus keeps it independent of the
+# incremental-batch split above.
+DECONTAM_BENCH_MOD = 53
+DECONTAM_THRESHOLD = 0.1  # flag docs with ≥ 10% benchmark-shingle containment
+
+
+def _decontam_oracle() -> str:
+    return f"""
+    WITH {_SHINGLED_SQL},
+    bgrams AS (
+      SELECT DISTINCT unnest(sh) AS gram FROM shingled
+      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, sh FROM shingled WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ),
+    overlap AS (
+      SELECT g.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(sh) AS gram FROM corpus) g
+      JOIN bgrams b USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT c.doc_id,
+           len(c.sh) AS n_grams,
+           o.n_overlap,
+           round(CAST(o.n_overlap AS DOUBLE) / len(c.sh), 6) AS contamination
+    FROM corpus c JOIN overlap o USING (doc_id)
+    WHERE round(CAST(o.n_overlap AS DOUBLE) / len(c.sh), 6) >= {DECONTAM_THRESHOLD}
+    """
+
+
+@register("decontaminate_ngram_overlap", oracle=_decontam_oracle())
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose shingle set is
+    mostly contained in the held-out benchmark set's n-grams — the
+    eval-leakage check every serious pretraining pipeline runs (n-gram
+    CONTAINMENT, not symmetric Jaccard: a short benchmark prompt buried
+    in a long doc must still flag).
+
+    Scale shape: the benchmark side is tiny by nature (eval suites are
+    KBs against a 100 TB corpus), so its distinct-gram set BROADCASTS;
+    the corpus side is one explode → broadcast-hash semi-match → per-doc
+    partial count — no corpus shuffle except the doc_id aggregate, which
+    map-side combines. Here the benchmark role is doc_id mod
+    {DECONTAM_BENCH_MOD} so the oracle replays the split."""
+    sh = _shingled(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bgrams = (
+        sh.where(is_bench).select(F.explode("sh").alias("gram")).distinct()
+    )
+    corpus = sh.where(~is_bench)
+    overlap = (
+        corpus.select("doc_id", F.explode("sh").alias("gram"))
+        .join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    contamination = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+    )
+    return (
+        corpus.select("doc_id", F.size("sh").alias("n_grams"))
+        .join(overlap, "doc_id")
+        .withColumn("contamination", contamination)
+        .where(F.col("contamination") >= DECONTAM_THRESHOLD)
+    )
+
+
 def _simhash_oracle() -> str:
     bit_cols = ",\n           ".join(
         "list_sum([CASE WHEN substr(h, {pos}, 1) IN ('8','9','a','b','c','d','e','f')"

@@ -11,7 +11,7 @@ same scan pass as ingest filtering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -308,4 +308,74 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint.alias("fingerprint"),
         F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+
+
+# Sequence packing: concat-and-chunk into fixed context windows, per
+# shard. Shards pack independently (each trainer worker packs its own
+# slice at 100 TB — a single global cumulative sum would serialize on one
+# partition), so the window below partitions by shard, never the corpus.
+PACK_CTX = 2048  # tokens per training context window
+PACK_SHARDS = 32
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / {PACK_CTX}) AS BIGINT)
+             AS first_chunk,
+           CAST(floor(CAST(cum_tokens - 1 AS DOUBLE) / {PACK_CTX}) AS BIGINT)
+             AS last_chunk
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents concatenate in doc_id
+    order within each shard and chunk into PACK_CTX-token context
+    windows; each doc's output row says where its tokens land
+    (start_offset, first/last chunk — last > first means the doc spans a
+    window boundary).
+
+    The packing itself is one windowed cumulative sum PARTITIONED BY
+    SHARD: every shard packs independently and in parallel, which is how
+    distributed data prep actually runs (a global pack order would both
+    serialize the window into one partition and break resumability).
+    Integer token counts → the running sum is order-deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(_norm_col(), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")).cast("double") / PACK_CTX)
+        .cast("bigint")
+        .alias("first_chunk"),
+        F.floor((cum - 1).cast("double") / PACK_CTX).cast("bigint").alias("last_chunk"),
     )
