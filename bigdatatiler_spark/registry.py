@@ -103,7 +103,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
-    "embedding_norm_stats",
     "doc_token_stats",
     "doc_lang_id",
     "doc_fingerprint_bottomk",
@@ -111,18 +110,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_quality_score",
     "doc_rolling_hash",
     "doc_bpe_token_counts",
-    "doc_tile_chunks",
     "doc_tile_roundtrip",
     "multimodal_payload_stats",
     "skew_salted_user_activity",
     "events_props_json",
     "nation_grouping_sets",
-    "orders_page_offset",
     "orders_status_pivot",
     "orders_page_keyset",
     "sketch_kmv_distinct",
     "sketch_frequent_tokens",
-    "sketch_topk_native",
     "sketch_quantile_gk",
     "sketch_hll_native",
     "sample_train_test_split",
@@ -130,11 +126,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # — new round-2 queries append here (slots up to #50) —
     # (order_date_functions rotated out: round-1 driver-green, and the
     # tz-canary role is covered by events_xml_inspection + the datediff
-    # form of q12; scalar-family window coverage stays via the XML query)
+    # form of q12; scalar-family window coverage stays via the XML query.
+    # Rotated out for the final four round-2 operators — each rotated-out
+    # query keeps in-window family representation and an identical-oracle
+    # local check: embedding_norm_stats ⊂ ANN family, doc_tile_chunks ⊂
+    # doc_tile_roundtrip, orders_page_offset ⊂ keyset-pagination pair,
+    # sketch_topk_native ⊂ sketch_frequent_tokens heavy-hitter family.)
     "doc_tile_bytecap_roundtrip",
     "events_page_keyset",
     "events_xml_inspection",
     "ann_lsh_topk",
+    "dedup_incremental_minhash",
+    "decontaminate_ngram_overlap",
+    "embedding_kmeans_cells",
+    "pack_token_budget",
 )
 
 
