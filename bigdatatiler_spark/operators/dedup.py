@@ -392,26 +392,28 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count — no corpus shuffle except the doc_id aggregate, which
     map-side combines. Here the benchmark role is doc_id mod
     {DECONTAM_BENCH_MOD} so the oracle replays the split."""
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).persist()
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bgrams = (
         sh.where(is_bench).select(F.explode("sh").alias("gram")).distinct()
     )
-    corpus = sh.where(~is_bench)
+    # n_grams rides through the aggregate key (constant per doc_id), so
+    # the corpus is exploded and shuffled exactly once — no second join
+    # back against the shingle frame.
     overlap = (
-        corpus.select("doc_id", F.explode("sh").alias("gram"))
+        sh.where(~is_bench)
+        .select("doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("gram"))
         .join(F.broadcast(bgrams), "gram")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "n_grams")
         .agg(F.count("*").alias("n_overlap"))
     )
     contamination = F.round(
         F.col("n_overlap").cast("double") / F.col("n_grams"), 6
     )
     return (
-        corpus.select("doc_id", F.size("sh").alias("n_grams"))
-        .join(overlap, "doc_id")
-        .withColumn("contamination", contamination)
+        overlap.withColumn("contamination", contamination)
         .where(F.col("contamination") >= DECONTAM_THRESHOLD)
+        .select("doc_id", "n_grams", "n_overlap", "contamination")
     )
 
 

@@ -108,3 +108,81 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Domain-mixture rebalancing: downsample every (lang, source) stratum to
+# the char volume of the smallest stratum, so no domain dominates the
+# training mixture by byte count. Acceptance is per-mille of the stable
+# doc_id hash — deterministic, shuffle-free, stable under repartitioning.
+_MIX_PERMILLE = 1000
+
+_SQL_BUCKET_1000 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    f" % {_MIX_PERMILLE} AS BIGINT)"
+)
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, source, sum(n_chars) AS stratum_chars
+      FROM documents GROUP BY lang, source
+    ),
+    rates AS (
+      SELECT lang, source, stratum_chars,
+             (min(stratum_chars) OVER () * {_MIX_PERMILLE}) // stratum_chars
+               AS accept_permille
+      FROM strata
+    )
+    SELECT d.lang, d.source,
+           r.stratum_chars,
+           r.accept_permille,
+           count(*) AS sampled_docs,
+           sum(d.n_chars) AS sampled_chars
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang AND d.source = r.source
+    WHERE {_SQL_BUCKET_1000} < r.accept_permille
+    GROUP BY d.lang, d.source, r.stratum_chars, r.accept_permille
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: compute each (lang, source) stratum's char
+    volume, derive an accept rate that levels every stratum to the
+    smallest one's volume (integer per-mille — engine-exact), and take
+    the deterministic hash-sample. Output is the audit view: per stratum,
+    its corpus volume, its accept rate, and what the sample actually
+    drew.
+
+    Plan: the stratum table is tiny (|langs|×|sources| rows — the window
+    over it is a single-partition pass over dozens of rows, not corpus
+    data), broadcasts back onto the scan, and acceptance is a
+    projection-level filter — the corpus is read once, never shuffled
+    except the final per-stratum aggregate. Adding data only lowers
+    rates; it never flips which docs a fixed rate accepts."""
+    docs = table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("stratum_chars")
+    )
+    rates = strata.select(
+        "lang",
+        "source",
+        "stratum_chars",
+        F.expr(
+            f"(min(stratum_chars) OVER () * {_MIX_PERMILLE}) div stratum_chars"
+        ).alias("accept_permille"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _MIX_PERMILLE
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .where(bucket < F.col("accept_permille"))
+        .groupBy("lang", "source", "stratum_chars", "accept_permille")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )

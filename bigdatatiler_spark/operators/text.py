@@ -379,3 +379,173 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_chunk"),
         F.floor((cum - 1).cast("double") / PACK_CTX).cast("bigint").alias("last_chunk"),
     )
+
+
+# Gopher-style repetition filters: flag docs dominated by one token or by
+# repeated bigrams. Thresholds are corpus-tuned constants; the signals
+# (top-token fraction, duplicate-bigram fraction) are the standard ones.
+REP_TOP_TOKEN_MAX = 0.12
+REP_DUP_BIGRAM_MAX = 0.05
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id, tok AS top_token, cnt AS top_cnt FROM (
+        SELECT doc_id, tok, cnt,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY cnt DESC, tok ASC
+               ) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(toks) - 1 AS n_bigrams,
+             len(list_distinct(
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             )) AS n_distinct_bigrams
+      FROM t
+    )
+    SELECT s.doc_id,
+           s.n_tokens,
+           top.top_token,
+           round(CAST(top.top_cnt AS DOUBLE) / s.n_tokens, 4) AS top_token_frac,
+           round(1.0 - CAST(s.n_distinct_bigrams AS DOUBLE) / s.n_bigrams, 4)
+             AS dup_bigram_frac,
+           CAST(
+             round(CAST(top.top_cnt AS DOUBLE) / s.n_tokens, 4)
+               > {REP_TOP_TOKEN_MAX}
+             OR round(1.0 - CAST(s.n_distinct_bigrams AS DOUBLE) / s.n_bigrams, 4)
+               > {REP_DUP_BIGRAM_MAX}
+           AS INT) AS flagged
+    FROM stats s JOIN top USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher rules): per doc, the fraction of
+    tokens taken by the single most frequent token and the fraction of
+    duplicated bigrams; ``flagged`` = either exceeds its threshold.
+
+    The bigram signal is MAP-ONLY (zip_with over the staged token array
+    — no explode, no shuffle); the top-token signal is one
+    (doc_id, token) partial-agg shuffle + a per-doc window, both keyed by
+    doc_id so they scale with docs, never with corpus size. Ratios are
+    integer-based and rounded once → engine-deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+    counts = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), F.col("cnt").alias("top_cnt"))
+    )
+    # toks staged under its own name first (Spark 4.1 lateral-alias quirk:
+    # referencing a same-select alias inside a lambda is an error)
+    stats = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - 1).cast("bigint").alias("n_bigrams"),
+        F.size(
+            F.array_distinct(
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 4)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 4
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > REP_TOP_TOKEN_MAX) | (dup_frac > REP_DUP_BIGRAM_MAX))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+# Tokenizer-vocab induction: the top-V corpus tokens by frequency, and the
+# OOV rate a tokenizer restricted to that vocab would see per language.
+VOCAB_SIZE = 16
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, 1 AS in_vocab FROM (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT {VOCAB_SIZE}
+      )
+    )
+    SELECT t.lang,
+           count(*) AS total_tokens,
+           sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+           round(
+             CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.lang
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab induction + coverage audit: rank tokens by corpus frequency,
+    keep the top VOCAB_SIZE (count-desc, token-asc total order), report
+    per-language token volume and the out-of-vocabulary rate under that
+    vocab — the audit run before committing to a tokenizer.
+
+    Plan: one exploded partial-agg for the counts, top-V via
+    TakeOrderedAndProject (no global sort), vocab BROADCAST back against
+    the exploded corpus (V is tokenizer-sized — fits one task's memory at
+    any corpus scale), per-lang agg map-side combines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split(_norm_col(), " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
