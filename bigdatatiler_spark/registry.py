@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.asof",
     "bigdatatiler_spark.operators.dedup",
     "bigdatatiler_spark.operators.similarity",
+    "bigdatatiler_spark.operators.retrieval",
     "bigdatatiler_spark.operators.text",
     "bigdatatiler_spark.operators.tiling",
     "bigdatatiler_spark.operators.multimodal",

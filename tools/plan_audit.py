@@ -31,6 +31,7 @@ BNLJ_BY_DESIGN = {
     "tpch_q22_idle_customers",  # 1-row scalar avg broadcast
     "tpch_q11_important_parts",  # 1-row scalar threshold broadcast
     "sketch_frequent_tokens",  # 1-row grand-total broadcast
+    "hybrid_search_rrf",  # 5-row query block broadcast on both sides
 }
 
 
