@@ -111,3 +111,38 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         assert {tuple(r) for r in df.collect()} == baseline
     # confs restored: the same build outside the block must not inject
     assert not has_runtime_bloom_filter(bloom_prunable_join(spark, SF))
+
+
+def test_vocab_coverage_broadcasts_topk_vocab(spark):
+    """Vocab induction must be top-V (TakeOrderedAndProject, no global
+    sort) and the vocab must broadcast back onto the corpus — a
+    shuffle-join on token would re-shuffle the whole exploded corpus."""
+    from bigdatatiler_spark.operators.text import tokenizer_vocab_coverage
+
+    plan = _executed_plan(tokenizer_vocab_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_single_corpus_pass(spark):
+    """The corpus side is exploded and aggregated exactly once: two
+    parquet scans total (benchmark-side gram set + corpus side), no
+    join back against a second corpus-wide shingle frame."""
+    from bigdatatiler_spark.operators.dedup import decontaminate_ngram_overlap
+
+    plan = _executed_plan(decontaminate_ngram_overlap(spark, SF))
+    n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+    assert n_scans <= 2 or "InMemoryTableScan" in plan, plan[:500]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mixture_broadcasts_rates(spark):
+    """Acceptance rates join must broadcast (strata table is
+    |langs|x|sources|); the corpus must not shuffle before the filter."""
+    from bigdatatiler_spark.operators.sampling import sample_domain_mixture
+
+    plan = _executed_plan(sample_domain_mixture(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
