@@ -78,6 +78,10 @@ HEADLINE = (
     "doc_tile_bytecap_roundtrip",
     "decontaminate_ngram_overlap",
     "pack_token_budget",
+    "hybrid_search_rrf",
+    "doc_repetition_stats",
+    "tokenizer_vocab_coverage",
+    "sample_domain_mixture",
     "events_xml_inspection",
     "events_page_keyset",
     "asof_purchase_to_click",

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.similarity",
     "bigdatatiler_spark.operators.retrieval",
     "bigdatatiler_spark.operators.text",
+    "bigdatatiler_spark.operators.cleaning",
     "bigdatatiler_spark.operators.tiling",
     "bigdatatiler_spark.operators.multimodal",
     "bigdatatiler_spark.functions.tokenize",
@@ -93,9 +94,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # — previously outside the window: every LLM-pipeline operator —
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh_blocked",
     "dedup_edit_distance",
     "dedup_connected_components",
@@ -109,7 +108,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint_bottomk",
     "corpus_language_profile",
     "doc_quality_score",
-    "doc_rolling_hash",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",
     "multimodal_payload_stats",
@@ -121,9 +119,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "sketch_frequent_tokens",
     "sketch_quantile_gk",
-    "sketch_hll_native",
     "sample_train_test_split",
-    "sample_stratified_by_lang",
     # — new round-2 queries append here (slots up to #50) —
     # (order_date_functions rotated out: round-1 driver-green, and the
     # tz-canary role is covered by events_xml_inspection + the datediff
@@ -132,7 +128,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # query keeps in-window family representation and an identical-oracle
     # local check: embedding_norm_stats ⊂ ANN family, doc_tile_chunks ⊂
     # doc_tile_roundtrip, orders_page_offset ⊂ keyset-pagination pair,
-    # sketch_topk_native ⊂ sketch_frequent_tokens heavy-hitter family.)
+    # sketch_topk_native ⊂ sketch_frequent_tokens heavy-hitter family.
+    # Second rotation, same rule, for the retrieval/quality/vocab/mixture
+    # quartet: sketch_hll_native was the one ROWS-ONLY driver row (weakest
+    # signal; HLL accuracy is pytest-pinned and kmv/frequent/gk keep the
+    # sketch family green), dedup_simhash ⊂ 6 other in-window dedup
+    # fingerprint kernels, dedup_embedding_cosine is the size-gated
+    # exactness baseline whose semantics ride in knn_bruteforce_cosine +
+    # dedup_embedding_lsh_blocked, doc_rolling_hash ⊂
+    # doc_fingerprint_bottomk (built on the same Karp-Rabin kernel).)
     "doc_tile_bytecap_roundtrip",
     "events_page_keyset",
     "events_xml_inspection",
@@ -141,6 +145,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "embedding_kmeans_cells",
     "pack_token_budget",
+    "hybrid_search_rrf",
+    "doc_repetition_stats",
+    "tokenizer_vocab_coverage",
+    "sample_domain_mixture",
+    # — round-2 cleaning family (operators/cleaning.py): one in-window
+    # representative; doc_pii_scrub / doc_unigram_logprob ride on local
+    # oracle checks (sample_stratified_by_lang rotated out — sampling
+    # keeps two in-window entries and the stratified md5-bucket rule is
+    # the same kernel as sample_train_test_split's).
+    "doc_duplicate_spans",
 )
 
 
