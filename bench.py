@@ -82,6 +82,10 @@ HEADLINE = (
     "doc_repetition_stats",
     "tokenizer_vocab_coverage",
     "sample_domain_mixture",
+    "sample_temperature_mixture",
+    "doc_pii_scrub",
+    "doc_duplicate_spans",
+    "doc_unigram_logprob",
     "events_xml_inspection",
     "events_page_keyset",
     "asof_purchase_to_click",

@@ -217,3 +217,116 @@ def dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unpartitioned window is fine: the clustered-node set is tiny
         F.count("*").over(Window.partitionBy()).alias("n_clustered_docs"),
     )
+
+
+def _keep_canonical_oracle() -> str:
+    from .dedup import MINHASH_THRESHOLD
+
+    jaccard = (
+        "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+      FROM bands p
+      JOIN bands q ON p.band_id = q.band_id AND p.band_key = q.band_key
+                  AND p.doc_id < q.doc_id
+    ),
+    verified AS (
+      SELECT c.a, c.b
+      FROM cand c
+      JOIN shingled x ON c.a = x.doc_id
+      JOIN shingled y ON c.b = y.doc_id
+      WHERE {jaccard} >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a, b FROM verified UNION SELECT b, a FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    full_docs AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, max(n_chars) AS max_chars, count(*) AS cluster_size
+      FROM full_docs GROUP BY cluster_id
+    ),
+    surv AS (
+      SELECT f.cluster_id, min(f.doc_id) AS survivor_id
+      FROM full_docs f JOIN best b
+        ON f.cluster_id = b.cluster_id AND f.n_chars = b.max_chars
+      GROUP BY f.cluster_id
+    )
+    SELECT f.doc_id, f.cluster_id, b.cluster_size, s.survivor_id,
+           CAST(f.doc_id = s.survivor_id AS INT) AS keep
+    FROM full_docs f
+    JOIN best b ON f.cluster_id = b.cluster_id
+    JOIN surv s ON f.cluster_id = s.cluster_id
+    """
+
+
+@register("dedup_keep_canonical", oracle=_keep_canonical_oracle())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame as a pipeline would actually ship it: verified
+    near-dup clusters → ONE canonical survivor per cluster → a per-doc
+    keep/drop verdict over the WHOLE corpus (singletons keep themselves
+    via cluster_id = doc_id). Survivor rule is content-driven and
+    integer-deterministic: most characters wins, lowest doc_id breaks
+    ties — expressed as max(n_chars) per cluster then min(doc_id) among
+    the maximal docs, so no float ordering and no window over the corpus.
+
+    Plan: the clustered-label table is dup-cluster-sized and joins the
+    corpus keyed by doc_id (broadcast at any realistic dup rate); the
+    survivor selection is two cluster-keyed partial aggs + equi-joins —
+    every shuffle keys on doc_id/cluster_id, nothing all-pairs, nothing
+    corpus-wide-windowed. `WHERE keep = 0` is the delete list a 100 TB
+    rewrite would apply."""
+    from .dedup import dedup_minhash_lsh
+    from ..tables import table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    labels = connected_components(pairs, "a", "b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    full_docs = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    # best/surv are one row PER CLUSTER (singletons included) — corpus-
+    # sized at scale, so they stay plain equi-joins keyed on cluster_id
+    # (AQE broadcasts them when small); only `labels` above is guaranteed
+    # dup-cluster-sized and safe to broadcast unconditionally.
+    best = full_docs.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("max_chars"), F.count("*").alias("cluster_size")
+    )
+    surv = (
+        full_docs.join(best, "cluster_id")
+        .where(F.col("n_chars") == F.col("max_chars"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    return (
+        full_docs.join(best.select("cluster_id", "cluster_size"), "cluster_id")
+        .join(surv, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("keep"),
+        )
+    )

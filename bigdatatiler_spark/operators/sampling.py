@@ -186,3 +186,80 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+# Temperature-scaled mixture (the multilingual-pretraining trick): sample
+# stratum i with probability ∝ c_i^τ instead of c_i, so low-resource
+# domains are boosted without flattening entirely. With τ = 0.5 the
+# acceptance rate has the closed form (c_min / c_i)^(1-τ) = sqrt(c_min /
+# c_i) — sqrt is IEEE-correctly-rounded in both engines, and the rate is
+# floored to integer per-mille before any comparison, so acceptance stays
+# engine-exact. τ = 0 recovers sample_domain_mixture's flat leveling;
+# τ = 1 is the raw corpus.
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, source, sum(n_chars) AS stratum_chars
+      FROM documents GROUP BY lang, source
+    ),
+    rates AS (
+      SELECT lang, source, stratum_chars,
+             CAST(floor({_MIX_PERMILLE} * sqrt(
+               CAST(min(stratum_chars) OVER () AS DOUBLE) / stratum_chars
+             )) AS BIGINT) AS accept_permille
+      FROM strata
+    )
+    SELECT d.lang, d.source,
+           r.stratum_chars,
+           r.accept_permille,
+           count(*) AS sampled_docs,
+           sum(d.n_chars) AS sampled_chars
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang AND d.source = r.source
+    WHERE {_SQL_BUCKET_1000} < r.accept_permille
+    GROUP BY d.lang, d.source, r.stratum_chars, r.accept_permille
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (τ = 0.5): accept rate
+    sqrt(c_min / c_i) per (lang, source) stratum — between flat leveling
+    (sample_domain_mixture) and the raw corpus, the standard knob for
+    boosting low-resource domains. Same audit-view output and the same
+    plan shape as the flat mixture: tiny strata table windowed on one
+    partition, broadcast back, projection-level deterministic hash
+    acceptance, corpus read once."""
+    docs = table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("stratum_chars")
+    )
+    rates = strata.select(
+        "lang",
+        "source",
+        "stratum_chars",
+        F.floor(
+            _MIX_PERMILLE
+            * F.sqrt(
+                F.expr("min(stratum_chars) OVER ()").cast("double")
+                / F.col("stratum_chars")
+            )
+        )
+        .cast("bigint")
+        .alias("accept_permille"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _MIX_PERMILLE
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .where(bucket < F.col("accept_permille"))
+        .groupBy("lang", "source", "stratum_chars", "accept_permille")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )

@@ -47,3 +47,43 @@ def test_reliable_lineage_cut_mode(spark, tmp_path):
 def test_invalid_lineage_cut_rejected(spark):
     with pytest.raises(ValueError, match="lineage_cut"):
         _clusters(spark, [(1, 2)], lineage_cut="bogus")
+
+
+def test_keep_canonical_one_survivor_per_cluster(spark):
+    """Every cluster keeps exactly one doc; the survivor has the
+    cluster's max n_chars (lowest doc_id among ties); singletons keep
+    themselves; the output covers the whole corpus exactly once."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.graph import dedup_keep_canonical
+    from bigdatatiler_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_keep_canonical(spark, sf)
+    n_docs = table(spark, sf, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.sum("keep").alias("kept"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r.kept == 1 for r in per_cluster)
+    sizes = {r.cluster_id: r.n for r in per_cluster}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in rows:
+        assert sizes[r.cluster_id] == r.cluster_size
+        if r.cluster_size == 1:
+            assert r.keep == 1 and r.survivor_id == r.doc_id == r.cluster_id
+        if r.keep == 1:
+            assert r.doc_id == r.survivor_id
+            members = [m for m in rows if m.cluster_id == r.cluster_id]
+            mx = max(chars[m.doc_id] for m in members)
+            assert chars[r.doc_id] == mx
+            assert r.doc_id == min(
+                m.doc_id for m in members if chars[m.doc_id] == mx
+            )

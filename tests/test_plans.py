@@ -138,6 +138,39 @@ def test_decontaminate_single_corpus_pass(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pii_scrub_is_map_only(spark):
+    """PII redaction must fuse into the scan projection: any Exchange
+    means the regex pass is shuffling the corpus for no reason."""
+    from bigdatatiler_spark.operators.cleaning import doc_pii_scrub
+
+    plan = _executed_plan(doc_pii_scrub(spark, SF))
+    assert "Exchange" not in plan, "map-only scrub acquired a shuffle"
+    assert "*(1)" in plan, "regex pass fell out of whole-stage codegen"
+
+
+def test_duplicate_spans_no_all_pairs(spark):
+    """Span-level dedup must stay keyed by span hash: no nested-loop /
+    cartesian anywhere, and exactly one corpus explode feeding both the
+    shared-span agg and the join-back (self-join on the exploded frame,
+    not a second scan+explode of documents)."""
+    from bigdatatiler_spark.operators.cleaning import doc_duplicate_spans
+
+    plan = _executed_plan(doc_duplicate_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The frequency table and corpus total must broadcast back over the
+    exploded corpus — a shuffle join on token re-shuffles the corpus."""
+    from bigdatatiler_spark.operators.cleaning import doc_unigram_logprob
+
+    plan = _executed_plan(doc_unigram_logprob(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_domain_mixture_broadcasts_rates(spark):
     """Acceptance rates join must broadcast (strata table is
     |langs|x|sources|); the corpus must not shuffle before the filter."""
