@@ -86,6 +86,8 @@ HEADLINE = (
     "doc_pii_scrub",
     "doc_duplicate_spans",
     "doc_unigram_logprob",
+    "events_funnel_conversion",
+    "events_weekly_retention",
     "events_xml_inspection",
     "events_page_keyset",
     "asof_purchase_to_click",

@@ -280,3 +280,156 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50_price"),
         F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+# --- behavioral analytics: funnel + cohort retention ----------------------
+# The funnel is computed in ONE shuffle: per user, the sorted (ts, type)
+# event array folds through a 4-slot state struct entirely inside codegen
+# (no per-step re-scan). The oracle derives the same strict-order funnel
+# via four chained CTEs — an independent formulation, like the
+# connected-components recursive-CTE cross-check.
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+    ),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND t > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND t > t2 GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t3 GROUP BY e.user_id)
+    SELECT
+      (SELECT count(*) FROM s1) AS n_signup,
+      (SELECT count(*) FROM s2) AS n_view,
+      (SELECT count(*) FROM s3) AS n_click,
+      (SELECT count(*) FROM s4) AS n_purchase,
+      round(CAST((SELECT count(*) FROM s4) AS DOUBLE)
+            / (SELECT count(*) FROM s1), 4) AS signup_to_purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a user
+    reaches step k+1 only with an event of that type STRICTLY AFTER the
+    timestamp at which they reached step k (first-touch attribution).
+
+    Plan: ONE shuffle on user_id; each user's sorted event array folds
+    left-to-right through a (t1..t4) state struct — all inside
+    whole-stage codegen, no UDF, no per-step event re-scan (the naive
+    formulation scans events once per funnel step; the oracle does
+    exactly that, so the two formulations cross-verify). Per-user arrays
+    are session-sized, the same boundedness argument as the tile
+    gather-and-merge."""
+    from ..tables import table as _table
+
+    evs = _table(spark, sf_dir, "events").select(
+        "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
+    )
+    per_user = evs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        zero.alias("t1"), zero.alias("t2"), zero.alias("t3"), zero.alias("t4")
+    )
+
+    def step(acc, e):
+        t, ty = e["t"], e["ty"]
+        t1 = F.when((acc["t1"] == 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
+            acc["t1"]
+        )
+        t2 = F.when(
+            (acc["t2"] == 0)
+            & (ty == _FUNNEL_STEPS[1])
+            & (acc["t1"] > 0)
+            & (t > acc["t1"]),
+            t,
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            (acc["t3"] == 0)
+            & (ty == _FUNNEL_STEPS[2])
+            & (acc["t2"] > 0)
+            & (t > acc["t2"]),
+            t,
+        ).otherwise(acc["t3"])
+        t4 = F.when(
+            (acc["t4"] == 0)
+            & (ty == _FUNNEL_STEPS[3])
+            & (acc["t3"] > 0)
+            & (t > acc["t3"]),
+            t,
+        ).otherwise(acc["t4"])
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    chain = per_user.select(F.aggregate("seq", init, step).alias("c"))
+    reached = lambda k: F.sum((F.col(f"c.t{k}") > 0).cast("bigint"))
+    return chain.agg(
+        reached(1).alias("n_signup"),
+        reached(2).alias("n_view"),
+        reached(3).alias("n_click"),
+        reached(4).alias("n_purchase"),
+        F.round(
+            reached(4).cast("double") / reached(1), 4
+        ).alias("signup_to_purchase_rate"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+      GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT
+      epoch_ms(f.cw) AS cohort_week_ms,
+      (epoch_ms(a.wk) - epoch_ms(f.cw)) // 604800000 AS week_offset,
+      count(*) AS n_active_users
+    FROM act a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first event;
+    for every (cohort week, week offset) the count of cohort members
+    active that week — the triangle a growth dashboard plots. Week
+    boundaries are Monday-aligned in both engines (date_trunc 'week'),
+    and the offset is exact integer division of epoch-ms (week starts
+    are aligned multiples apart).
+
+    Plan: two user-keyed shuffles (first-event agg, distinct activity)
+    + one user-keyed equi-join + a tiny (weeks x weeks) final agg —
+    everything keys on user_id, so the shape survives any corpus scale;
+    no windows, no collect."""
+    from ..tables import table as _table
+
+    evs = _table(spark, sf_dir, "events")
+    f = (
+        evs.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", ms(F.date_trunc("week", F.col("first_ts"))).alias("cw_ms"))
+    )
+    act = evs.select(
+        "user_id", ms(F.date_trunc("week", F.col("ts"))).alias("wk_ms")
+    ).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy(
+            F.col("cw_ms").alias("cohort_week_ms"),
+            ((F.col("wk_ms") - F.col("cw_ms")) / F.lit(604800000))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )

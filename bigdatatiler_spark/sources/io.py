@@ -125,3 +125,40 @@ def write_payload_files(
 
     sel.foreachPartition(_write_partition)
     return len([n for n in os.listdir(out_dir) if n.endswith(suffix)])
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+    order_col: str | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Trainer-facing JSONL export: the corpus lands as ``shard=K/``
+    directories of JSON-lines files, sharded by a STABLE hash of
+    ``shard_col`` (md5-derived, same idiom as sampling.py — re-running
+    the export after a rewrite/compaction puts every record back in the
+    same shard, which is what makes training resumable), optionally
+    sorted within each shard and split at ``max_records_per_file`` so no
+    single file exceeds what a trainer worker wants to stream.
+
+    Plan shape: one repartition keyed by the shard id (the only
+    shuffle), then ``partitionBy`` writes each shard directory from the
+    partition that owns it — shard count decouples from executor count,
+    and `maxRecordsPerFile` bounds file size without a second pass.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(shard_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % n_shards
+    ).alias("shard")
+    out = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    writer = out.write.mode(mode).partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(path)
