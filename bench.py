@@ -88,6 +88,8 @@ HEADLINE = (
     "doc_unigram_logprob",
     "events_funnel_conversion",
     "events_weekly_retention",
+    "events_hourly_anomaly",
+    "orders_profile",
     "events_xml_inspection",
     "events_page_keyset",
     "asof_purchase_to_click",

@@ -197,3 +197,140 @@ def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(PAGE_SIZE)
     )
+
+
+# --- monitoring / data-quality audit --------------------------------------
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS k, sum(n) AS s, sum(n * n) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_ms, h.n,
+           round(CAST(h.n * st.k - st.s AS DOUBLE)
+                 / sqrt(CAST(st.k * st.ss - st.s * st.s AS DOUBLE)), 4) AS zscore,
+           CAST(abs(CAST(h.n * st.k - st.s AS DOUBLE)
+                    / sqrt(CAST(st.k * st.ss - st.s * st.s AS DOUBLE))) > 3
+                AS INT) AS is_anomaly
+    FROM hourly h JOIN stats st USING (event_type)
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over hourly event-type volumes: each hour's
+    count z-scored against its type's distribution, |z| > 3 flagged —
+    the monitoring query an ingest pipeline alarms on.
+
+    The z-score is computed ENTIRELY from integer aggregates:
+    z = (n·k − Σn) / sqrt(k·Σn² − (Σn)²) — algebraically identical to
+    (n − mean)/stddev_pop but with exact integer numerator and radicand,
+    so the only float ops are one correctly-rounded sqrt and one
+    division (engine-exact; a naive stddev() would accumulate floats in
+    partition order and diverge). Plan: one (type, hour) partial agg,
+    a 5-row stats table broadcast back — no window, no second corpus
+    pass."""
+    evs = table(spark, sf_dir, "events")
+    hourly = (
+        evs.groupBy(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", F.col("ts")).cast("timestamp")).alias(
+                "hour_ms"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    num = (F.col("n") * F.col("k") - F.col("s")).cast("double")
+    rad = (F.col("k") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    z = num / F.sqrt(rad)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_ms",
+            "n",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+#: columns profiled by orders_profile (name, is_numeric)
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "orders_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the DESCRIBE/data-quality audit a pipeline runs
+    before trusting a new drop): per column, row count, null count,
+    exact distinct count — long format, one row per column.
+
+    Plan: ONE pass computes every column's stats as parallel aggregates
+    (count_distinct expands internally but stays a single logical agg),
+    then the 1-row wide result unpivots driver-free via stack — the
+    oracle's 6-scan UNION ALL formulation cross-verifies it. At 100 TB
+    swap exact distinct for approx_count_distinct (HLL, one pass,
+    mergeable) — the shape is otherwise scale-free."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (col, n_rows, n_nulls, n_distinct)"
+        )
+    )
