@@ -45,11 +45,16 @@ def est_bpe_token_count(text: Column) -> Column:
     fully deterministic.
     """
     toks = bpe_pre_tokens(text)
+    # ceil(len/8) as pure integer arithmetic ((len+7) >> 3) — keeps every
+    # value on the integer path end-to-end (determinism discipline)
     surcharge = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, t: acc
-        + F.when(F.length(t) > 8, F.ceil(F.length(t) / 8) - 1)
+        + F.when(
+            F.length(t) > 8,
+            F.shiftright((F.length(t) + 7).cast("bigint"), 3) - 1,
+        )
         .otherwise(0)
         .cast("bigint"),
     )
@@ -68,7 +73,7 @@ def est_bpe_token_count(text: Column) -> Column:
       doc_id, source,
       len(toks) AS n_pre_tokens,
       len(toks) + list_sum(
-        [CASE WHEN length(x) > 8 THEN CAST(ceil(length(x) / 8.0) AS BIGINT) - 1
+        [CASE WHEN length(x) > 8 THEN CAST((length(x) + 7) // 8 AS BIGINT) - 1
               ELSE 0 END for x in toks]) AS est_bpe_tokens,
       len(list_distinct(toks)) AS n_unique_pre_tokens
     FROM t

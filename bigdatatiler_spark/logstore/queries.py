@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
-from ..tables import event_ns, table
+from ..tables import event_ts, table
 from .store import filtered_scan
 
 # Fixed query window: half-open [T0, T1) inside the events table's
@@ -28,16 +28,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     newest first" (BigDataLogControl.cs:206-330 re-expressed declaratively).
     Used by ``__spark_entry__.entry`` as the smoke-check query.
 
-    Filters and sorts on the physical int64 nanos column so the range
-    predicate reaches the parquet scan as a pushed filter.
+    Filters and sorts directly on ``ts`` with timestamp literals: Catalyst
+    unwraps the loader's NTZ→LTZ cast, so the range predicate reaches the
+    parquet scan as a pushed filter (min/max row-group pruning; asserted in
+    tests/test_plans.py).
     """
     ev = table(spark, sf_dir, "events")
     scan = filtered_scan(
         ev,
         event_type="click",
-        between=(event_ns(T0), event_ns(T1)),
+        between=(event_ts(T0), event_ts(T1)),
         limit=100,
-        time_col="ts_ns",
+        time_col="ts",
     )
     return scan.select(
         "event_id",
@@ -130,18 +132,18 @@ def events_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6: the log-store cursor — one keyset page strictly after a
     (ts, id) anchor, the reference's FeedIterator drain re-expressed so
     each page is a sargable composite filter + TakeOrderedAndProject
-    (O(page) at any depth; the filter and sort ride the physical int64
-    nanos column so min/max row-group pruning applies). LogStore.cursor
-    wraps this page shape in the drain loop
-    (BigDataLogControl.cs:141-150)."""
+    (O(page) at any depth; the filter and sort ride ``ts`` itself — the
+    cast-unwrapped predicate pushes into the parquet scan, so min/max
+    row-group pruning applies). LogStore.cursor wraps this page shape in
+    the drain loop (BigDataLogControl.cs:141-150)."""
     from .store import keyset_page
 
     ev = table(spark, sf_dir, "events")
     page = keyset_page(
         ev,
-        anchor=(event_ns(CURSOR_TS), CURSOR_ID),
+        anchor=(event_ts(CURSOR_TS), CURSOR_ID),
         page_size=CURSOR_PAGE,
-        time_col="ts_ns",
+        time_col="ts",
         id_col="event_id",
     )
     return page.select(

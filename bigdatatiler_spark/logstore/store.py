@@ -27,11 +27,17 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _lit(v) -> Column:
+    """Literal coercion that also accepts prebuilt Column literals (e.g.
+    tables.event_ts timestamp literals for pushdown-friendly range filters)."""
+    return v if isinstance(v, Column) else F.lit(v)
+
+
 def _half_open(col: Column, window) -> Column:
     """``start <= col < end`` — the reference's asymmetric range predicate
     (BigDataLogControl.cs:259-263 uses >= @start AND < @end; preserved)."""
     start, end = window
-    return (col >= F.lit(start)) & (col < F.lit(end))
+    return (col >= _lit(start)) & (col < _lit(end))
 
 
 def filtered_scan(
@@ -57,9 +63,9 @@ def filtered_scan(
     """
     out = df
     if user_id is not None:
-        out = out.where(F.col(user_col) == F.lit(user_id))
+        out = out.where(F.col(user_col) == _lit(user_id))
     if event_type is not None:
-        out = out.where(F.col(type_col) == F.lit(event_type))
+        out = out.where(F.col(type_col) == _lit(event_type))
     if between is not None:
         out = out.where(_half_open(F.col(time_col), between))
     out = out.orderBy(F.col(time_col).desc(), F.col(id_col).desc())
@@ -103,8 +109,8 @@ def keyset_page(
     if anchor is not None:
         a_time, a_id = anchor
         out = out.where(
-            (F.col(time_col) < F.lit(a_time))
-            | ((F.col(time_col) == F.lit(a_time)) & (F.col(id_col) < F.lit(a_id)))
+            (F.col(time_col) < _lit(a_time))
+            | ((F.col(time_col) == _lit(a_time)) & (F.col(id_col) < _lit(a_id)))
         )
     return out.orderBy(F.col(time_col).desc(), F.col(id_col).desc()).limit(page_size)
 

@@ -153,10 +153,10 @@ DUP_SPAN_FLAG = 0.5  # doc flagged when more than half its spans are shared
     SELECT doc_id,
            count(*) AS n_spans,
            sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS n_dup_spans,
-           round(CAST(sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-                 / count(*), 4) AS dup_span_frac,
-           CAST(CAST(sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-                / count(*) > {DUP_SPAN_FLAG} AS INT) AS flagged
+           CAST((sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) * 1000)
+                  // count(*) AS BIGINT) AS dup_span_permille,
+           CAST(2 * sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) > count(*)
+                AS INT) AS flagged
     FROM spans s LEFT JOIN shared sh USING (h)
     GROUP BY doc_id
     """,
@@ -194,22 +194,19 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= SPAN_MIN_DOCS)
         .select("h", F.lit(1).alias("is_dup"))
     )
-    dup_frac = F.round(
-        F.sum(F.coalesce("is_dup", F.lit(0))).cast("double") / F.count("*"), 4
-    )
+    # the duplicated fraction is emitted as integer per-mille and the flag
+    # as an integer 2·dup > total comparison (DUP_SPAN_FLAG = 0.5) — no
+    # float division reaches the comparison hash (round-2 driver red row)
     return (
         spans.join(shared, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.sum(F.coalesce("is_dup", F.lit(0))).cast("bigint").alias("n_dup_spans"),
-            dup_frac.alias("dup_span_frac"),
-            (
-                F.sum(F.coalesce("is_dup", F.lit(0))).cast("double") / F.count("*")
-                > DUP_SPAN_FLAG
-            )
-            .cast("int")
-            .alias("flagged"),
+        )
+        .withColumn("dup_span_permille", F.expr("(n_dup_spans * 1000) div n_spans"))
+        .withColumn(
+            "flagged", (2 * F.col("n_dup_spans") > F.col("n_spans")).cast("int")
         )
     )
 

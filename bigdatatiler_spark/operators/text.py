@@ -164,7 +164,7 @@ def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
       source,
       count(*) AS n_docs,
       sum(n_chars) AS total_chars,
-      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+      CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_e4,
       min(n_chars) AS min_chars,
       max(n_chars) AS max_chars
     FROM documents
@@ -174,12 +174,16 @@ def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile: per-(lang, source) document statistics — the
     monitoring aggregation every ingest pipeline runs. Integer sums →
-    exact; single small shuffle."""
+    exact; single small shuffle. The mean is emitted as a ×1e4-scaled
+    integer (pure integer division on both engines) so no float division
+    reaches the comparison hash — this row was driver-divergent in round
+    2 while byte-exact locally; integers remove the whole rounding-
+    representation divergence class."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+        F.expr("(sum(n_chars) * 10000) div count(*)").alias("avg_chars_e4"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -338,10 +342,8 @@ PACK_SHARDS = 32
     )
     SELECT doc_id, shard, n_tokens,
            cum_tokens - n_tokens AS start_offset,
-           CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / {PACK_CTX}) AS BIGINT)
-             AS first_chunk,
-           CAST(floor(CAST(cum_tokens - 1 AS DOUBLE) / {PACK_CTX}) AS BIGINT)
-             AS last_chunk
+           CAST((cum_tokens - n_tokens) // {PACK_CTX} AS BIGINT) AS first_chunk,
+           CAST((cum_tokens - 1) // {PACK_CTX} AS BIGINT) AS last_chunk
     FROM c
     """,
 )
@@ -369,15 +371,19 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return t.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        (cum - F.col("n_tokens")).alias("start_offset"),
-        F.floor((cum - F.col("n_tokens")).cast("double") / PACK_CTX)
-        .cast("bigint")
-        .alias("first_chunk"),
-        F.floor((cum - 1).cast("double") / PACK_CTX).cast("bigint").alias("last_chunk"),
+    # pure integer division (both operands non-negative ints) — no DOUBLE
+    # ever reaches the comparison hash (round-2 driver red row)
+    return (
+        t.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("start_offset"),
+            (cum - 1).alias("__end_offset"),
+        )
+        .withColumn("first_chunk", F.expr(f"start_offset div {PACK_CTX}"))
+        .withColumn("last_chunk", F.expr(f"__end_offset div {PACK_CTX}"))
+        .drop("__end_offset")
     )
 
 
@@ -506,9 +512,8 @@ VOCAB_SIZE = 16
     SELECT t.lang,
            count(*) AS total_tokens,
            sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
-           round(
-             CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*), 4) AS oov_rate
+           CAST((sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 10000)
+                  // count(*) AS BIGINT) AS oov_rate_e4
     FROM toks t LEFT JOIN vocab v USING (tok)
     GROUP BY t.lang
     """,
@@ -532,6 +537,8 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_SIZE)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
+    # OOV rate as a ×1e4-scaled integer via pure integer division — no
+    # float division reaches the comparison hash (round-2 driver red row)
     return (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("lang")
@@ -540,12 +547,6 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
                 "oov_tokens"
             ),
-            F.round(
-                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.count("*"),
-                4,
-            ).alias("oov_rate"),
         )
+        .withColumn("oov_rate_e4", F.expr("(oov_tokens * 10000) div total_tokens"))
     )

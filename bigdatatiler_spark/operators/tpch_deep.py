@@ -637,7 +637,8 @@ def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipment",
     oracle="""
     SELECT
-      CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      CASE WHEN floor(epoch_ms(l_shipdate) / 86400000)
+              - floor(epoch_ms(o_orderdate) / 86400000) > 90
            THEN 'late' ELSE 'on-time' END AS ship_bucket,
       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 1 ELSE 0 END) AS high_line_count,
@@ -656,12 +657,13 @@ def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact-fact join + conditional-sum aggregation — the pivot-like
     CASE-sum pattern that avoids a second pass.
 
-    The delay bucket uses integer day arithmetic (``datediff`` /
-    ``date_diff('day', ...)``), NOT timestamp + INTERVAL: day-count math
-    is invariant under every session-timezone / parquet NTZ-vs-LTZ
-    inference combination, whereas ``o_orderdate + INTERVAL 90 DAYS``
-    flipped boundary rows in environments whose session tz differed from
-    the oracle's (round-1 driver red row)."""
+    The delay bucket uses pure integer epoch-day arithmetic
+    (``floor(epoch_ms/86400000)`` on BOTH engines), not datediff or
+    timestamp + INTERVAL: epoch-ms → int day numbers involves no
+    calendar, timezone, or date-cast semantics at all, so the bucket is
+    invariant under every session-tz / NTZ-inference combination (q12
+    was driver-red two rounds running under datediff variants that all
+    passed locally)."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= ts_lit("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < ts_lit("1998-01-01 00:00:00"))
@@ -670,8 +672,12 @@ def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def _epoch_day(col: str):
+        return F.floor(ms(col) / F.lit(86400000))
+
     bucket = F.when(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90,
+        _epoch_day("l_shipdate") - _epoch_day("o_orderdate") > 90,
         "late",
     ).otherwise("on-time")
     return (

@@ -89,10 +89,15 @@ def test_kmv_small_group_is_exact(spark, tmp_path):
     from bigdatatiler_spark.registry import QUERIES
 
     # ts in int64 nanos: the canonical table() loader derives ts/ts_ns on
-    # every events read, so the synthetic table must carry the column
+    # every events read (and its schema canary requires the full column
+    # contract), so the synthetic table carries all events columns
     df = spark.createDataFrame(
-        [("tiny", f"u{i % 5}", 1_700_000_000_000_000_000 + i) for i in range(20)],
-        "event_type string, user_id string, ts long",
+        [
+            (i, "tiny", f"u{i % 5}", 1_700_000_000_000_000_000 + i, 1.0, "{}")
+            for i in range(20)
+        ],
+        "event_id long, event_type string, user_id string, ts long,"
+        " value double, props string",
     )
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
 
