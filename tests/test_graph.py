@@ -49,6 +49,62 @@ def test_invalid_lineage_cut_rejected(spark):
         _clusters(spark, [(1, 2)], lineage_cut="bogus")
 
 
+def _star_clusters(spark, edges, **kw):
+    from bigdatatiler_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = connected_components_star(df, "a", "b", **kw).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_two_star_matches_label_prop_on_small_graphs(spark):
+    for edges in (
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(10, 20), (20, 30), (30, 10), (7, 8), (100, 50)],
+        [(2, 1), (1, 2), (2, 1), (3, 2)],
+    ):
+        assert _star_clusters(spark, edges) == _clusters(spark, edges)
+
+
+def test_two_star_beats_diameter_bound_on_deep_chain(spark):
+    """The scale argument for the two-star variant: a 60-node chain has
+    diameter 59 — label propagation cannot finish inside MAX_ITERS (15)
+    rounds, while large-star/small-star contracts it in O(log² n) rounds
+    and returns the exact components. Node ids are shuffled so the chain
+    order doesn't coincide with id order (the adversarial layout)."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1060))
+    rng.shuffle(ids)
+    edges = list(zip(ids, ids[1:]))
+    got = _star_clusters(spark, edges, max_rounds=8)
+    assert set(got.values()) == {min(ids)}
+    assert set(got) == set(ids)
+
+
+def test_two_star_on_minhash_edges_matches_label_prop(spark):
+    """Equivalence on the real candidate-pair graph used by the
+    registered dedup queries (sf0.001 MinHash band mates)."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.dedup import dedup_minhash_lsh
+    from bigdatatiler_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = dedup_minhash_lsh(spark, "/root/testdata/sf0.001").select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b")
+    )
+    lp = {r["node"]: r["cluster_id"] for r in connected_components(pairs, "a", "b").collect()}
+    ts = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(pairs, "a", "b").collect()
+    }
+    assert lp == ts
+
+
 def test_keep_canonical_one_survivor_per_cluster(spark):
     """Every cluster keeps exactly one doc; the survivor has the
     cluster's max n_chars (lowest doc_id among ties); singletons keep
