@@ -32,17 +32,24 @@ BNLJ_BY_DESIGN = {
     "tpch_q11_important_parts",  # 1-row scalar threshold broadcast
     "sketch_frequent_tokens",  # 1-row grand-total broadcast
     "hybrid_search_rrf",  # 5-row query block broadcast on both sides
+    "doc_unigram_logprob",  # 1-row corpus-total + vocab broadcast
+    "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
 }
 
 
 def main() -> int:
     args = sys.argv[1:]
+    budget_path = None
+    if args and args[0] == "--write-budget":
+        budget_path = args[1]
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     names = args[1:]
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
     warned = False
+    budget: dict[str, int] = {}
     for name, spec in sorted(specs.items()):
         if names and name not in names:
             continue
@@ -52,6 +59,7 @@ def main() -> int:
             print(f"  ✗ {name}: audit failed: {e}")
             warned = True
             continue
+        budget[name] = a.exchanges
         joins = []
         if a.broadcast_joins:
             joins.append(f"bhj={a.broadcast_joins}")
@@ -73,6 +81,12 @@ def main() -> int:
                 continue
             print(f"    WARN {w}")
             warned = True
+    if budget_path:
+        import json
+
+        with open(budget_path, "w") as f:
+            json.dump(budget, f, indent=1, sort_keys=True)
+        print(f"wrote shuffle budget for {len(budget)} queries to {budget_path}")
     return 1 if warned else 0
 
 
