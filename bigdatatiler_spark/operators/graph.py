@@ -247,6 +247,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_components_two_star", oracle=_cc_oracle())
+def dedup_components_two_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup clustering as dedup_connected_components, computed by
+    the alternating large-star/small-star iteration instead of label
+    propagation — O(log² n) rounds independent of cluster diameter (the
+    100 TB-hardened path for chained near-dup clusters). Identical
+    fixpoint, so it shares the recursive-CTE oracle verbatim: the driver
+    cross-check proves both algorithms agree with the independent
+    declarative formulation."""
+    from .dedup import _shingled
+
+    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return connected_components_star(edges, "a", "b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def _cc_verified_oracle() -> str:
     from .dedup import MINHASH_THRESHOLD
 

@@ -84,6 +84,12 @@ def main() -> int:
     if budget_path:
         import json
 
+        if names and os.path.exists(budget_path):
+            # partial run: merge into the existing budget, don't clobber it
+            with open(budget_path) as f:
+                merged = json.load(f)
+            merged.update(budget)
+            budget = merged
         with open(budget_path, "w") as f:
             json.dump(budget, f, indent=1, sort_keys=True)
         print(f"wrote shuffle budget for {len(budget)} queries to {budget_path}")
