@@ -550,3 +550,69 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("oov_rate_e4", F.expr("(oov_tokens * 10000) div total_tokens"))
     )
+
+
+# --- exact global ranking without a global sort ----------------------------
+# Curriculum / length-balanced sampling needs every document's exact rank
+# in the corpus length order. The naive formulation — row_number() over one
+# unpartitioned window — funnels the whole corpus through a single
+# partition, precisely the plan that dies at 100 TB. The engine instead
+# decomposes rank(n_chars, doc_id) = (# docs with smaller n_chars)
+#                                  + (rank of doc_id among equal n_chars):
+# a value-histogram aggregate (|distinct n_chars| rows — thousands, not
+# corpus-sized) carries the prefix counts and broadcasts back, and the
+# tiebreak window partitions by n_chars, so every window group is bounded
+# by the per-value count. One corpus shuffle (the n_chars partition), one
+# tiny broadcast — the distributed-ranking pattern.
+
+N_DECILES = 10
+
+
+@register(
+    "doc_length_rank_deciles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS length_rank,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars, length_rank,
+           CAST(((length_rank - 1) * {N_DECILES}) // n AS BIGINT) AS decile
+    FROM ranked
+    """,
+)
+def doc_length_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-order length rank + decile per document (curriculum
+    buckets, length-balanced mixtures) WITHOUT a global sort: histogram
+    prefix sums give the cross-value rank, a per-value window gives the
+    tiebreak, and the decile is pure integer arithmetic — the oracle's
+    single-window formulation is the independent cross-check, not the
+    plan. Scale: the only corpus-wide operations are one groupBy on
+    n_chars (the histogram) and one n_chars-partitioned window whose
+    groups are bounded by the per-value multiplicity; the cumulative sum
+    runs over the histogram (thousands of rows), never the corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    hw = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(hw), F.lit(0)).alias("before"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    within = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(cum), "n_chars")
+        .withColumn("within", F.row_number().over(within))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("before") + F.col("within")).alias("length_rank"),
+            "n",
+        )
+        .withColumn(
+            "decile", F.expr(f"((length_rank - 1) * {N_DECILES}) div n")
+        )
+        .drop("n")
+    )

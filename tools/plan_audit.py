@@ -34,6 +34,7 @@ BNLJ_BY_DESIGN = {
     "hybrid_search_rrf",  # 5-row query block broadcast on both sides
     "doc_unigram_logprob",  # 1-row corpus-total + vocab broadcast
     "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
+    "doc_length_rank_deciles",  # 1-row corpus-count broadcast
 }
 
 
