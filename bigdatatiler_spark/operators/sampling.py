@@ -13,7 +13,7 @@ is rewritten/compacted between runs at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -262,4 +262,47 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("sampled_docs"),
             F.sum("n_chars").alias("sampled_chars"),
         )
+    )
+
+
+# Fixed-size per-stratum sampling: exactly N docs per language, chosen by
+# the stable md5 order — eval-set construction ("hold out 25 docs per
+# language") where a RATE sample can't guarantee the per-stratum count.
+PER_STRATUM_N = 25
+
+
+@register(
+    "sample_fixed_per_stratum",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, pick_rank FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS pick_rank
+      FROM documents
+    )
+    WHERE pick_rank <= {PER_STRATUM_N}
+    """,
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {PER_STRATUM_N} documents per language, selected by the
+    stable md5(doc_id) order (ties broken by doc_id — a total order, so
+    the pick is engine-exact and stable under repartitioning; adding new
+    docs can displace picks only by out-hashing them, never by layout).
+
+    Plan: ONE shuffle on the stratum key and a per-stratum rank — the
+    same window top-k shape as events_latest_per_user. Spark evaluates
+    the rank filter with a WindowGroupLimit pushdown (per-partition
+    top-N before the full sort materializes); at extreme stratum sizes
+    the selection drops into the histogram-prefix ranking kernel
+    (doc_length_rank_deciles) on the hash value instead."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= PER_STRATUM_N)
     )

@@ -767,3 +767,92 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
     )
+
+
+# --- embedding-space benchmark decontamination ----------------------------
+# The semantic sibling of dedup.decontaminate_ngram_overlap: n-gram
+# containment catches verbatim eval leakage; embedding cosine catches
+# PARAPHRASED leakage (reworded benchmark items that share no shingles).
+# The benchmark role is vec_id mod EMB_BENCH_MOD so the oracle replays
+# the split; a real run swaps in the eval suite's embedding table.
+EMB_BENCH_MOD = 50
+EMB_DECONTAM_THRESHOLD = 0.35  # flag corpus vectors this close to any benchmark item
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {EMB_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {EMB_BENCH_MOD} <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             b.vec_id AS bench_id,
+             round(list_reduce(
+                     [CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                      for i in generate_series(1, 64)], (x, y) -> x + y)
+                   / ({_self_norm('b')} * {_self_norm('c')}), 6) AS cosine
+      FROM corpus c JOIN bench b ON true
+    ),
+    best AS (
+      SELECT vec_id, bench_id, cosine,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC
+             ) AS rn
+      FROM scored
+      WHERE cosine >= {EMB_DECONTAM_THRESHOLD}
+    )
+    SELECT vec_id, bench_id, cosine FROM best WHERE rn = 1
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    to ANY benchmark vector clears the threshold, reporting the closest
+    benchmark item (cosine-desc, bench_id-asc total order). Catches
+    paraphrased eval leakage that n-gram containment misses.
+
+    Scale shape: the benchmark side is eval-suite-sized (KBs vs 100 TB),
+    so it BROADCASTS and scoring is a map-only pass over the corpus —
+    per corpus vector, the max-cosine benchmark item folds inside one
+    codegen'd expression over the broadcast list, no shuffle at all for
+    the scoring; the only exchange is whatever consumes the output. At
+    larger benchmark sizes the LSH/IVF bucketing kernels above replace
+    the dense scan, same as the ANN query path."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    is_bench = F.col("vec_id") % EMB_BENCH_MOD == 0
+    bench_row = F.broadcast(
+        base.where(is_bench).agg(
+            F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("_bench")
+        )
+    )
+    # per corpus vector: score every benchmark struct, keep the best above
+    # threshold — array expression, so the whole pass is shuffle-free
+    scored = F.filter(
+        F.transform(
+            "_bench",
+            lambda b: F.struct(
+                (-F.round(
+                    dot(F.col("embedding"), b["embedding"])
+                    / (F.col("nrm") * b["nrm"]),
+                    6,
+                )).alias("neg_cos"),
+                b["vec_id"].alias("bench_id"),
+            ),
+        ),
+        lambda s: -s["neg_cos"] >= F.lit(EMB_DECONTAM_THRESHOLD),
+    )
+    best = F.slice(F.array_sort(scored), 1, 1)
+    return (
+        base.where(~is_bench)
+        .crossJoin(bench_row)
+        .select("vec_id", F.explode(best).alias("t"))
+        .select(
+            "vec_id",
+            F.col("t.bench_id").alias("bench_id"),
+            (-F.col("t.neg_cos")).alias("cosine"),
+        )
+    )

@@ -35,6 +35,7 @@ BNLJ_BY_DESIGN = {
     "doc_unigram_logprob",  # 1-row corpus-total + vocab broadcast
     "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
     "doc_length_rank_deciles",  # 1-row corpus-count broadcast
+    "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
 }
 
 
