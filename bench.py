@@ -93,6 +93,11 @@ HEADLINE = (
     "events_xml_inspection",
     "events_page_keyset",
     "asof_purchase_to_click",
+    # round-3 additions
+    "dedup_components_two_star",
+    "doc_length_rank_deciles",
+    "decontaminate_embedding_cosine",
+    "sample_fixed_per_stratum",
 )
 
 

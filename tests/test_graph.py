@@ -105,6 +105,43 @@ def test_two_star_on_minhash_edges_matches_label_prop(spark):
     assert lp == ts
 
 
+def _true_components(edges):
+    """Reference union-find for the property test."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_property_random_graphs(spark):
+    """Both distributed algorithms must equal a driver-side union-find on
+    randomized graphs (chains, cliques-ish, forests, self-loops,
+    duplicates) — one batch per layout to keep Spark job count sane."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(4):
+        n = rng.randrange(10, 40)
+        m = rng.randrange(5, 60)
+        nodes = rng.sample(range(10_000), n)
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(m)]
+        want = _true_components(edges)
+        lp = _clusters(spark, edges)
+        ts = _star_clusters(spark, edges)
+        assert lp == want, f"label-prop trial {trial}"
+        assert ts == want, f"two-star trial {trial}"
+
+
 def test_keep_canonical_one_survivor_per_cluster(spark):
     """Every cluster keeps exactly one doc; the survivor has the
     cluster's max n_chars (lowest doc_id among ties); singletons keep
