@@ -179,3 +179,11 @@ def event_ts(iso: str) -> Column:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every test table as a temp view (canonicalized columns, same
+    loaders as the DataFrame surface) so ad-hoc ``spark.sql`` works against
+    the same names the DuckDB oracle uses."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
