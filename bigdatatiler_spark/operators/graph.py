@@ -142,6 +142,18 @@ def connected_components_star(
     def cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
 
+    def sig(df: DataFrame) -> tuple:
+        """Cheap set signature (count, Σ xxhash64 as exact decimal) for the
+        convergence check: two 1-row aggregates instead of exceptAll's full
+        shuffle+sort per round. Both rounds' edge lists are DISTINCT sets,
+        so count+hash-sum equality means set equality up to a 2^-64-scale
+        collision — negligible against the cost it removes."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     raw = edges.select(
         F.col(node_col_a).alias("src"), F.col(node_col_b).alias("dst")
     )
@@ -158,6 +170,7 @@ def connected_components_star(
         )
         .distinct()
     )
+    e_sig = sig(e)
     for _ in range(max_rounds):
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
@@ -185,10 +198,11 @@ def connected_components_star(
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        changed = new_e.exceptAll(e).limit(1).count()
+        new_sig = sig(new_e)
         e = new_e
-        if changed == 0:
+        if new_sig == e_sig:
             break
+        e_sig = new_sig
     return nodes.join(
         e.select(F.col("src").alias("node"), F.col("dst").alias("label")),
         "node",
