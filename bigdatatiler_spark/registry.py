@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.graph",
     "bigdatatiler_spark.operators.sketches",
     "bigdatatiler_spark.operators.sampling",
+    "bigdatatiler_spark.sources.layout",
 )
 
 
@@ -96,7 +97,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh_blocked",
-    "dedup_edit_distance",
+    # (dedup_edit_distance rotated out for round 3's layout family:
+    # driver-green in r2, kernel-redundant with the six in-window dedup
+    # fingerprint queries, still local-oracle-checked every round.)
+    "events_zorder_key",
     "dedup_connected_components",
     "dedup_clusters_verified",
     "knn_bruteforce_cosine",

@@ -122,3 +122,151 @@ def compact_table(
             .parquet(out_path)
         )
     return {"files_before": before["n_files"], "files_after": len(_data_files(out_path))}
+
+
+# --- Z-order (Morton) clustering ------------------------------------------
+# Range-clustering on ONE column gives perfect skipping on that column and
+# none on any other. Z-ordering interleaves the bits of two filter columns
+# into a single sort key, so a range-clustered write on the key yields
+# files/row-groups whose min/max stats are narrow on BOTH dimensions —
+# the lakehouse-standard layout for tables queried by two independent
+# predicates (here: user and time, the reference's two query axes).
+#
+# Raw values interleave badly when one dimension's varying bits sit higher
+# than the other's (e.g. epoch-hours ~2^14 vs a handful of user ids — the
+# Morton key then degenerates to a plain time sort). So, as in production
+# Z-order implementations, each dimension is first min/max-normalized onto
+# the SAME bit width; the interleave runs on the normalized coordinates.
+# All of it is integer arithmetic — identical in Spark and DuckDB, so the
+# key is oracle-checkable like any other operator.
+
+ZORDER_BITS = 8  # per-dimension resolution after normalization (256 tiles)
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = ZORDER_BITS):
+    """Morton key over already-normalized coordinates: bit i of ``col_a``
+    → key bit 2i, bit i of ``col_b`` → key bit 2i+1. A sequential integer
+    fold — codegen'd, deterministic, no UDF."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, i) ->
+              acc + shiftleft(CAST(({col_a} >> i) & 1 AS BIGINT), CAST(2*i AS INT))
+                  + shiftleft(CAST(({col_b} >> i) & 1 AS BIGINT), CAST(2*i+1 AS INT)))"""
+    )
+
+
+def _scale_expr(col: str, lo: str, hi: str, bits: int) -> str:
+    """(col-lo) rescaled onto [0, 2^bits-1] by integer division — order-
+    preserving, engine-exact."""
+    top = (1 << bits) - 1
+    return f"(({col} - {lo}) * {top}) div greatest({hi} - {lo}, 1)"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` range-clustered on the Morton key of (col_a, col_b):
+    min/max-normalize both dimensions (one tiny 1-row aggregate), then
+    one sampled range exchange + in-partition sort on the interleaved
+    key, so every file covers a small tile of the 2-D space and parquet
+    min/max stats stay tight on BOTH columns. Same plan shape (and cost)
+    as write_clustered plus the bounds aggregate."""
+    from pyspark.sql import functions as F
+
+    b = df.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).first()
+    na = _scale_expr(col_a, str(b["a_lo"]), str(b["a_hi"]), bits)
+    nb = _scale_expr(col_b, str(b["b_lo"]), str(b["b_hi"]), bits)
+    (
+        df.withColumn("__na", F.expr(na))
+        .withColumn("__nb", F.expr(nb))
+        .withColumn("__zkey", zorder_key("__na", "__nb", bits))
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__na", "__nb", "__zkey")
+        .write.mode(mode)
+        .option("compression", DEFAULT_COMPRESSION)
+        .parquet(path)
+    )
+
+
+def _zorder_oracle() -> str:
+    b = ZORDER_BITS
+    top = (1 << b) - 1
+    return f"""
+    WITH raw AS (
+      SELECT event_id,
+             user_id AS u,
+             epoch_ms(ts) // 3600000 AS hr
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_id, u, hr,
+             min(u) OVER () AS u_lo, max(u) OVER () AS u_hi,
+             min(hr) OVER () AS h_lo, max(hr) OVER () AS h_hi
+      FROM raw
+    ),
+    dims AS (
+      SELECT event_id,
+             ((u - u_lo) * {top}) // greatest(u_hi - u_lo, 1) AS u8,
+             ((hr - h_lo) * {top}) // greatest(h_hi - h_lo, 1) AS t8
+      FROM bounds
+    )
+    SELECT event_id, u8, t8,
+           list_sum([((u8 >> i) & 1) << (2*i)
+                     FOR i IN generate_series(0, {b - 1})])
+         + list_sum([((t8 >> i) & 1) << (2*i+1)
+                     FOR i IN generate_series(0, {b - 1})]) AS zkey
+    FROM dims
+    """
+
+
+def _register_zorder_query() -> None:
+    from pyspark.sql import DataFrame as _DF, SparkSession, functions as F
+
+    from ..registry import register
+    from ..tables import table
+
+    @register("events_zorder_key", oracle=_zorder_oracle())
+    def events_zorder_key(spark: SparkSession, sf_dir: str) -> _DF:
+        """The Z-order layout key as a first-class operator: per event,
+        its min/max-normalized (user, epoch-hour) tile coordinates and
+        Morton key — the sort key write_zordered clusters on. The bounds
+        are a 1-row broadcast aggregate (the oracle's window-over-()
+        formulation is the independent cross-check); everything else is a
+        map-only projection. The layout win the key buys is measured in
+        tests/test_layout.py from parquet footer min/max ranges."""
+        b = ZORDER_BITS
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("user_id").alias("u"),
+            F.expr("unix_millis(ts) div 3600000").alias("hr"),
+        )
+        bounds = F.broadcast(
+            ev.agg(
+                F.min("u").alias("u_lo"),
+                F.max("u").alias("u_hi"),
+                F.min("hr").alias("h_lo"),
+                F.max("hr").alias("h_hi"),
+            )
+        )
+        dims = ev.crossJoin(bounds).select(
+            "event_id",
+            F.expr(_scale_expr("u", "u_lo", "u_hi", b)).alias("u8"),
+            F.expr(_scale_expr("hr", "h_lo", "h_hi", b)).alias("t8"),
+        )
+        return dims.withColumn("zkey", zorder_key("u8", "t8", b))
+
+
+_register_zorder_query()

@@ -76,3 +76,53 @@ def test_compact_table_hits_target_and_keeps_rows(spark, tmp_path):
     assert stats["files_before"] == 64
     assert stats["files_after"] <= 3
     assert spark.read.parquet(out).count() == n
+
+
+def test_zorder_balances_pruning_across_both_dimensions(spark, tmp_path):
+    """The point of Z-ordering, measured from the parquet footers a scan
+    actually prunes with: a time-sorted layout prunes hour predicates
+    perfectly but makes every USER-equality query read ALL files (each
+    file spans the full user domain). Morton clustering on (user, hour)
+    bounds the files touched by BOTH predicate classes — the worst-case
+    single-dimension query touches strictly fewer files than the
+    single-column layout's worst case."""
+    from bigdatatiler_spark.sources.layout import write_zordered
+    from bigdatatiler_spark.tables import table
+
+    ev = table(spark, SF, "events").select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        F.expr("unix_millis(ts) div 3600000").alias("hr"),
+    )
+    n_files = 8
+    ts_path, z_path = str(tmp_path / "by_time"), str(tmp_path / "by_z")
+    write_clustered(ev, ts_path, ("hr",), n_files)
+    write_zordered(ev, z_path, "u", "hr", n_files)
+
+    users = [r["u"] for r in ev.select("u").distinct().collect()]
+    h_lo, h_hi = ev.agg(F.min("hr"), F.max("hr")).first()
+    slab = max((h_hi - h_lo + 1) // n_files, 1)
+    hour_slabs = [(h_lo + i * slab, h_lo + (i + 1) * slab - 1) for i in range(n_files)]
+
+    def touched(path):
+        us, ts = _file_ranges(path, "u"), _file_ranges(path, "hr")
+        avg_user = sum(
+            sum(1 for lo, hi in us if lo <= u <= hi) for u in users
+        ) / len(users)
+        avg_hour = sum(
+            sum(1 for lo, hi in ts if not (hi < a or lo > b))
+            for a, b in hour_slabs
+        ) / len(hour_slabs)
+        return avg_user, avg_hour
+
+    u_time, h_time = touched(ts_path)
+    u_z, h_z = touched(z_path)
+    # identical rows either way
+    assert spark.read.parquet(ts_path).count() == spark.read.parquet(z_path).count() == ev.count()
+    # time-sorted: user queries are unprunable (read everything)
+    assert u_time == n_files
+    # z-order: BOTH query classes prune; worst case strictly better
+    assert max(u_z, h_z) < u_time * 0.8, (
+        f"z worst-case {max(u_z, h_z)} vs time-sort worst-case {u_time} "
+        f"(user: {u_z} vs {u_time}, hour: {h_z} vs {h_time})"
+    )

@@ -36,6 +36,7 @@ BNLJ_BY_DESIGN = {
     "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
     "doc_length_rank_deciles",  # 1-row corpus-count broadcast
     "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
+    "events_zorder_key",  # 1-row min/max-bounds broadcast
 }
 
 
