@@ -98,6 +98,7 @@ HEADLINE = (
     "doc_length_rank_deciles",
     "decontaminate_embedding_cosine",
     "sample_fixed_per_stratum",
+    "events_zorder_key",
 )
 
 
