@@ -762,3 +762,110 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist").between(1, 2))
     )
+
+
+# --- exact set-similarity join via prefix filtering -----------------------
+# The deterministic complement to MinHash banding: for Jaccard ≥ t, two
+# shingle sets MUST share a token among each one's first
+# |d| - ceil(t·|d|) + 1 tokens in any fixed global order (rarest-first
+# maximizes pruning) — so joining on PREFIX tokens only generates every
+# qualifying pair with NO false negatives (banding is probabilistic and
+# can miss), while the rarest-first order keeps candidate fan-out near
+# the theoretical minimum. Threshold 3/5 keeps every comparison in
+# integers: prefix length (3n+4) div 5, size bound 5·min ≥ 3·max,
+# verification 5·|A∩B| ≥ 3·|A∪B| — no float ever reaches the hash.
+PREFIX_JACCARD_NUM = 3
+PREFIX_JACCARD_DEN = 5
+
+
+def _prefix_filter_oracle() -> str:
+    tn, td = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    return f"""
+    WITH {_SHINGLED_SQL},
+    tok AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS t FROM shingled
+    ),
+    freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    ordered AS (
+      SELECT doc_id, n, t,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt ASC, t ASC
+             ) AS pos
+      FROM tok JOIN freq USING (t)
+    ),
+    prefix AS (
+      SELECT doc_id, n, t FROM ordered
+      WHERE pos <= n - (({tn}*n + {td - 1}) // {td}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM prefix a JOIN prefix b
+        ON a.t = b.t AND a.doc_id < b.doc_id
+       AND {td} * least(a.n, b.n) >= {tn} * greatest(a.n, b.n)
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           len(list_intersect(x.sh, y.sh)) AS n_common,
+           len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+    FROM cand c
+    JOIN shingled x ON c.doc_id_1 = x.doc_id
+    JOIN shingled y ON c.doc_id_2 = y.doc_id
+    WHERE {td} * len(list_intersect(x.sh, y.sh))
+          >= {tn} * len(list_distinct(list_concat(x.sh, y.sh)))
+    """
+
+
+@register("dedup_prefix_filter_jaccard", oracle=_prefix_filter_oracle())
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ {PREFIX_JACCARD_NUM}/{PREFIX_JACCARD_DEN} pairs via
+    prefix filtering (PPJoin-style): guaranteed-complete candidate
+    generation, unlike MinHash banding's probabilistic recall — run this
+    where misses are unacceptable (compliance-grade dedup), banding where
+    cheapest-possible candidates win.
+
+    Scale shape: token frequencies are one vocab-keyed aggregate; the
+    rarest-first per-doc ordering is a window PARTITIONED BY doc_id
+    (groups bounded by doc size, never corpus-wide); only prefix tokens
+    — the rarest few per doc — explode into the equi-join, with the
+    {PREFIX_JACCARD_DEN}·min ≥ {PREFIX_JACCARD_NUM}·max length bound
+    pruning at the join; verification touches candidates only. Every
+    shuffle keys on token or doc_id. All-integer thresholds end to end."""
+    tn, td = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    sh = _shingled(spark, sf_dir).persist()
+    tok = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("t"))
+    ordered = tok.join(freq, "t").withColumn("pos", F.row_number().over(w))
+    prefix = ordered.where(
+        F.col("pos") <= F.col("n") - F.expr(f"({tn}*n + {td - 1}) div {td}") + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "t"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"), "t"
+    )
+    cand = (
+        a.join(
+            b,
+            (a["t"] == b["t"])
+            & (F.col("doc_id_1") < F.col("doc_id_2"))
+            & (td * F.least("n1", "n2") >= tn * F.greatest("n1", "n2")),
+        )
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    y = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    n_union = F.size(F.array_union("sh1", "sh2"))
+    return (
+        cand.join(x, "doc_id_1")
+        .join(y, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+        )
+        .where(td * F.col("n_common") >= tn * F.col("n_union"))
+    )

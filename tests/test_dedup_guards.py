@@ -87,3 +87,25 @@ def test_incremental_minhash_pairs_batch_to_corpus_only(spark):
         for r in dedup_minhash_lsh(spark, sf).collect()
     }
     assert all(frozenset((r.doc_id, r.dup_of)) in full for r in rows)
+
+
+def test_prefix_filter_is_superset_of_minhash_verified(spark):
+    """Prefix filtering is EXACT for Jaccard >= 0.6 (no false negatives),
+    while MinHash banding is probabilistic — so every banding-verified
+    pair must appear in the prefix-filter output. A missing pair means
+    the prefix length or global token order broke completeness."""
+    from bigdatatiler_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_prefix_filter_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup_prefix_filter_jaccard(spark, sf).collect()
+    }
+    banded = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert banded <= exact, f"banding found pairs prefix filter missed: {banded - exact}"
