@@ -99,6 +99,7 @@ HEADLINE = (
     "decontaminate_embedding_cosine",
     "sample_fixed_per_stratum",
     "events_zorder_key",
+    "dedup_prefix_filter_jaccard",
 )
 
 
