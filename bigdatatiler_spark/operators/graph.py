@@ -31,6 +31,40 @@ from .dedup import _SHINGLED_SQL, minhash_bands, minhash_bands_sql
 MAX_ITERS = 15
 
 
+def _validate_lineage_cut(edges: DataFrame, lineage_cut: str) -> None:
+    """Fail fast (shared by both algorithms): bad mode, or 'reliable'
+    without a checkpoint dir — better than a raw SparkException rounds in."""
+    if lineage_cut not in ("local", "reliable"):
+        raise ValueError(f"lineage_cut must be 'local' or 'reliable', got {lineage_cut!r}")
+    if lineage_cut == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "lineage_cut='reliable' needs spark.sparkContext.setCheckpointDir "
+                "(a fault-tolerant path on a real cluster)"
+            )
+
+
+def _band_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band-mate candidate pairs as undirected (a, b) edges — the
+    shared input of both clustering algorithms (same banding kernel as
+    dedup_minhash_lsh's candidate stage)."""
+    from .dedup import _shingled
+
+    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     node_col_a: str,
@@ -57,15 +91,7 @@ def connected_components(
       loop survives executor loss. The per-round write is labels+edges
       only, not the upstream corpus. This is the 100 TB setting.
     """
-    if lineage_cut not in ("local", "reliable"):
-        raise ValueError(f"lineage_cut must be 'local' or 'reliable', got {lineage_cut!r}")
-    if lineage_cut == "reliable":
-        sc = edges.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            raise ValueError(
-                "lineage_cut='reliable' needs spark.sparkContext.setCheckpointDir "
-                "(a fault-tolerant path on a real cluster)"
-            )
+    _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
@@ -136,8 +162,7 @@ def connected_components_star(
     Fixpoint = forest of stars rooted at each component's min node, so
     the final edge list IS the (node, cluster_id) mapping.
     """
-    if lineage_cut not in ("local", "reliable"):
-        raise ValueError(f"lineage_cut must be 'local' or 'reliable', got {lineage_cut!r}")
+    _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
@@ -203,8 +228,13 @@ def connected_components_star(
         if new_sig == e_sig:
             break
         e_sig = new_sig
+    # min-resolve before the mapping join: if max_rounds exhausted before
+    # the fixpoint, a node can still carry two outgoing edges — the output
+    # must stay one row per node (partially-contracted labels degrade the
+    # same way label propagation's cutoff does, but never duplicate rows)
+    labels = e.groupBy("src").agg(F.min("dst").alias("label"))
     return nodes.join(
-        e.select(F.col("src").alias("node"), F.col("dst").alias("label")),
+        labels.select(F.col("src").alias("node"), "label"),
         "node",
         "left",
     ).select("node", F.coalesce("label", "node").alias("cluster_id"))
@@ -241,22 +271,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component). cluster_id is the canonical survivor; `WHERE doc_id !=
     cluster_id` is the delete list. Iterative label propagation (see
     module docstring) verified against DuckDB's recursive-CTE fixpoint."""
-    # band-mate candidate edges: the shared banding kernel from dedup.py
-    from .dedup import _shingled
-
-    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
-    return connected_components(edges, "a", "b").select(
+    return connected_components(_band_edges(spark, sf_dir), "a", "b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 
@@ -270,21 +285,7 @@ def dedup_components_two_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint, so it shares the recursive-CTE oracle verbatim: the driver
     cross-check proves both algorithms agree with the independent
     declarative formulation."""
-    from .dedup import _shingled
-
-    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
-    return connected_components_star(edges, "a", "b").select(
+    return connected_components_star(_band_edges(spark, sf_dir), "a", "b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 

@@ -186,6 +186,11 @@ def write_zordered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).first()
+    if b["a_lo"] is None or b["b_lo"] is None:
+        # empty input (or all-null dims): nothing to cluster — write the
+        # empty table with its schema instead of interpolating None into SQL
+        df.write.mode(mode).option("compression", DEFAULT_COMPRESSION).parquet(path)
+        return
     na = _scale_expr(col_a, str(b["a_lo"]), str(b["a_hi"]), bits)
     nb = _scale_expr(col_b, str(b["b_lo"]), str(b["b_hi"]), bits)
     (

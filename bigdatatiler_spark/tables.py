@@ -14,15 +14,17 @@ Postconditions (stable across fixture regenerations):
   stores a timestamp, Catalyst unwraps the NTZ→LTZ cast and pushes the
   predicate into the parquet scan (min/max row-group pruning) — verified
   via explain in tests/test_plans.py. ``ts_ns`` is projection-only parity
-  with the reference's JsTimeOfCreation nanos.
+  with the reference's JsTimeOfCreation nanos. Known limit of the legacy
+  int64-nanos branch: ``ts`` truncates to micros there, so if a future
+  nanos fixture carried SUB-MICROSECOND components (none ever has — the
+  generator emits ms precision), boundary rows of ts-filtered queries
+  could differ from DuckDB's nanosecond view.
 - ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are timestamp-typed
   (left physically untouched when the fixture already stores a timestamp,
   so TIMESTAMP_NTZ literal comparisons keep pushing down).
 """
 
 from __future__ import annotations
-
-import datetime as _dt
 
 import os
 
@@ -162,12 +164,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if conv is not None:
                 df = df.withColumn(col, conv)
     return df
-
-
-def event_ns(iso: str) -> int:
-    """'YYYY-MM-DD HH:MM:SS' (UTC) → epoch nanos, for ts_ns range literals."""
-    dt = _dt.datetime.fromisoformat(iso).replace(tzinfo=_dt.timezone.utc)
-    return int(dt.timestamp()) * 1_000_000_000
 
 
 def event_ts(iso: str) -> Column:

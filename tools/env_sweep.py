@@ -123,7 +123,16 @@ def main() -> int:
 
     specs = load_all()
     if only:
+        unknown = only - set(specs)
+        if unknown:
+            # a typo'd name (or a mistyped sf_dir falling through to here)
+            # must be an error, not a silent 0-query green sweep
+            print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+            return 2
         specs = {k: v for k, v in specs.items() if k in only}
+    if not specs:
+        print("no queries to sweep", file=sys.stderr)
+        return 2
 
     golden = oracle_hashes(sf_dir, specs)
     spark = get_spark("env-sweep")
