@@ -180,3 +180,26 @@ def test_keep_canonical_one_survivor_per_cluster(spark):
             assert r.doc_id == min(
                 m.doc_id for m in members if chars[m.doc_id] == mx
             )
+
+
+def test_two_star_round_exhaustion_stays_well_formed(spark):
+    """Exhausting max_rounds before the fixpoint must degrade to
+    partially-merged clusters — never to duplicate node rows with
+    conflicting cluster_ids (review finding: pre-fix, an unconverged
+    edge set could leave a node with two outgoing edges and the final
+    mapping join emitted it twice)."""
+    import random
+
+    rng = random.Random(99)
+    ids = list(range(500, 560))
+    rng.shuffle(ids)
+    edges = list(zip(ids, ids[1:]))
+    df = spark.createDataFrame(edges, ["a", "b"])
+    from bigdatatiler_spark.operators.graph import connected_components_star
+
+    rows = connected_components_star(df, "a", "b", max_rounds=1).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes)) == len(ids), "duplicate node rows"
+    # and with enough rounds the same graph fully converges
+    full = connected_components_star(df, "a", "b", max_rounds=8).collect()
+    assert {r["cluster_id"] for r in full} == {min(ids)}

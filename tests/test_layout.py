@@ -126,3 +126,15 @@ def test_zorder_balances_pruning_across_both_dimensions(spark, tmp_path):
         f"z worst-case {max(u_z, h_z)} vs time-sort worst-case {u_time} "
         f"(user: {u_z} vs {u_time}, hour: {h_z} vs {h_time})"
     )
+
+
+def test_zorder_empty_input_writes_schema(spark, tmp_path):
+    """Empty input: write the (empty) table cleanly rather than fail on
+    None min/max bounds (review finding)."""
+    from bigdatatiler_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame([], "u long, hr long, payload string")
+    out = str(tmp_path / "empty_z")
+    write_zordered(df, out, "u", "hr", 4)
+    back = spark.read.parquet(out)
+    assert back.count() == 0 and set(back.columns) == {"u", "hr", "payload"}
