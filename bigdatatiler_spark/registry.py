@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.sketches",
     "bigdatatiler_spark.operators.sampling",
     "bigdatatiler_spark.sources.layout",
+    "bigdatatiler_spark.sources.rollup",
 )
 
 
