@@ -100,6 +100,7 @@ HEADLINE = (
     "sample_fixed_per_stratum",
     "events_zorder_key",
     "dedup_prefix_filter_jaccard",
+    "events_hourly_rollup",
 )
 
 

@@ -151,7 +151,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_kmeans_cells",
     "pack_token_budget",
     "hybrid_search_rrf",
-    "doc_repetition_stats",
+    # (doc_repetition_stats rotated out for the round-3 rollup family:
+    # r2 driver-green, and the text family keeps six in-window entries
+    # (token_stats, lang_id, fingerprint, corpus_profile, quality, pack);
+    # still local-oracle-checked every round.)
+    "events_hourly_rollup",
     "tokenizer_vocab_coverage",
     "sample_domain_mixture",
     # — round-2 cleaning family (operators/cleaning.py): one in-window
