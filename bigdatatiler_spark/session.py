@@ -35,6 +35,12 @@ ENGINE_CONF: dict[str, str] = {
     # read as a timestamp; read as raw nanos (LongType) and canonicalize in
     # tables.table() — keeps min/max pushdown on the int64 column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark's legacy INT96 timestamp encoding carries NO column statistics,
+    # so every timestamp written by the engine would be invisible to
+    # row-group/file min-max skipping — the clustered/z-ordered layouts
+    # and manifest pruning all lose their reason to exist. INT64 micros
+    # has stats and is what every modern reader expects.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 #: Subset of ENGINE_CONF that can be set on a live session (runtime-mutable).
@@ -48,6 +54,7 @@ _RUNTIME_CONF = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.files.maxPartitionBytes",
     "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.outputTimestampType",
 )
 
 

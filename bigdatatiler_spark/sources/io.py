@@ -89,6 +89,32 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — the other columnar interchange format (Hive-ecosystem
+    tables land as ORC; same predicate-pushdown/column-pruning contract
+    as parquet, verified in tests/test_sources.py). Avro is NOT offered:
+    spark-avro is an external module absent from this environment, and a
+    silently-degraded reader is worse than none."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer with the same physical-tiling policy as write_table."""
+    w = (
+        df.write.mode(mode)
+        .option("compression", DEFAULT_COMPRESSION)
+        .option("maxRecordsPerFile", DEFAULT_MAX_RECORDS_PER_FILE)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Opaque-blob reader: (path, modificationTime, length, content)."""
     return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)

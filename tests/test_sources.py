@@ -178,3 +178,25 @@ def test_export_jsonl_shards_roundtrip(spark, tmp_path):
                 d[k] = d.get(k, 0) + sum(1 for _ in fh)
         return d
     assert layout(out) == layout(out2)
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path):
+    from bigdatatiler_spark.sources.io import read_orc, write_orc
+
+    path = str(tmp_path / "orc")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_orc(df, path, partition_by=("user_id",))
+    back = read_orc(spark, path)
+    assert {(r.user_id, r.n, r.note) for r in back.collect()} == {
+        (r.user_id, r.n, r.note) for r in ROWS
+    }
+    # same pushdown contract as parquet: the n>1 predicate reaches the
+    # ORC scan (search-argument pushdown), partition filter prunes dirs
+    plan = (
+        back.filter((F.col("n") > 1) & (F.col("user_id") == "u1"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan(n,1)" in plan
+    assert "PartitionFilters: [" in plan
