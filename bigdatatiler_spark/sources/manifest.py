@@ -66,17 +66,12 @@ def _data_files(table_path: str) -> list[str]:
     return sorted(out)
 
 
-def build_manifest(
-    spark: SparkSession, table_path: str, stat_col: str, manifest_path: str
-) -> int:
-    """Collect per-file (row count, min, max) of ``stat_col`` into a
-    parquet manifest. Footer reads fan out over executors — the driver
-    handles only the file *list*, never file contents. Returns the
-    number of files indexed. Rebuild after compaction/refresh (the
-    manifest indexes a physical layout, not a logical table)."""
-    files = _data_files(table_path)
-    if not files:
-        raise ValueError(f"no parquet data files under {table_path}")
+def _write_stats(
+    spark: SparkSession, files: list[str], stat_col: str, out_path: str
+) -> None:
+    """Distributed footer-stat collection for ``files`` → parquet at
+    ``out_path``. The driver handles only the file LIST; footer reads
+    (a few KB each) fan out over executors via mapInPandas."""
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         min(len(files), 64)
     )
@@ -107,9 +102,60 @@ def build_manifest(
                 )
             yield pd.DataFrame(rows, columns=["path", "n_rows", "vmin", "vmax"])
 
-    manifest = fdf.mapInPandas(_stats, MANIFEST_SCHEMA)
-    manifest.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    fdf.mapInPandas(_stats, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def build_manifest(
+    spark: SparkSession, table_path: str, stat_col: str, manifest_path: str
+) -> int:
+    """Collect per-file (row count, min, max) of ``stat_col`` into a
+    parquet manifest. Returns the number of files indexed. Use
+    ``update_manifest`` after appends/compaction — a full rebuild is only
+    needed when ``stat_col`` changes."""
+    files = _data_files(table_path)
+    if not files:
+        raise ValueError(f"no parquet data files under {table_path}")
+    _write_stats(spark, files, stat_col, manifest_path)
     return len(files)
+
+
+def update_manifest(
+    spark: SparkSession, table_path: str, stat_col: str, manifest_path: str
+) -> tuple[int, int]:
+    """Incremental manifest maintenance: index only files not yet in the
+    manifest and drop entries whose files vanished (compaction, partition
+    overwrite). Returns (added, removed). Cost tracks the CHANGED files —
+    an append-heavy table re-reads no old footers; a full rebuild is only
+    ever needed if ``stat_col`` changes."""
+    current = set(_data_files(table_path))
+    known = {
+        r["path"] for r in spark.read.parquet(manifest_path).select("path").collect()
+    }
+    added_files = sorted(current - known)
+    removed = known - current
+    if not added_files and not removed:
+        return 0, 0
+    kept = spark.read.parquet(manifest_path)
+    if removed:
+        kept = kept.filter(~F.col("path").isin(sorted(removed)))
+    tmp = manifest_path.rstrip("/") + "._adds"
+    if added_files:
+        _write_stats(spark, added_files, stat_col, tmp)
+        kept = kept.unionByName(spark.read.parquet(tmp))
+    # a manifest is partition-listing-sized; stage through the driver to
+    # sidestep read-and-overwrite-same-path (the object-store version
+    # writes a new manifest file and swaps a pointer, Iceberg-style)
+    staged = kept.collect()
+    spark.createDataFrame(staged, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(manifest_path)
+    if added_files:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(added_files), len(removed)
 
 
 def prune_files(

@@ -77,6 +77,43 @@ def test_disjoint_range_prunes_everything_and_scan_refuses(spark, clustered):
         scan_pruned(spark, man, "ts", lo, hi)
 
 
+def test_update_manifest_tracks_appends_and_compaction(spark, tmp_path):
+    from bigdatatiler_spark.sources.manifest import update_manifest
+
+    data = str(tmp_path / "t")
+    man = str(tmp_path / "m")
+    ev = table(spark, SF, "events").select("event_id", "ts", "value")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    write_clustered(half, data, cluster_by=("ts",), num_files=4)
+    assert build_manifest(spark, data, "ts", man) == 4
+
+    # append: only the 2 new files get their footers read
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    write_clustered(other, data + "_new", cluster_by=("ts",), num_files=2)
+    import os
+    import shutil as sh
+
+    for f in os.listdir(data + "_new"):
+        if f.endswith(".parquet"):
+            sh.move(f"{data}_new/{f}", f"{data}/{f}")
+    added, removed = update_manifest(spark, data, "ts", man)
+    assert (added, removed) == (2, 0)
+    assert spark.read.parquet(man).count() == 6
+
+    # no-op refresh
+    assert update_manifest(spark, data, "ts", man) == (0, 0)
+
+    # pruned scan over the updated manifest still matches a plain filter
+    lo_ts, hi_ts = _bounds(ev)
+    span = hi_ts - lo_ts
+    lo, hi = lo_ts + span * 3 // 8, lo_ts + span * 4 // 8
+    got = scan_pruned(spark, man, "ts", lo, hi)
+    want = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+
 def test_missing_stats_kept_conservatively(spark, tmp_path):
     # a manifest row with NULL bounds (no footer stats) must survive pruning
     rows = [("f1", 10, 0.0, 1.0), ("f2", 10, None, None)]
