@@ -101,6 +101,7 @@ HEADLINE = (
     "events_zorder_key",
     "dedup_prefix_filter_jaccard",
     "events_hourly_rollup",
+    "events_hourly_gapfill",
 )
 
 

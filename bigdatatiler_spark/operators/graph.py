@@ -19,6 +19,13 @@ handful of rounds); MAX_ITERS bounds the worst case. The DuckDB oracle
 computes the same fixpoint declaratively with a recursive CTE (min label
 over the reachable set), so the iterative implementation is verified
 against an independent formulation.
+
+Why not Spark's own recursive CTE (new in Spark 4)? Checked: it accepts
+only UNION ALL recursion ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), and
+without set-dedup between rounds a reachability recursion on a CYCLIC
+dup graph never terminates — DuckDB's UNION-dedup semantics are exactly
+what makes the oracle's formulation legal there. The driver-coordinated
+loop (or the two-star variant below) stays the correct Spark shape.
 """
 
 from __future__ import annotations

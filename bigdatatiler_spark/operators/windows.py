@@ -433,3 +433,56 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT
+      epoch_ms(s.h) AS bucket_ms,
+      CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+      CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN agg a ON s.h = a.h
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (the hypertable `time_bucket_gapfill`
+    shape): every hour between the corpus min and max gets a row, absent
+    hours zero-filled and flagged — what a dashboard or downstream
+    anomaly detector needs to distinguish "no data" from "no bucket".
+
+    Plan: the spine is generated IN-PLAN from a 1-row min/max aggregate
+    (`sequence` + explode — no driver collect, no literal bounds), then
+    broadcast-joined to the hourly aggregate. The spine's cardinality is
+    hours-of-history — independent of corpus size, so the shape is
+    identical at 100 TB.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour_ms = (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h")
+    spine = (
+        ev.select(hour_ms)
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+            ).alias("bucket_ms")
+        )
+    )
+    agg = ev.select(hour_ms).groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(
+        agg, spine["bucket_ms"] == agg["h"], "left"
+    ).select(
+        "bucket_ms",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
