@@ -102,6 +102,7 @@ HEADLINE = (
     "dedup_prefix_filter_jaccard",
     "events_hourly_rollup",
     "events_hourly_gapfill",
+    "events_gapfill_locf",
 )
 
 

@@ -486,3 +486,73 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT s.h, a.cents FROM spine s LEFT JOIN agg a ON s.h = a.h
+    )
+    SELECT
+      epoch_ms(h) AS bucket_ms,
+      CAST(COALESCE(
+        last_value(cents IGNORE NULLS)
+          OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        0) AS BIGINT) AS value_cents_locf,
+      CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM joined
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly value with last-observation-carried-forward —
+    the other half of the hypertable gapfill surface (`locf()`): gap
+    hours repeat the most recent real observation instead of zeroing,
+    the standard treatment for level-style metrics (gauges, balances).
+
+    The LOCF window is GLOBAL-ordered, which would be a scale red flag on
+    a fact table — but it runs over the SPINE (hours-of-history rows,
+    thousands at a century of data), after the fact-sized work has
+    already collapsed into the hourly aggregate. Measures stay exact
+    integer cents end-to-end.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour_ms = (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h")
+    spine = (
+        ev.select(hour_ms)
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+            ).alias("bucket_ms")
+        )
+    )
+    agg = (
+        ev.select(
+            hour_ms,
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("h")
+        .agg(F.sum("c").alias("cents"))
+    )
+    joined = spine.join(agg, spine["bucket_ms"] == agg["h"], "left")
+    w = Window.orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket_ms",
+        F.coalesce(
+            F.last("cents", ignorenulls=True).over(w), F.lit(0)
+        ).cast("long").alias("value_cents_locf"),
+        F.when(F.col("cents").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
