@@ -103,6 +103,7 @@ HEADLINE = (
     "events_hourly_rollup",
     "events_hourly_gapfill",
     "events_gapfill_locf",
+    "orders_constraint_audit",
 )
 
 

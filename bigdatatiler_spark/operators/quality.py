@@ -1,0 +1,125 @@
+"""Constraint validation: declarative data-quality checks as aggregates.
+
+The reference trusts its writer (single client, no constraints beyond
+the null/blank guards in LogChange.cs:198-206). A 100 TB table fed by
+many writers needs the warehouse-standard audit instead (Deequ/dbt-test
+class): uniqueness, referential integrity, domain and range rules,
+evaluated BEFORE downstream jobs consume a new drop.
+
+Scale shape — three plan classes, nothing else:
+- row-level rules (nulls, ranges, domains) fold into ONE map-side
+  conditional-sum aggregate regardless of how many rules are declared;
+- uniqueness is one key-grouped aggregate;
+- referential integrity is an anti-join (broadcast when the parent is a
+  dimension — the TPC-H case — shuffle otherwise).
+The audit result is a single row of violation counts, so alerting +
+history cost nothing; violating ROWS are a filter away using the same
+predicates when a count is non-zero.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+def violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """1-row frame: for each named rule, the COUNT OF ROWS VIOLATING it
+    (rules are boolean Columns that are True when the row is GOOD).
+    Arbitrarily many rules stay one map-side aggregate pass."""
+    if not rules:
+        raise ValueError("violation_counts requires at least one rule")
+    return df.agg(
+        *[
+            F.sum((~cond).cast("bigint")).alias(name)
+            for name, cond in rules.items()
+        ]
+    )
+
+
+def duplicate_key_count(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """1-row frame ``dup_<keys>``: how many key values occur more than
+    once (a PRIMARY KEY / UNIQUE constraint as an aggregate)."""
+    name = "dup_" + "_".join(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum((F.col("_n") > 1).cast("bigint")).alias(name))
+        .na.fill({name: 0})
+    )
+
+
+def fk_orphan_count(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """1-row frame ``orphan_<child_key>``: child rows whose key has no
+    parent (FOREIGN KEY as an anti-join; broadcast the dimension side)."""
+    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    return (
+        child.join(p, child_key, "left_anti")
+        .agg(F.count(F.lit(1)).alias(f"orphan_{child_key}"))
+    )
+
+
+def audit(parts: list[DataFrame]) -> DataFrame:
+    """Combine independent 1-row check frames into the single audit row.
+    Each cross join's build side is one row — a constant-size broadcast,
+    not a data-sized nested loop."""
+    return reduce(lambda a, b: a.crossJoin(F.broadcast(b)), parts)
+
+
+@register(
+    "orders_constraint_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders) AS n_rows,
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS nonpos_totalprice,
+      (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS bad_status,
+      (SELECT count(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+       )) AS dup_o_orderkey,
+      (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+         SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+       )) AS orphan_o_custkey
+    """,
+)
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constraint audit on orders: not-null + range + domain rules
+    (one conditional-sum pass), primary-key uniqueness (one key agg),
+    and orders→customer referential integrity (broadcast anti-join) —
+    one row of violation counts. The oracle recomputes each count as an
+    independent scalar subquery."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    # row count folds into the same single pass as the row-level rules
+    rules = {
+        "null_custkey": F.col("o_custkey").isNotNull(),
+        "nonpos_totalprice": F.col("o_totalprice") > 0,
+        "bad_status": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    row_pass = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum((~cond).cast("bigint")).alias(nm) for nm, cond in rules.items()],
+    )
+    dup = duplicate_key_count(o, ("o_orderkey",))
+    orphan = fk_orphan_count(o, c, "o_custkey", "c_custkey")
+    return audit([row_pass, dup, orphan]).select(
+        "n_rows",
+        "null_custkey",
+        "nonpos_totalprice",
+        "bad_status",
+        "dup_o_orderkey",
+        "orphan_o_custkey",
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.graph",
     "bigdatatiler_spark.operators.sketches",
     "bigdatatiler_spark.operators.sampling",
+    "bigdatatiler_spark.operators.quality",
     "bigdatatiler_spark.sources.layout",
     "bigdatatiler_spark.sources.rollup",
 )
@@ -119,7 +120,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "skew_salted_user_activity",
     "events_props_json",
     "nation_grouping_sets",
-    "orders_status_pivot",
+    # (orders_status_pivot rotated out for the round-3 quality family:
+    # r2 driver-green, sqlsurface keeps three in-window entries
+    # (props_json, grouping_sets, page_keyset); local-oracle-checked.)
+    "orders_constraint_audit",
     "orders_page_keyset",
     "sketch_kmv_distinct",
     "sketch_frequent_tokens",

@@ -1,0 +1,76 @@
+"""Constraint-audit semantics on deliberately dirty data (the fixture
+tables are clean, so every violation class is pinned synthetically)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from bigdatatiler_spark.operators.quality import (
+    audit,
+    duplicate_key_count,
+    fk_orphan_count,
+    violation_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    child = spark.createDataFrame(
+        [
+            Row(k=1, fk=10, price=5.0, status="O"),
+            Row(k=1, fk=10, price=-2.0, status="O"),   # dup key + bad price
+            Row(k=2, fk=None, price=3.0, status="X"),  # null fk + bad status
+            Row(k=3, fk=99, price=0.0, status="F"),    # orphan fk + zero price
+        ]
+    )
+    parent = spark.createDataFrame([Row(pk=10), Row(pk=11)])
+    return child, parent
+
+
+def test_violation_counts_one_pass(spark, dirty):
+    child, _ = dirty
+    row = violation_counts(
+        child,
+        {
+            "null_fk": F.col("fk").isNotNull(),
+            "nonpos_price": F.col("price") > 0,
+            "bad_status": F.col("status").isin("O", "F"),
+        },
+    ).first()
+    assert (row["null_fk"], row["nonpos_price"], row["bad_status"]) == (1, 2, 1)
+
+
+def test_duplicate_and_orphan_counts(spark, dirty):
+    child, parent = dirty
+    assert duplicate_key_count(child, ("k",)).first()["dup_k"] == 1
+    # null fk doesn't match any parent → anti-join keeps it: 1 orphan (99)
+    # plus the NULL row = 2 (a null FK is both a null violation and,
+    # SQL-semantically, parentless)
+    assert fk_orphan_count(child, parent, "fk", "pk").first()["orphan_fk"] == 2
+
+
+def test_audit_combines_into_single_row(spark, dirty):
+    child, parent = dirty
+    combined = audit(
+        [
+            child.agg(F.count(F.lit(1)).alias("n_rows")),
+            duplicate_key_count(child, ("k",)),
+            fk_orphan_count(child, parent, "fk", "pk"),
+        ]
+    )
+    row = combined.first()
+    assert combined.count() == 1
+    assert (row["n_rows"], row["dup_k"], row["orphan_fk"]) == (4, 1, 2)
+
+
+def test_violation_counts_requires_rules(spark, dirty):
+    with pytest.raises(ValueError):
+        violation_counts(dirty[0], {})
+
+
+def test_clean_table_audits_zero(spark):
+    clean = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(5)])
+    assert duplicate_key_count(clean, ("k",)).first()["dup_k"] == 0
+    row = violation_counts(clean, {"neg": F.col("v") >= 0}).first()
+    assert row["neg"] == 0

@@ -37,6 +37,7 @@ BNLJ_BY_DESIGN = {
     "doc_length_rank_deciles",  # 1-row corpus-count broadcast
     "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
     "events_zorder_key",  # 1-row min/max-bounds broadcast
+    "orders_constraint_audit",  # audit() cross-joins 1-row check frames
 }
 
 
