@@ -32,9 +32,22 @@ DEFAULT_MAX_RECORDS_PER_FILE = 1_000_000
 DEFAULT_COMPRESSION = "zstd"
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Primary table reader (parquet; partition columns auto-discovered)."""
-    return spark.read.parquet(path)
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Primary table reader (parquet; partition columns auto-discovered).
+
+    ``merge_schema=True`` unions the schemas of every file (columns added
+    over a table's lifetime surface as NULL in pre-evolution files) — the
+    read-side half of additive schema evolution. Off by default: merging
+    reads every footer up front, which is exactly the 100k-round-trip
+    cost manifests exist to avoid — evolving tables should record their
+    current schema once (e.g. in the table's metadata dir) rather than
+    rediscover it per scan."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
 
 
 def write_table(

@@ -200,3 +200,16 @@ def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [" in plan and "GreaterThan(n,1)" in plan
     assert "PartitionFilters: [" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(k=1, v="a")]).write.parquet(path)
+    # the table evolves: a later writer adds a column
+    spark.createDataFrame([Row(k=2, v="b", extra=7)]).write.mode(
+        "append"
+    ).parquet(path)
+    merged = read_table(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    got = {r.k: r.extra for r in merged.collect()}
+    assert got == {1: None, 2: 7}
