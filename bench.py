@@ -104,6 +104,7 @@ HEADLINE = (
     "events_hourly_gapfill",
     "events_gapfill_locf",
     "orders_constraint_audit",
+    "lineitem_constraint_audit",
 )
 
 

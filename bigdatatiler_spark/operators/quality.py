@@ -123,3 +123,50 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_o_orderkey",
         "orphan_o_custkey",
     )
+
+
+@register(
+    "lineitem_constraint_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem) AS n_rows,
+      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS nonpos_quantity,
+      (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+      (SELECT count(*) FROM (
+         SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY 1, 2 HAVING count(*) > 1
+       )) AS dup_l_orderkey_l_linenumber,
+      (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+         SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+       )) AS orphan_l_orderkey
+    """,
+)
+def lineitem_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale audit: same rule classes as orders_constraint_audit
+    but the referenced table (orders) is ITSELF fact-sized, so the
+    referential-integrity check runs as a SHUFFLE anti-join on the key —
+    the plan both sides of a 100 TB star schema actually need (AQE still
+    demotes it to broadcast at small SF). Composite-key uniqueness
+    ((l_orderkey, l_linenumber) — the TPC-H primary key) rides the same
+    key-grouped aggregate shape."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    row_pass = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("nonpos_quantity"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+        ).alias("bad_discount"),
+    )
+    dup = duplicate_key_count(li, ("l_orderkey", "l_linenumber"))
+    orphan = fk_orphan_count(
+        li, o, "l_orderkey", "o_orderkey", broadcast_parent=False
+    )
+    return audit([row_pass, dup, orphan]).select(
+        "n_rows",
+        "nonpos_quantity",
+        "bad_discount",
+        "dup_l_orderkey_l_linenumber",
+        "orphan_l_orderkey",
+    )

@@ -38,6 +38,7 @@ BNLJ_BY_DESIGN = {
     "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
     "events_zorder_key",  # 1-row min/max-bounds broadcast
     "orders_constraint_audit",  # audit() cross-joins 1-row check frames
+    "lineitem_constraint_audit",  # same 1-row audit() combination
 }
 
 
