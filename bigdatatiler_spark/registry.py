@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.setops",
     "bigdatatiler_spark.operators.scalar",
     "bigdatatiler_spark.operators.asof",
+    "bigdatatiler_spark.operators.rangejoin",
     "bigdatatiler_spark.operators.dedup",
     "bigdatatiler_spark.operators.similarity",
     "bigdatatiler_spark.operators.retrieval",
