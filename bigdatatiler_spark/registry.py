@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.rangejoin",
     "bigdatatiler_spark.operators.dedup",
     "bigdatatiler_spark.operators.similarity",
+    "bigdatatiler_spark.operators.pq",
     "bigdatatiler_spark.operators.retrieval",
     "bigdatatiler_spark.operators.text",
     "bigdatatiler_spark.operators.cleaning",

@@ -108,3 +108,34 @@ def test_second_lsh_table_grows_candidates(spark):
     union = p0 | p1
     assert p0 != p1, "hash tables are not independent"
     assert len(union) > len(p0), "second table adds no candidate pairs"
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """PQ ranks by L2, so its reference is the exact-L2 top-k (computed
+    on the same 2^-10 integer grid the operator uses). The shortlist+
+    rerank pipeline must beat the ADC-only ranking's recall by a wide
+    margin on this worst-case (unstructured) data, and clear an absolute
+    floor well above the 5/999 chance rate."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdatatiler_spark.operators.pq import ann_pq_adc_topk
+    from bigdatatiler_spark.tables import table
+
+    rows = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    Q = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 1024)
+    want = {}
+    for q in range(5):
+        d = ((Q - Q[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want[q] = set(ids[np.lexsort((ids, d))[:5]].tolist())
+    got = _topk_sets(ann_pq_adc_topk(spark, SF_DIR))
+    rec = _recall(got, want)
+    assert rec >= 0.3, f"PQ shortlist+rerank recall {rec:.3f} below floor"
