@@ -43,25 +43,37 @@ BUCKET_DATE = "bucket_date"
 _MEASURES = ("n_events", "value_cents")
 
 
-def hourly_rollup(events: DataFrame) -> DataFrame:
+def hourly_rollup(events: DataFrame, with_users_hll: bool = False) -> DataFrame:
     """(hour bucket, event_type) rollup with re-mergeable integer measures.
 
     ``bucket_ms`` is the epoch-ms hour start (never a raw timestamp —
     registry determinism rules); ``value_cents`` sums exact DECIMAL(18,2)
     cents as BIGINT. One shuffle, with map-side partial aggregation.
+
+    ``with_users_hll`` adds ``users_hll`` — a Druid-style re-aggregatable
+    DataSketches HLL of distinct ``user_id`` per bucket. COUNT(DISTINCT)
+    is the one dashboard measure a plain rollup CANNOT answer (distinct
+    counts don't sum across buckets or refreshes); storing the sketch
+    state makes it mergeable like the integer measures: ``_merge`` folds
+    deltas with ``hll_union_agg`` (register-wise max — commutative and
+    associative, so incremental == full recompute exactly, proven in
+    tests/test_rollup.py), and any day/week/whole-table distinct count
+    is ``hll_sketch_estimate(hll_union_agg(users_hll))`` over the tiny
+    rollup instead of a 100 TB re-scan of raw events.
     """
-    return (
-        events.select(
-            (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("bucket_ms"),
-            "event_type",
-            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("bucket_ms", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").alias("value_cents"),
-        )
-    )
+    base = events.select(
+        (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("bucket_ms"),
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "user_id",
+    ).groupBy("bucket_ms", "event_type")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    ]
+    if with_users_hll:
+        aggs.append(F.hll_sketch_agg("user_id").alias("users_hll"))
+    return base.agg(*aggs)
 
 
 def _with_bucket_date(rollup: DataFrame) -> DataFrame:
@@ -72,17 +84,21 @@ def _with_bucket_date(rollup: DataFrame) -> DataFrame:
 
 
 def _merge(parts: DataFrame) -> DataFrame:
-    """Re-aggregate partial rollup rows — associative/exact by design."""
-    return parts.groupBy("bucket_ms", "event_type", BUCKET_DATE).agg(
+    """Re-aggregate partial rollup rows — associative/exact by design.
+    Sketch columns merge by register union, integers by sum."""
+    aggs = [
         F.sum("n_events").alias("n_events"),
         F.sum("value_cents").alias("value_cents"),
-    )
+    ]
+    if "users_hll" in parts.columns:
+        aggs.append(F.hll_union_agg("users_hll").alias("users_hll"))
+    return parts.groupBy("bucket_ms", "event_type", BUCKET_DATE).agg(*aggs)
 
 
-def build_rollup(events: DataFrame, path: str) -> None:
+def build_rollup(events: DataFrame, path: str, with_users_hll: bool = False) -> None:
     """Materialize the hourly rollup, one parquet directory per day."""
     (
-        _with_bucket_date(hourly_rollup(events))
+        _with_bucket_date(hourly_rollup(events, with_users_hll))
         .repartition(BUCKET_DATE)
         .write.mode("overwrite")
         .option("compression", DEFAULT_COMPRESSION)
@@ -101,14 +117,19 @@ def refresh_rollup(spark: SparkSession, path: str, new_events: DataFrame) -> lis
     batch, but feeding the same events twice double-counts — callers
     dedup the input (streaming: ``dedup_within_watermark``) upstream.
     """
-    delta = _with_bucket_date(hourly_rollup(new_events))
+    # the stored schema decides whether the delta carries the HLL column —
+    # a sketch-bearing rollup stays sketch-bearing across refreshes
+    stored = spark.read.parquet(path)
+    delta = _with_bucket_date(
+        hourly_rollup(new_events, with_users_hll="users_hll" in stored.columns)
+    )
     # The affected-date set is days, not rows — a driver-side list is the
     # partition-pruning predicate, same trick Delta's replaceWhere uses.
     dates = sorted(r[0] for r in delta.select(BUCKET_DATE).distinct().collect())
     if not dates:
         return []
     existing = (
-        spark.read.parquet(path)
+        stored
         # prune on the raw partition column (Catalyst casts the string
         # literals; only the affected directories are listed/read) ...
         .filter(F.col(BUCKET_DATE).isin(dates))

@@ -195,3 +195,46 @@ def test_gapfill_and_locf_on_sparse_hours(spark, tmp_path):
     assert locf[h0] == 100 and locf[h0 + hr] == 250
     assert locf[h0 + 2 * hr] == 250 and locf[h0 + 3 * hr] == 250
     assert locf[h0 + 4 * hr] == 1000
+
+
+def test_hll_sketch_column_merges_exactly(spark, tmp_path):
+    """The re-aggregatable distinct-count column: build the rollup from
+    the first 20 days, fold the rest in via refresh_rollup, and the
+    merged sketches must estimate IDENTICALLY to a full single-pass
+    recompute (HLL union is register-wise max — order-independent), and
+    match the exact distinct count within DataSketches' error bound."""
+    path = os.path.join(tmp_path, "rollup_hll")
+    ev = table(spark, SF, "events")
+    cut = "2024-01-21"
+    build_rollup(ev.where(F.col("ts") < F.lit(cut).cast("timestamp")), path,
+                 with_users_hll=True)
+    refresh_rollup(spark, path, ev.where(F.col("ts") >= F.lit(cut).cast("timestamp")))
+
+    stored = spark.read.parquet(path)
+    assert "users_hll" in stored.columns
+
+    # per-bucket estimates: incremental == full recompute, bucket by bucket
+    full = hourly_rollup(ev, with_users_hll=True)
+    est_inc = {
+        (r.bucket_ms, r.event_type): r.est
+        for r in stored.select(
+            "bucket_ms", "event_type",
+            F.hll_sketch_estimate("users_hll").alias("est"),
+        ).collect()
+    }
+    est_full = {
+        (r.bucket_ms, r.event_type): r.est
+        for r in full.select(
+            "bucket_ms", "event_type",
+            F.hll_sketch_estimate("users_hll").alias("est"),
+        ).collect()
+    }
+    assert est_inc == est_full
+
+    # whole-table distinct users answered from the ROLLUP (union of all
+    # bucket sketches) vs the exact answer from raw events
+    est_total = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("e")
+    ).collect()[0].e
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(est_total - exact_total) <= max(1, exact_total * 0.05)
