@@ -105,6 +105,8 @@ HEADLINE = (
     "events_gapfill_locf",
     "orders_constraint_audit",
     "lineitem_constraint_audit",
+    "rangejoin_error_bursts",
+    "ann_pq_adc_topk",
 )
 
 

@@ -306,3 +306,72 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick_rank", F.row_number().over(w))
         .where(F.col("pick_rank") <= PER_STRATUM_N)
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ----------
+WEIGHTED_K = 50  #: sample size
+_U_HEX = 12  #: md5 hex digits → 48-bit uniform (exact in double)
+_U_DENOM = float(1 << 48)
+_ES_QUANT = 1_000_000  #: micro-unit quantization of the priority key
+
+
+def es_priority(id_col: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis priority key, engine-exact form.
+
+    A-Res selects k items with probability ∝ weight by taking the top-k
+    of u_i^(1/w_i), u_i uniform. Ranking by the monotone-equivalent
+    ln(u)/w avoids the pow; u comes from the stable md5 hash ((h48+0.5)/2^48
+    — exact double steps: 48-bit int and a power-of-two divide), so the
+    "random" draw is reproducible across runs, engines, and partition
+    layouts, like every sampler here. The only inexact step is ln();
+    the key is floored to integer MICRO-units before any comparison
+    (same micro-nat discipline as doc_unigram_logprob: a 1-ulp libm
+    divergence would have to land within ~1e-10 of a micro-boundary to
+    flip a row), and genuine micro-ties break on doc_id. Larger weight
+    ⇒ key closer to 0 from below ⇒ ranks higher, monotonically.
+    """
+    h48 = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, _U_HEX), 16, 10
+    ).cast("bigint")
+    u = (h48.cast("double") + F.lit(0.5)) / F.lit(_U_DENOM)
+    return F.floor(F.ln(u) / weight.cast("double") * F.lit(float(_ES_QUANT))).cast(
+        "long"
+    )
+
+
+_SQL_ES_KEY = (
+    f"CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {_U_HEX}))"
+    f"::UBIGINT + 0.5) / {_U_DENOM}) / greatest(n_chars, 1) * {_ES_QUANT})"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, es_key, pick_rank FROM (
+      SELECT doc_id, lang, n_chars, {_SQL_ES_KEY} AS es_key,
+             row_number() OVER (ORDER BY {_SQL_ES_KEY} DESC, doc_id ASC)
+               AS pick_rank
+      FROM documents
+    ) WHERE pick_rank <= {WEIGHTED_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: the {WEIGHTED_K} documents
+    drawn with probability proportional to length (n_chars — stand-in
+    for any quality/importance weight), via the Efraimidis-Spirakis
+    priority key. One pass, no RNG state: the key is a projection, the
+    top-k is TakeOrderedAndProject (no global sort) — at 100 TB each
+    executor keeps a k-row heap and the driver merges heaps, the same
+    plan as every LIMIT query here. Re-running, repartitioning, or
+    appending data never changes a surviving document's key."""
+    docs = table(spark, sf_dir, "documents")
+    key = es_priority(F.col("doc_id"), F.greatest(F.col("n_chars"), F.lit(1)))
+    picked = (
+        docs.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return picked.withColumn("pick_rank", F.row_number().over(w))
