@@ -1,0 +1,179 @@
+"""Versioned tables: snapshot isolation + time travel on plain parquet.
+
+Every mutation in this engine so far rewrites directories in place
+(rollup refresh, merge_upsert, compaction) — correct for single-writer
+batch, but a reader that lists files mid-rewrite sees a torn table, and
+yesterday's state is gone. Table formats fix both with one idea: DATA
+FILES ARE IMMUTABLE; only a tiny versioned manifest decides which files
+ARE the table. This module is that idea on a plain directory, the same
+commit protocol Delta's transaction log and Iceberg's snapshot list use:
+
+- each commit writes NEW data files into its own subdirectory, then a
+  version manifest (the complete file list), then atomically swaps the
+  ``_latest`` pointer (os.rename — readers see wholly old or wholly new,
+  never a mix; a crash before the swap leaves invisible garbage, never a
+  torn table);
+- ``read_table(..., version=N)`` is time travel: any retained version
+  remains byte-identical readable, because nothing ever mutates a data
+  file — reproducing last month's training set is reading last month's
+  manifest;
+- ``commit_compact`` rewrites small files into a new version WITHOUT
+  touching the files older versions reference — layout maintenance stops
+  being a correctness event for concurrent readers;
+- ``vacuum`` deletes files unreferenced by retained versions — the only
+  destructive operation, explicitly separated from the logical commits.
+
+Single-writer by design (multi-writer needs a coordination primitive —
+conditional-put on object stores; out of scope as it is for raw Delta
+without a LogStore). Scale: a manifest lists file PATHS — partition-
+listing cardinality, driver-side; data IO stays fully distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import DEFAULT_COMPRESSION
+
+_VERSIONS = "_versions"
+_LATEST = "_latest"
+
+
+def _vdir(path: str) -> str:
+    return os.path.join(path, _VERSIONS)
+
+
+def _vfile(path: str, v: int) -> str:
+    return os.path.join(_vdir(path), f"v{v:06d}.json")
+
+
+def current_version(path: str) -> int | None:
+    p = os.path.join(_vdir(path), _LATEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _manifest(path: str, v: int) -> dict:
+    with open(_vfile(path, v)) as f:
+        return json.load(f)
+
+
+def _write_commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+    v = 1 if parent is None else parent + 1
+    os.makedirs(_vdir(path), exist_ok=True)
+    manifest = {
+        "version": v,
+        "op": op,
+        "parent": parent,
+        "ts_ms": int(time.time() * 1000),
+        "files": sorted(files),
+    }
+    with open(_vfile(path, v), "w") as f:
+        json.dump(manifest, f)
+    # the commit point: an atomic pointer swap, never a partial state
+    tmp = os.path.join(_vdir(path), f".{_LATEST}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(_vdir(path), _LATEST))
+    return v
+
+
+def _stage_files(df: DataFrame, path: str, v_next: int) -> list[str]:
+    """Write ``df`` as immutable files under a commit-unique directory."""
+    cdir = os.path.join(path, "data", f"c{v_next:06d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").option("compression", DEFAULT_COMPRESSION).parquet(cdir)
+    return [
+        os.path.join(cdir, f)
+        for f in os.listdir(cdir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+
+def commit_append(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Append ``df`` as a new version (old files + new files)."""
+    parent = current_version(path)
+    prior = _manifest(path, parent)["files"] if parent is not None else []
+    new = _stage_files(df, path, (parent or 0) + 1)
+    return _write_commit(path, prior + new, "append", parent)
+
+
+def commit_overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Replace the table contents in one atomic version step. Old
+    versions keep reading their own files."""
+    parent = current_version(path)
+    new = _stage_files(df, path, (parent or 0) + 1)
+    return _write_commit(path, new, "overwrite", parent)
+
+
+def commit_compact(
+    spark: SparkSession, path: str, num_files: int
+) -> int:
+    """Rewrite the CURRENT version's rows into ``num_files`` files as a
+    new version — pure layout maintenance, logically a no-op: readers of
+    any version (including the parent) are untouched."""
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no versions at {path}")
+    df = read_table(spark, path, parent).coalesce(num_files)
+    new = _stage_files(df, path, parent + 1)
+    return _write_commit(path, new, "compact", parent)
+
+
+def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The table AS OF ``version`` (default: latest). Raises on a
+    version whose files were vacuumed away."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"no versions at {path}")
+    files = _manifest(path, v)["files"]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"version {v} of {path} references {len(missing)} vacuumed file(s) "
+            f"(e.g. {missing[0]}); only versions within the vacuum retention "
+            f"window are readable"
+        )
+    return spark.read.parquet(*files)
+
+
+def versions(path: str) -> list[dict]:
+    """All retained version manifests, oldest first (op, ts, file count)."""
+    if not os.path.isdir(_vdir(path)):
+        return []
+    out = []
+    for f in sorted(os.listdir(_vdir(path))):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(_manifest(path, int(f[1:-5])))
+    return out
+
+
+def vacuum(path: str, keep_last: int = 2) -> tuple[int, int]:
+    """Delete data files referenced ONLY by versions older than the last
+    ``keep_last``, and drop those versions' manifests. Returns (files
+    deleted, versions dropped). The one destructive operation — time
+    travel shrinks to the retention window, exactly like Delta VACUUM."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(path)
+    if len(vs) <= keep_last:
+        return 0, 0
+    kept, dropped = vs[-keep_last:], vs[:-keep_last]
+    live = {f for m in kept for f in m["files"]}
+    doomed = {f for m in dropped for f in m["files"]} - live
+    for f in doomed:
+        if os.path.exists(f):
+            os.remove(f)
+        parent = os.path.dirname(f)
+        if os.path.isdir(parent) and not os.listdir(parent):
+            shutil.rmtree(parent, ignore_errors=True)
+    for m in dropped:
+        os.remove(_vfile(path, m["version"]))
+    return len(doomed), len(dropped)

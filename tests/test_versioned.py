@@ -1,0 +1,94 @@
+"""Versioned tables (sources/versioned.py): snapshot isolation, time
+travel, compaction-as-no-op, vacuum retention, crash invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatatiler_spark.sources.versioned import (
+    commit_append,
+    commit_compact,
+    commit_overwrite,
+    current_version,
+    read_table,
+    vacuum,
+    versions,
+)
+from bigdatatiler_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df) -> list[int]:
+    return sorted(r.event_id for r in df.select("event_id").collect())
+
+
+@pytest.fixture()
+def ev(spark):
+    return table(spark, SF, "events").select("event_id", "user_id", "event_type")
+
+
+def test_append_and_time_travel(spark, tmp_path, ev):
+    path = str(tmp_path / "t")
+    first = ev.where(F.col("event_id") < 500)
+    second = ev.where(F.col("event_id") >= 500)
+    v1 = commit_append(spark, path, first)
+    v2 = commit_append(spark, path, second)
+    assert (v1, v2) == (1, 2)
+    assert current_version(path) == 2
+    # latest sees everything; v1 still sees exactly the first batch
+    assert _ids(read_table(spark, path)) == _ids(ev)
+    assert _ids(read_table(spark, path, version=1)) == _ids(first)
+
+
+def test_overwrite_isolates_old_readers(spark, tmp_path, ev):
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.where(F.col("event_id") < 100))
+    commit_overwrite(spark, path, ev.where(F.col("event_id") >= 900))
+    assert _ids(read_table(spark, path, version=1)) == _ids(
+        ev.where(F.col("event_id") < 100)
+    )
+    assert _ids(read_table(spark, path)) == _ids(ev.where(F.col("event_id") >= 900))
+
+
+def test_compact_is_logically_noop(spark, tmp_path, ev):
+    path = str(tmp_path / "t")
+    # many small files via many partitions
+    commit_append(spark, path, ev.repartition(16))
+    n_before = len(versions(path)[-1]["files"])
+    v = commit_compact(spark, path, num_files=2)
+    n_after = len(versions(path)[-1]["files"])
+    assert n_after < n_before
+    assert _ids(read_table(spark, path, version=v)) == _ids(
+        read_table(spark, path, version=v - 1)
+    )
+
+
+def test_vacuum_enforces_retention(spark, tmp_path, ev):
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.where(F.col("event_id") < 100))
+    commit_overwrite(spark, path, ev.where(F.col("event_id") < 200))
+    commit_overwrite(spark, path, ev.where(F.col("event_id") < 300))
+    deleted, dropped = vacuum(path, keep_last=2)
+    assert deleted > 0 and dropped == 1
+    # retained versions still read; the vacuumed one fails with a clear error
+    assert len(_ids(read_table(spark, path, version=3))) == 300
+    assert len(_ids(read_table(spark, path, version=2))) == 200
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_table(spark, path, version=1)
+
+
+def test_uncommitted_staging_is_invisible(spark, tmp_path, ev):
+    """A crashed writer leaves data files but no manifest/pointer swap —
+    readers must see the previous version exactly."""
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.where(F.col("event_id") < 100))
+    # simulate a crash: stage files directly without committing
+    from bigdatatiler_spark.sources.versioned import _stage_files
+
+    _stage_files(ev.where(F.col("event_id") >= 100), path, 99)
+    assert current_version(path) == 1
+    assert len(_ids(read_table(spark, path))) == 100
