@@ -107,6 +107,8 @@ HEADLINE = (
     "lineitem_constraint_audit",
     "rangejoin_error_bursts",
     "ann_pq_adc_topk",
+    "sample_weighted_priority",
+    "bm25_topk",
 )
 
 

@@ -22,6 +22,7 @@ from ..registry import register
 from ..tables import table
 from .dedup import _SHINGLED_SQL, _shingled
 from .similarity import N_QUERIES, _DOT_QC, _self_norm, dot, norm
+from .text import _NORM_SQL, _norm_col
 
 LEX_K = 10  # lexical candidates per query
 EMB_K = 10  # dense candidates per query
@@ -170,4 +171,129 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.withColumn("fused_rank", F.row_number().over(w_f))
         .where(F.col("fused_rank") <= FUSED_K)
+    )
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+# Okapi BM25 (Robertson et al.) — the corpus-statistics lexical scorer the
+# Jaccard side of hybrid_search_rrf deliberately isn't: term rarity (idf),
+# within-doc saturation (k1) and length normalization (b) instead of plain
+# set overlap.
+BM25_K1 = 1.2
+BM25_B = 0.75
+_K1P1 = 2.2  #: k1 + 1, as an explicit literal so both engines parse the
+#: same double instead of folding 1.2 + 1 at different precisions
+_B1M = 0.25  #: 1 - b (exact in binary)
+BM25_TOPK = 5
+_BM25_QUANT = 1_000_000
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+qterms AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < {{nq}}),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         sum(CAST(floor(
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+             * (c.tf * {_K1P1})
+             / (c.tf + {BM25_K1} * ({_B1M} + {BM25_B} * d.dl / s.avgdl))
+             * {_BM25_QUANT}) AS BIGINT)) AS bm25_micro
+  FROM qterms q
+  JOIN tf c ON c.tok = q.tok AND c.doc_id <> q.query_id
+  JOIN dfreq f ON f.tok = q.tok
+  JOIN dl d ON d.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25_micro, rank FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE.format(norm=_NORM_SQL, nq=N_QUERIES),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} per query doc (vec_id-aligned query block,
+    like the dense kernels): candidates come from the inverted-index
+    equi-join on the term (only docs sharing a query term are scored —
+    never all-pairs), corpus statistics (df, avgdl) are one vocab-keyed
+    agg and one broadcast scalar row.
+
+    Determinism: +,-,*,/ are IEEE-correctly-rounded so identical double
+    inputs give identical results in both engines; the one libm step
+    (idf's ln) is guarded by flooring each per-term score to integer
+    MICRO-units before the per-doc sum (order-independent BIGINT adds —
+    the doc_unigram_logprob discipline). Constants are spelled as the
+    same literals on both sides ({_K1P1}, {_B1M}) so no engine folds
+    1.2+1 differently."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("tok"))
+    # four consumers (dl, dfreq, qterms, candidate join) — materialize the
+    # postings frame once instead of re-running the explode+agg per branch
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # query-term df block: request-sized after the broadcast-filter join
+    qterms = tf.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    qdf = F.broadcast(qterms.join(dfreq, "tok"))
+    cand = (
+        qdf.join(tf, "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+    )
+    idf = F.ln(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(_K1P1))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(_B1M) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        * F.lit(_BM25_QUANT)
+    )
+    scored = (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.floor(term_score).cast("bigint").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("bm25_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "bm25_micro", "rank")
     )
