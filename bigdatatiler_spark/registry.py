@@ -99,23 +99,35 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # — previously outside the window: every LLM-pipeline operator —
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard rotated out for the round-3 banded range join:
+    # r2 driver-green; the exact-Jaccard kernel keeps an in-window
+    # representative in dedup_prefix_filter_jaccard (same 5·|A∩B| ≥
+    # 3·|A∪B| verify) and MinHash approximates the same measure;
+    # still local-oracle-checked every round.)
+    "rangejoin_error_bursts",
     "dedup_embedding_lsh_blocked",
+    # (dedup_ngram_jaccard's exact-verify role, plus the deterministic-
+    # recall prefix-filter join — round 3's set-similarity addition.)
+    "dedup_prefix_filter_jaccard",
     # (dedup_edit_distance rotated out for round 3's layout family:
     # driver-green in r2, kernel-redundant with the six in-window dedup
     # fingerprint queries, still local-oracle-checked every round.)
     "events_zorder_key",
     "dedup_connected_components",
-    "dedup_clusters_verified",
+    # (dedup_clusters_verified rotated out: r2 driver-green, and the
+    # cluster-canonicalization family keeps dedup_connected_components
+    # in-window; the verified-edge variant rides the local oracle.)
     "knn_bruteforce_cosine",
     "ann_lsh_buckets",
     "ann_ivf_topk",
-    "ann_ivf_multiprobe",
+    # (ann_ivf_multiprobe rotated out for round 3's PQ leg: same trained-
+    # IVF kernel as ann_ivf_topk with nprobe=2; the nprobe knob's recall
+    # monotonicity is pytest-pinned in test_ann_recall.py.)
+    "ann_pq_adc_topk",
     "doc_token_stats",
     "doc_lang_id",
     "doc_fingerprint_bottomk",
     "corpus_language_profile",
-    "doc_quality_score",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",
     "multimodal_payload_stats",
@@ -128,7 +140,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_constraint_audit",
     "orders_page_keyset",
     "sketch_kmv_distinct",
-    "sketch_frequent_tokens",
+    # (sketch_frequent_tokens rotated out: r2 driver-green; the sketch
+    # family keeps kmv + gk in-window and the heavy-hitter contract is
+    # pytest-pinned; still local-oracle-checked. In: the weighted
+    # sampler — a new kernel class, priority sampling.)
+    "sample_weighted_priority",
     "sketch_quantile_gk",
     "sample_train_test_split",
     # — new round-2 queries append here (slots up to #50) —
@@ -152,11 +168,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "events_page_keyset",
     "events_xml_inspection",
     "ann_lsh_topk",
-    "dedup_incremental_minhash",
+    # (dedup_incremental_minhash rotated out: r2 driver-green; the banded
+    # MinHash kernel keeps dedup_minhash_lsh in-window and the
+    # batch-vs-occupancy incremental semantics are pytest-pinned. In:
+    # BM25 — the corpus-statistics lexical scorer, a new kernel class
+    # beside hybrid_search_rrf's Jaccard side.)
+    "bm25_topk",
     "decontaminate_ngram_overlap",
     "embedding_kmeans_cells",
     "pack_token_budget",
     "hybrid_search_rrf",
+    # (doc_quality_score rotated out: r2 driver-green map-only heuristic;
+    # the text family keeps five in-window entries. In: the gapfill/locf
+    # hypertable surface from windows.py.)
+    "events_gapfill_locf",
     # (doc_repetition_stats rotated out for the round-3 rollup family:
     # r2 driver-green, and the text family keeps six in-window entries
     # (token_stats, lang_id, fingerprint, corpus_profile, quality, pack);
