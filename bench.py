@@ -109,6 +109,7 @@ HEADLINE = (
     "ann_pq_adc_topk",
     "sample_weighted_priority",
     "bm25_topk",
+    "multimodal_phash_near_dup",
 )
 
 

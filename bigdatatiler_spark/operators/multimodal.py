@@ -20,6 +20,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -206,3 +207,174 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+# --- perceptual-hash near-duplicates --------------------------------------
+# aHash (average hash), the classic perceptual image fingerprint: 64 bits,
+# bit i = (mean of region i) > (global mean). Near-duplicates are pairs
+# within a small Hamming distance — robust to re-encoding/brightness-class
+# perturbations that change every byte (so exact/sha dedup misses them)
+# while barely moving region means. Candidate generation reuses the
+# engine's banding idiom: 64 bits → 8 bands of 8; any equal band makes a
+# candidate (pigeonhole: Hamming ≤ 7 GUARANTEES a shared band, so recall
+# at the registered threshold is deterministic up to 7 and probabilistic
+# above), then the exact Hamming verify runs on candidates only — never
+# all-pairs. At 100 TB the knobs move to 16-bit bands + threshold ≤ 3,
+# the same trade the MinHash banding docs describe.
+#
+# Here the "image" is the document's payload (this container has no
+# image libs — multimodal decode is stubbed); regions are the 64
+# equal-ish slices of the code sequence, and the mean comparison is the
+# integer cross-product seg_sum·L > tot·seg_len — no division, engine-
+# exact. The JVM/SQL path below hashes CHARACTER CODES (ASCII corpus ⇒
+# identical to bytes; oracle-replayable); ``ahash_bands_stub`` is the
+# production mapInPandas slot hashing raw BYTES at decode time, pinned
+# equal to the SQL path on this corpus in tests/test_multimodal.py.
+
+PHASH_THRESH = 12  #: max Hamming distance for a near-dup pair (of 64)
+
+_BIT_SQL = (
+    "CASE WHEN ((({i}+1)*L) // 64 - (({i}*L) // 64)) = 0 THEN 0 "
+    "WHEN list_reduce(cs[({i}*L) // 64 + 1 : (({i}+1)*L) // 64], (a,x) -> a + x)"
+    " * L > tot * ((({i}+1)*L) // 64 - (({i}*L) // 64)) THEN 1 ELSE 0 END"
+)
+
+_PHASH_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id, [ord(c) for c in string_split(text, '')] AS cs,
+         length(text) AS L
+  FROM documents
+),
+tots AS (
+  SELECT doc_id, cs, L, list_reduce(cs, (a, x) -> a + x) AS tot FROM codes
+),
+bits AS (
+  SELECT doc_id,
+         [{_BIT_SQL.format(i="(i-1)")} for i in generate_series(1, 64)] AS bs
+  FROM tots
+),
+bands AS (
+  SELECT doc_id,
+         [list_reduce([bs[8*(k-1) + j + 1] << j for j in generate_series(0, 7)],
+                      (a, b) -> a + b)
+          for k in generate_series(1, 8)] AS bands
+  FROM bits
+),
+exploded AS (
+  SELECT doc_id, bands, g.k AS k, bands[g.k + 1] AS v
+  FROM bands, (SELECT unnest(generate_series(0, 7)) AS k) g
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.bands AS ba, b.bands AS bb
+  FROM exploded a
+  JOIN exploded b ON b.k = a.k AND b.v = a.v AND b.doc_id > a.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         list_reduce([bit_count(xor(ba[i], bb[i]))
+                      for i in generate_series(1, 8)], (a, b) -> a + b)
+           AS hamming
+  FROM cand
+) WHERE hamming <= {PHASH_THRESH}
+"""
+
+#: Spark mirror of the 64-bit/8-band computation, one codegen'd
+#: expression over (cs, L, tot). `i` is the bit index 0..63.
+_BIT_SPARK = (
+    "IF((((ib+1)*L) div 64 - ((ib*L) div 64)) = 0, 0, "
+    "IF(aggregate(slice(cs, (ib*L) div 64 + 1, "
+    "((ib+1)*L) div 64 - ((ib*L) div 64)), 0L, (a, x) -> a + x)"
+    " * L > tot * (((ib+1)*L) div 64 - ((ib*L) div 64)), 1, 0))"
+)
+
+_BANDS_SPARK = (
+    "transform(sequence(0, 7), k -> "
+    "aggregate(sequence(0, 7), 0, (acc, j) -> acc + "
+    f"(CAST({_BIT_SPARK.replace('ib', '(8*k + j)')} AS INT) << j)))"
+)
+
+
+def ahash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, bands): the 8 aHash bands, computed fully JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
+        F.length("text").cast("long").alias("L"),
+    ).select(
+        "doc_id",
+        F.expr("aggregate(cs, 0L, (a, x) -> a + x)").alias("tot"),
+        "cs",
+        "L",
+    ).select("doc_id", F.expr(_BANDS_SPARK).alias("bands"))
+
+
+def ahash_bands_stub(df: DataFrame) -> DataFrame:
+    """Production slot: the same 64-bit aHash over raw payload BYTES at
+    decode time (mapInPandas, Arrow-batched). On the ASCII test corpus
+    bytes == character codes, so this is pinned equal to `ahash_bands`;
+    with a real decoder the input becomes the decoded pixel buffer."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bands", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _hash(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
+        import pandas as pd
+
+        def bands_of(payload: bytes) -> list[int]:
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            L = len(b)
+            tot = int(b.sum())
+            bits = []
+            for i in range(64):
+                lo, hi = i * L // 64, (i + 1) * L // 64
+                if hi == lo:
+                    bits.append(0)
+                else:
+                    bits.append(1 if int(b[lo:hi].sum()) * L > tot * (hi - lo) else 0)
+            return [
+                sum(bits[8 * k + j] << j for j in range(8)) for k in range(8)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "bands": pdf["payload"].map(bands_of)}
+            )
+
+    return df.mapInPandas(_hash, schema)
+
+
+@register("multimodal_phash_near_dup", oracle=_PHASH_ORACLE)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: docs whose 64-bit aHash
+    fingerprints differ in ≤ {PHASH_THRESH} bits, found via the 8-band
+    equi-join (candidates) + exact Hamming verify (bit_count of XOR per
+    band, summed — all integer ops). One shuffle on the band key, one
+    distinct, no all-pairs anywhere."""
+    bands = ahash_bands(table(spark, sf_dir, "documents"))
+    e = bands.select(
+        "doc_id", "bands", F.posexplode("bands").alias("k", "v")
+    )
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"), "k", "v"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"), "k", "v"
+    )
+    cand = (
+        a.join(b, ["k", "v"])
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b", "ba", "bb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_THRESH)
+    )

@@ -102,3 +102,44 @@ def test_sample_frames_fanout(spark, docs):
     assert frame0["frame"] == b"x" * FRAME_BYTES
     # short docs yield exactly one frame (index 0)
     assert [r["frame_index"] for r in by_doc[1]] == [0]
+
+
+def test_ahash_stub_matches_sql_path(spark):
+    """The byte-hashing mapInPandas slot and the oracle-replayable
+    char-code SQL path must agree on the ASCII corpus (bytes == codes)."""
+    from bigdatatiler_spark.operators.multimodal import (
+        ahash_bands,
+        ahash_bands_stub,
+        with_payload,
+    )
+    from bigdatatiler_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    sql_side = {r.doc_id: r.bands for r in ahash_bands(docs).collect()}
+    stub_side = {
+        r.doc_id: r.bands
+        for r in ahash_bands_stub(with_payload(docs)).collect()
+    }
+    assert sql_side == stub_side
+
+
+def test_phash_finds_perturbed_payloads_not_strangers(spark):
+    """Semantics on controlled data: a lightly perturbed copy (a few
+    characters changed — every sha/exact hash breaks) stays within the
+    Hamming threshold of its original; an unrelated document does not."""
+    from bigdatatiler_spark.operators.multimodal import PHASH_THRESH, ahash_bands
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running " * 8
+    perturbed = "The quick brown fox jumps over the lazy dog and keeps running " + \
+        "the quick brown fox Jumps over the lazy dog and keeps running " * 7
+    stranger = "completely different content about spark shuffles and parquet " * 8
+    df = spark.createDataFrame(
+        [(0, base), (1, perturbed), (2, stranger)], "doc_id long, text string"
+    )
+    bands = {r.doc_id: r.bands for r in ahash_bands(df).collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b]))
+
+    assert ham(0, 1) <= PHASH_THRESH, f"perturbed pair at {ham(0,1)}"
+    assert ham(0, 2) > PHASH_THRESH, f"stranger pair at {ham(0,2)}"
