@@ -177,3 +177,58 @@ def vacuum(path: str, keep_last: int = 2) -> tuple[int, int]:
     for m in dropped:
         os.remove(_vfile(path, m["version"]))
     return len(doomed), len(dropped)
+
+
+def commit_delete(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+    bloom_index_path: str | None = None,
+) -> tuple[int, int, int]:
+    """Targeted row deletion (GDPR/right-to-be-forgotten class) as a
+    copy-on-write version commit. Returns (new version, files rewritten,
+    files untouched).
+
+    The expensive part of a compliance delete at 100 TB is not removing
+    the rows — it is discovering which of 100k immutable files contain
+    them. With a Bloom index over ``key_col`` (sources/bloomindex.py)
+    only files that MAY contain a doomed key are rewritten (no false
+    negatives ⇒ the delete is complete; false positives only cost a
+    rewrite that drops nothing); without one, every file is rewritten.
+    Untouched files are carried into the new version BY REFERENCE — the
+    dominant fraction of the table is never read, and concurrent readers
+    of older versions are unaffected (the deleted rows remain visible in
+    pre-delete versions until ``vacuum`` ages them out — retention policy
+    is where the compliance clock actually stops).
+    """
+    parent = current_version(path)
+    if parent is None:
+        raise ValueError(f"no versions at {path}")
+    files = _manifest(path, parent)["files"]
+    if bloom_index_path is not None:
+        from .bloomindex import bloom_prune_files
+
+        affected: set[str] = set()
+        for k in keys:
+            hit, _total = bloom_prune_files(spark, bloom_index_path, k)
+            affected.update(hit)
+        # the index may cover a superset/subset of this version's files
+        affected &= set(files)
+    else:
+        affected = set(files)
+    untouched = [f for f in files if f not in affected]
+    if not affected:
+        return _write_commit(path, untouched, "delete", parent), 0, len(untouched)
+    doomed = spark.createDataFrame([(k,) for k in keys], f"{key_col} string") \
+        if keys and isinstance(keys[0], str) else \
+        spark.createDataFrame([(k,) for k in keys], f"{key_col} long")
+    from pyspark.sql import functions as F
+
+    kept_rows = (
+        spark.read.parquet(*sorted(affected))
+        .join(F.broadcast(doomed), key_col, "left_anti")
+    )
+    new = _stage_files(kept_rows, path, parent + 1)
+    v = _write_commit(path, untouched + new, "delete", parent)
+    return v, len(affected), len(untouched)

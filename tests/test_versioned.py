@@ -92,3 +92,50 @@ def test_uncommitted_staging_is_invisible(spark, tmp_path, ev):
     _stage_files(ev.where(F.col("event_id") >= 100), path, 99)
     assert current_version(path) == 1
     assert len(_ids(read_table(spark, path))) == 100
+
+
+def test_targeted_delete_with_bloom_index(spark, tmp_path, ev):
+    """Copy-on-write delete: doomed keys gone from the new version,
+    everything else intact, untouched files carried by REFERENCE (the
+    bloom index bounds the rewrite set), and time travel still shows
+    the pre-delete state."""
+    import os
+
+    from bigdatatiler_spark.sources.bloomindex import build_bloom_index
+    from bigdatatiler_spark.sources.versioned import commit_delete
+
+    path = str(tmp_path / "t")
+    # user-bucketed layout → event_id spread across all files
+    commit_append(spark, path, ev.repartition(8, "user_id"))
+    m1 = versions(path)[-1]["files"]
+    idx = os.path.join(str(tmp_path), "idx")
+    build_bloom_index(spark, path, "event_id", idx, fpp=0.01)
+
+    doomed = [3, 400, 777]
+    v, rewritten, untouched = commit_delete(
+        spark, path, "event_id", doomed, bloom_index_path=idx
+    )
+    assert v == 2
+    # bloom bounds the rewrite: 3 keys live in ≤3 files (+ rare fp)
+    assert rewritten <= 4 and untouched >= len(m1) - 4
+
+    after = _ids(read_table(spark, path))
+    assert set(doomed).isdisjoint(after)
+    assert sorted(after + doomed) == _ids(ev)
+    # time travel: v1 still has the rows
+    assert set(doomed) <= set(_ids(read_table(spark, path, version=1)))
+    # untouched files are the same physical paths, not copies
+    m2 = set(versions(path)[-1]["files"])
+    assert len(m2 & set(m1)) == untouched
+
+
+def test_delete_without_index_rewrites_everything_but_is_correct(spark, tmp_path, ev):
+    from bigdatatiler_spark.sources.versioned import commit_delete
+
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.repartition(4, "user_id"))
+    v, rewritten, untouched = commit_delete(spark, path, "event_id", [1, 2])
+    assert untouched == 0 and rewritten > 0
+    after = _ids(read_table(spark, path))
+    assert 1 not in after and 2 not in after
+    assert len(after) == len(_ids(ev)) - 2
