@@ -232,3 +232,35 @@ def commit_delete(
     new = _stage_files(kept_rows, path, parent + 1)
     v = _write_commit(path, untouched + new, "delete", parent)
     return v, len(affected), len(untouched)
+
+
+def version_diff(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> tuple[DataFrame, DataFrame]:
+    """Change data feed: (added_rows, removed_rows) between two versions.
+
+    Because data files are immutable, a file present in both manifests
+    contributes NOTHING to the diff — only the symmetric difference of
+    the file lists is read. An append of 1 GB to a 100 TB table diffs in
+    1 GB of IO; a naive two-sided EXCEPT would read 200 TB. Row-level
+    semantics on the changed files are bag EXCEPTs in both directions
+    (exceptAll), so a compaction — same rows, different files — yields
+    empty diffs, and a delete yields its rows on the removed side only.
+    Downstream incremental consumers (rollup refresh, index maintenance)
+    subscribe to exactly this pair.
+    """
+    m_from = set(_manifest(path, v_from)["files"])
+    m_to = set(_manifest(path, v_to)["files"])
+    only_to = sorted(m_to - m_from)
+    only_from = sorted(m_from - m_to)
+    if not only_to and not only_from:
+        empty = read_table(spark, path, v_to).limit(0)
+        return empty, empty
+    schema_src = read_table(spark, path, v_to)
+    new_rows = (
+        spark.read.parquet(*only_to) if only_to else schema_src.limit(0)
+    )
+    old_rows = (
+        spark.read.parquet(*only_from) if only_from else schema_src.limit(0)
+    )
+    return new_rows.exceptAll(old_rows), old_rows.exceptAll(new_rows)

@@ -139,3 +139,25 @@ def test_delete_without_index_rewrites_everything_but_is_correct(spark, tmp_path
     after = _ids(read_table(spark, path))
     assert 1 not in after and 2 not in after
     assert len(after) == len(_ids(ev)) - 2
+
+
+def test_version_diff_reads_only_changed_files(spark, tmp_path, ev):
+    """CDC semantics: append → rows on added side; delete → removed side;
+    compaction → EMPTY diff (same rows, new files)."""
+    from bigdatatiler_spark.sources.versioned import commit_delete, version_diff
+
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.where(F.col("event_id") < 500).repartition(4))
+    commit_append(spark, path, ev.where(F.col("event_id") >= 500).repartition(4))
+    added, removed = version_diff(spark, path, 1, 2)
+    assert _ids(added) == _ids(ev.where(F.col("event_id") >= 500))
+    assert removed.count() == 0
+
+    commit_delete(spark, path, "event_id", [10, 20])
+    added, removed = version_diff(spark, path, 2, 3)
+    assert added.count() == 0
+    assert _ids(removed) == [10, 20]
+
+    commit_compact(spark, path, num_files=2)
+    added, removed = version_diff(spark, path, 3, 4)
+    assert added.count() == 0 and removed.count() == 0
