@@ -66,7 +66,21 @@ def _manifest(path: str, v: int) -> dict:
         return json.load(f)
 
 
-def _write_commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+def _rows_of(files: list[str]) -> dict[str, int]:
+    """Footer row counts for a commit's NEW files (commit-sized metadata
+    IO — inherited files carry their counts forward in the manifest)."""
+    import pyarrow.parquet as pq
+
+    return {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+
+
+def _write_commit(
+    path: str,
+    files: list[str],
+    op: str,
+    parent: int | None,
+    file_rows: dict[str, int] | None = None,
+) -> int:
     v = 1 if parent is None else parent + 1
     os.makedirs(_vdir(path), exist_ok=True)
     manifest = {
@@ -76,6 +90,8 @@ def _write_commit(path: str, files: list[str], op: str, parent: int | None) -> i
         "ts_ms": int(time.time() * 1000),
         "files": sorted(files),
     }
+    if file_rows is not None:
+        manifest["file_rows"] = file_rows
     with open(_vfile(path, v), "w") as f:
         json.dump(manifest, f)
     # the commit point: an atomic pointer swap, never a partial state
@@ -100,9 +116,11 @@ def _stage_files(df: DataFrame, path: str, v_next: int) -> list[str]:
 def commit_append(spark: SparkSession, path: str, df: DataFrame) -> int:
     """Append ``df`` as a new version (old files + new files)."""
     parent = current_version(path)
-    prior = _manifest(path, parent)["files"] if parent is not None else []
+    pm = _manifest(path, parent) if parent is not None else {}
+    prior = pm.get("files", [])
     new = _stage_files(df, path, (parent or 0) + 1)
-    return _write_commit(path, prior + new, "append", parent)
+    rows = dict(pm.get("file_rows", {})) | _rows_of(new)
+    return _write_commit(path, prior + new, "append", parent, rows)
 
 
 def commit_overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -110,7 +128,7 @@ def commit_overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     versions keep reading their own files."""
     parent = current_version(path)
     new = _stage_files(df, path, (parent or 0) + 1)
-    return _write_commit(path, new, "overwrite", parent)
+    return _write_commit(path, new, "overwrite", parent, _rows_of(new))
 
 
 def commit_compact(
@@ -124,7 +142,7 @@ def commit_compact(
         raise ValueError(f"no versions at {path}")
     df = read_table(spark, path, parent).coalesce(num_files)
     new = _stage_files(df, path, parent + 1)
-    return _write_commit(path, new, "compact", parent)
+    return _write_commit(path, new, "compact", parent, _rows_of(new))
 
 
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -218,8 +236,14 @@ def commit_delete(
     else:
         affected = set(files)
     untouched = [f for f in files if f not in affected]
+    parent_rows = _manifest(path, parent).get("file_rows", {})
+    kept_counts = {f: parent_rows[f] for f in untouched if f in parent_rows}
     if not affected:
-        return _write_commit(path, untouched, "delete", parent), 0, len(untouched)
+        return (
+            _write_commit(path, untouched, "delete", parent, kept_counts),
+            0,
+            len(untouched),
+        )
     doomed = spark.createDataFrame([(k,) for k in keys], f"{key_col} string") \
         if keys and isinstance(keys[0], str) else \
         spark.createDataFrame([(k,) for k in keys], f"{key_col} long")
@@ -230,7 +254,9 @@ def commit_delete(
         .join(F.broadcast(doomed), key_col, "left_anti")
     )
     new = _stage_files(kept_rows, path, parent + 1)
-    v = _write_commit(path, untouched + new, "delete", parent)
+    v = _write_commit(
+        path, untouched + new, "delete", parent, kept_counts | _rows_of(new)
+    )
     return v, len(affected), len(untouched)
 
 
@@ -264,3 +290,22 @@ def version_diff(
         spark.read.parquet(*only_from) if only_from else schema_src.limit(0)
     )
     return new_rows.exceptAll(old_rows), old_rows.exceptAll(new_rows)
+
+
+def fast_count(path: str, version: int | None = None) -> int:
+    """COUNT(*) from commit metadata alone — zero data IO, no Spark job.
+
+    Every commit records its new files' footer row counts and inherits
+    the rest (Delta's numRecords add-file stat); summing the manifest
+    answers the most common sanity query over a 100 TB table in
+    milliseconds. Falls back to footer reads for any file a pre-stats
+    manifest didn't record."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"no versions at {path}")
+    m = _manifest(path, v)
+    rows = m.get("file_rows", {})
+    missing = [f for f in m["files"] if f not in rows]
+    return sum(rows[f] for f in m["files"] if f in rows) + sum(
+        _rows_of(missing).values()
+    )

@@ -161,3 +161,20 @@ def test_version_diff_reads_only_changed_files(spark, tmp_path, ev):
     commit_compact(spark, path, num_files=2)
     added, removed = version_diff(spark, path, 3, 4)
     assert added.count() == 0 and removed.count() == 0
+
+
+def test_fast_count_matches_data_and_survives_all_commit_types(spark, tmp_path, ev):
+    from bigdatatiler_spark.sources.versioned import commit_delete, fast_count
+
+    path = str(tmp_path / "t")
+    commit_append(spark, path, ev.where(F.col("event_id") < 600).repartition(4))
+    assert fast_count(path) == 600
+    commit_append(spark, path, ev.where(F.col("event_id") >= 600).repartition(3))
+    n_total = ev.count()
+    assert fast_count(path) == n_total
+    commit_delete(spark, path, "event_id", [5, 6, 7])
+    assert fast_count(path) == n_total - 3
+    commit_compact(spark, path, num_files=2)
+    assert fast_count(path) == n_total - 3
+    # older versions answer from their own manifests
+    assert fast_count(path, version=1) == 600
