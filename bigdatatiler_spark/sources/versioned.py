@@ -80,6 +80,7 @@ def _write_commit(
     op: str,
     parent: int | None,
     file_rows: dict[str, int] | None = None,
+    meta: dict | None = None,
 ) -> int:
     v = 1 if parent is None else parent + 1
     os.makedirs(_vdir(path), exist_ok=True)
@@ -92,6 +93,8 @@ def _write_commit(
     }
     if file_rows is not None:
         manifest["file_rows"] = file_rows
+    if meta is not None:
+        manifest["meta"] = meta
     with open(_vfile(path, v), "w") as f:
         json.dump(manifest, f)
     # the commit point: an atomic pointer swap, never a partial state
@@ -113,14 +116,16 @@ def _stage_files(df: DataFrame, path: str, v_next: int) -> list[str]:
     ]
 
 
-def commit_append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def commit_append(
+    spark: SparkSession, path: str, df: DataFrame, meta: dict | None = None
+) -> int:
     """Append ``df`` as a new version (old files + new files)."""
     parent = current_version(path)
     pm = _manifest(path, parent) if parent is not None else {}
     prior = pm.get("files", [])
     new = _stage_files(df, path, (parent or 0) + 1)
     rows = dict(pm.get("file_rows", {})) | _rows_of(new)
-    return _write_commit(path, prior + new, "append", parent, rows)
+    return _write_commit(path, prior + new, "append", parent, rows, meta)
 
 
 def commit_overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -309,3 +314,33 @@ def fast_count(path: str, version: int | None = None) -> int:
     return sum(rows[f] for f in m["files"] if f in rows) + sum(
         _rows_of(missing).values()
     )
+
+
+def ingest_batch_handler(path: str):
+    """foreachBatch handler appending each micro-batch as a version,
+    exactly-once: the batch_id is recorded IN the commit manifest, so the
+    transaction log doubles as the idempotence journal (the same move
+    Delta's txn/appId-version action makes). Structured Streaming
+    re-delivers the last uncommitted batch after a failure; a batch_id
+    already present in any retained manifest is a no-op replay."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        for m in versions(path):
+            if m.get("meta", {}).get("batch_id") == batch_id:
+                return
+        commit_append(
+            batch_df.sparkSession, path, batch_df, meta={"batch_id": batch_id}
+        )
+
+    return _apply
+
+
+def stream_to_versioned(events_stream: DataFrame, path: str, checkpoint_dir: str):
+    """Exactly-once streaming ingest into a versioned table: every
+    micro-batch becomes an atomic commit; readers always see a version
+    boundary (never a half-written batch), time travel reaches any
+    retained batch, and the CDC feed (version_diff) exposes each batch's
+    rows to incremental consumers downstream."""
+    from ..streaming.joins import write_foreach_batch
+
+    return write_foreach_batch(events_stream, ingest_batch_handler(path), checkpoint_dir)

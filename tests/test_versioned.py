@@ -178,3 +178,33 @@ def test_fast_count_matches_data_and_survives_all_commit_types(spark, tmp_path, 
     assert fast_count(path) == n_total - 3
     # older versions answer from their own manifests
     assert fast_count(path, version=1) == 600
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path, ev):
+    """Three micro-batches → three version commits whose union equals
+    the batch table; a replayed batch_id is a no-op."""
+    from bigdatatiler_spark.sources.versioned import (
+        fast_count,
+        ingest_batch_handler,
+        stream_to_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    path = str(tmp_path / "t")
+    q = stream_to_versioned(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert current_version(path) == 3
+    assert _ids(read_table(spark, path)) == _ids(ev)
+    assert fast_count(path) == ev.count()
+    # replay the last committed batch — version count must not move
+    batch_ids = [m["meta"]["batch_id"] for m in versions(path)]
+    ingest_batch_handler(path)(ev, max(batch_ids))
+    assert current_version(path) == 3
