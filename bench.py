@@ -110,6 +110,7 @@ HEADLINE = (
     "sample_weighted_priority",
     "bm25_topk",
     "multimodal_phash_near_dup",
+    "events_bucket_checksums",
 )
 
 

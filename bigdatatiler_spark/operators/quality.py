@@ -170,3 +170,81 @@ def lineitem_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_l_orderkey_l_linenumber",
         "orphan_l_orderkey",
     )
+
+
+# --- Merkle-style bucket checksums ----------------------------------------
+# Anti-entropy / replica validation (the Dynamo/Cassandra Merkle-tree idea
+# flattened to one level): two copies of a table — a migrated cluster, a
+# replicated region, a format conversion — are compared by BUCKET
+# SIGNATURES instead of row-by-row. Each row folds to a 32-bit md5
+# signature of its canonical representation; a bucket's signature is the
+# SUM of its rows' signatures (order-independent, partition-independent —
+# no sort anywhere), so each side computes N_CK_BUCKETS tiny rows and the
+# comparison localizes any divergence to the differing buckets, which are
+# then re-scanned row-level (bucket-sized IO, not table-sized). Sums
+# accumulate in DECIMAL(38,0): overflow-free for any table size without
+# ANSI-mode-dependent BIGINT wraparound.
+
+N_CK_BUCKETS = 64
+
+
+def bucket_checksums(df: DataFrame, key: Column, repr_col: Column) -> DataFrame:
+    """(bucket, n_rows, sig_sum) — the one-level Merkle signature frame.
+    ``repr_col`` must be a canonical STRING representation whose
+    construction is deterministic on both engines (no raw floats)."""
+    sig = F.conv(F.substring(F.md5(repr_col), 1, 8), 16, 10).cast("decimal(38,0)")
+    return (
+        df.select(F.pmod(key, F.lit(N_CK_BUCKETS)).alias("bucket"), sig.alias("sig"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("sig").cast("decimal(38,0)").alias("sig_sum"),
+        )
+    )
+
+
+def diverging_buckets(a: DataFrame, b: DataFrame) -> list[int]:
+    """Buckets where two checksum frames disagree — the re-scan set."""
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.bucket") == F.col("b.bucket"), "full_outer"
+    )
+    rows = joined.where(
+        F.col("a.n_rows").isNull()
+        | F.col("b.n_rows").isNull()
+        | (F.col("a.n_rows") != F.col("b.n_rows"))
+        | (F.col("a.sig_sum") != F.col("b.sig_sum"))
+    ).select(F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"))
+    return sorted(r.bucket for r in rows.collect())
+
+
+@register(
+    "events_bucket_checksums",
+    oracle=f"""
+    SELECT
+      event_id % {N_CK_BUCKETS} AS bucket,
+      count(*) AS n_rows,
+      sum(('0x' || substr(md5(
+        concat_ws('|', event_id, user_id, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                  epoch_ms(ts))
+      ), 1, 8))::UBIGINT) AS sig_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table's Merkle signature frame: {N_CK_BUCKETS} buckets
+    keyed by event_id, row representation = all columns canonicalized to
+    integers/strings (value as exact cents, ts as epoch ms — the no-raw-
+    float/no-raw-timestamp registry rules applied to the row repr
+    itself). One map-side-combined shuffle on a perfectly uniform key."""
+    ev = table(spark, sf_dir, "events")
+    rep = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+        F.unix_millis(F.col("ts")),
+    )
+    return bucket_checksums(ev, F.col("event_id"), rep)

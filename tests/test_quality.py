@@ -74,3 +74,30 @@ def test_clean_table_audits_zero(spark):
     assert duplicate_key_count(clean, ("k",)).first()["dup_k"] == 0
     row = violation_counts(clean, {"neg": F.col("v") >= 0}).first()
     assert row["neg"] == 0
+
+
+def test_checksums_localize_single_row_divergence(spark):
+    """Anti-entropy semantics: identical frames agree everywhere; one
+    changed row flags exactly its own bucket."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.quality import (
+        N_CK_BUCKETS,
+        bucket_checksums,
+        diverging_buckets,
+    )
+    from bigdatatiler_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    rep = F.concat_ws("|", "event_id", "user_id", "event_type")
+    a = bucket_checksums(ev, F.col("event_id"), rep)
+    assert diverging_buckets(a, a) == []
+
+    mutated = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") == 123, F.col("user_id") + 1).otherwise(
+            F.col("user_id")
+        ),
+    )
+    b = bucket_checksums(mutated, F.col("event_id"), rep)
+    assert diverging_buckets(a, b) == [123 % N_CK_BUCKETS]
