@@ -268,3 +268,66 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+def refresh_rollup_from_diff(
+    spark: SparkSession,
+    rollup_path: str,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+) -> list[str]:
+    """Incremental view maintenance off the CDC feed, WITH retractions.
+
+    ``refresh_rollup`` handles append-only deltas; versioned tables also
+    produce row REMOVALS (commit_delete, overwrites). Because every
+    measure is an additive integer partial aggregate, a removal folds in
+    as its exact negative — fold(added) − fold(removed) == recompute, no
+    approximation, no full re-scan; buckets whose count reaches zero are
+    dropped. IO is bounded by the diff (changed files only), not the
+    table or the rollup.
+
+    Sketch columns are NOT retractable (an HLL union cannot forget);
+    a sketch-bearing rollup must recompute affected buckets from the
+    current version instead — this function refuses it loudly rather
+    than silently over-counting.
+    """
+    from .versioned import version_diff
+
+    stored = spark.read.parquet(rollup_path)
+    if "users_hll" in stored.columns:
+        raise ValueError(
+            "refresh_rollup_from_diff cannot retract HLL sketch state; "
+            "rebuild the affected buckets from the current table version "
+            "(sketches are mergeable, not subtractable)"
+        )
+    added, removed = version_diff(spark, table_path, from_version, to_version)
+    plus = _with_bucket_date(hourly_rollup(added))
+    minus = _with_bucket_date(hourly_rollup(removed)).select(
+        "bucket_ms",
+        "event_type",
+        (-F.col("n_events")).alias("n_events"),
+        (-F.col("value_cents")).alias("value_cents"),
+        BUCKET_DATE,
+    )
+    delta = plus.unionByName(minus)
+    dates = sorted(r[0] for r in delta.select(BUCKET_DATE).distinct().collect())
+    if not dates:
+        return []
+    existing = stored.filter(F.col(BUCKET_DATE).isin(dates)).withColumn(
+        BUCKET_DATE, F.date_format(BUCKET_DATE, "yyyy-MM-dd")
+    )
+    merged = _merge(existing.unionByName(delta)).where(F.col("n_events") > 0)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(BUCKET_DATE)
+            .write.mode("overwrite")
+            .option("compression", DEFAULT_COMPRESSION)
+            .partitionBy(BUCKET_DATE)
+            .parquet(rollup_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return dates

@@ -238,3 +238,48 @@ def test_hll_sketch_column_merges_exactly(spark, tmp_path):
     ).collect()[0].e
     exact_total = ev.select("user_id").distinct().count()
     assert abs(est_total - exact_total) <= max(1, exact_total * 0.05)
+
+
+def test_refresh_from_diff_handles_appends_and_deletes(spark, tmp_path):
+    """IVM with retractions: build the rollup at v1, mutate the table
+    (append + targeted delete), fold the CDC diff — result equals a full
+    recompute of the current version, bucket for bucket."""
+    from bigdatatiler_spark.sources.rollup import refresh_rollup_from_diff
+    from bigdatatiler_spark.sources.versioned import (
+        commit_append,
+        commit_delete,
+        read_table,
+    )
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tpath = os.path.join(tmp_path, "vtable")
+    rpath = os.path.join(tmp_path, "rollup")
+    commit_append(spark, tpath, ev.where(F.col("event_id") < 700))
+    build_rollup(read_table(spark, tpath), rpath)
+
+    commit_append(spark, tpath, ev.where(F.col("event_id") >= 700))
+    commit_delete(spark, tpath, "event_id", [10, 11, 12, 500])
+
+    dates = refresh_rollup_from_diff(spark, rpath, tpath, 1, 3)
+    assert dates
+
+    got = _rows(spark.read.parquet(rpath).drop(BUCKET_DATE))
+    want = _rows(hourly_rollup(read_table(spark, tpath)))
+    assert got == want
+
+
+def test_refresh_from_diff_refuses_sketch_rollups(spark, tmp_path):
+    import pytest as _pytest
+
+    from bigdatatiler_spark.sources.rollup import refresh_rollup_from_diff
+    from bigdatatiler_spark.sources.versioned import commit_append
+
+    ev = table(spark, SF, "events")
+    tpath = os.path.join(tmp_path, "vtable")
+    rpath = os.path.join(tmp_path, "rollup")
+    commit_append(spark, tpath, ev.limit(100))
+    build_rollup(ev, rpath, with_users_hll=True)
+    with _pytest.raises(ValueError, match="retract"):
+        refresh_rollup_from_diff(spark, rpath, tpath, 1, 1)
