@@ -556,3 +556,66 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("value_cents_locf"),
         F.when(F.col("cents").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST((p.n * 1000) // t.row_total AS BIGINT) AS p_permille
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for every
+    (from_type → to_type) pair, the observed count and the row-normalized
+    transition probability in integer per-mille (de-float rule). The
+    behavioral-analytics primitive behind next-action prediction and
+    anomalous-flow detection.
+
+    Plan: ONE shuffle on user_id for the lead() window (sequences are
+    per-user, so the state is user-local — the same key the funnel and
+    retention queries shuffle on), then a tiny (|types|², ≤25-row)
+    aggregate; the normalizing totals join is broadcast-sized. Ordering
+    inside a user is (ts_ns, event_id) — a total order, so ties cannot
+    reorder between engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000) div row_total").alias("p_permille"),
+        )
+    )
