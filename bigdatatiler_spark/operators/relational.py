@@ -349,3 +349,102 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_level",
         )
     )
+
+
+# --- market-basket co-occurrence ------------------------------------------
+BASKET_MIN_SUPPORT = 2  #: pairs must co-occur in at least this many orders
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM items a
+      JOIN items b ON b.l_orderkey = a.l_orderkey
+                  AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+    SELECT p.part_a, p.part_b, p.support,
+           CAST((p.support * 1000) // oa.n_orders AS BIGINT) AS conf_a_to_b_permille,
+           CAST((p.support * n.n_baskets * 1000)
+                  // (oa.n_orders * ob.n_orders) AS BIGINT) AS lift_permille
+    FROM pairs p
+    JOIN part_orders oa ON oa.l_partkey = p.part_a
+    JOIN part_orders ob ON ob.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: part pairs co-purchased in the same order,
+    with support, confidence(A→B) and lift — all integer per-mille
+    (de-float rule). The association-rules primitive (Apriori's k=2
+    level, which in practice is where basket analysis lives).
+
+    Scale shape: the pair generator is a SELF-EQUI-JOIN ON THE BASKET KEY
+    — candidate pairs are bounded by Σ per-order (items choose 2), never
+    corpus², and the shuffle key (l_orderkey) is the natural high-
+    cardinality key. Per-part totals and the basket count are
+    dimension-sized → broadcast into the final scoring join. A support
+    floor (≥{BASKET_MIN_SUPPORT}) keeps the output the interesting tail,
+    applied BEFORE the scoring joins so low-support pairs never reach
+    them."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    part_orders = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    # basket total as an in-plan broadcast scalar row (no driver action)
+    n_row = F.broadcast(items.agg(F.count_distinct("l_orderkey").alias("n_baskets")))
+    scored = (
+        pairs.join(
+            F.broadcast(
+                part_orders.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_orders").alias("oa"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                part_orders.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_orders").alias("ob"),
+                )
+            ),
+            "part_b",
+        )
+    )
+    return scored.crossJoin(n_row).select(
+        "part_a",
+        "part_b",
+        "support",
+        F.expr("(support * 1000) div oa").alias("conf_a_to_b_permille"),
+        F.expr("(support * n_baskets * 1000) div (oa * ob)").alias(
+            "lift_permille"
+        ),
+    )
