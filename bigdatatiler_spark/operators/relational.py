@@ -448,3 +448,74 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_permille"
         ),
     )
+
+
+@register(
+    "lineitem_price_quantity_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS p
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp,
+             sum(q * q) AS sqq,
+             sum(CAST(p AS HUGEINT) * p) AS spp,
+             sum(CAST(q AS HUGEINT) * p) AS sqp
+      FROM m GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(floor(
+             (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+             * 1000000) AS BIGINT) AS corr_e6
+    FROM s
+    """,
+)
+def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    in ONE aggregation pass over exact integer moments.
+
+    Why not F.corr: streaming float covariance accumulates in partition-
+    dependent order, so the last ulps differ run to run and engine to
+    engine. Here the five moments are EXACT integer sums (quantities and
+    prices as cents; squares in 128-bit-safe decimals) — order-
+    independent — and the correlation is derived from them at the end in
+    IEEE doubles, where *, -, /, sqrt are all correctly rounded: same
+    exact inputs ⇒ bit-identical output on any engine, emitted micro-
+    scaled (corr_e6). One shuffle on the 3-value group key."""
+    m = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(10,2)") * 100)
+        .cast("long")
+        .alias("q"),
+        (F.col("l_extendedprice").cast("decimal(10,2)") * 100)
+        .cast("long")
+        .alias("p"),
+    )
+    s = m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p").cast("decimal(38,0)") * F.col("p")).alias("spp"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("p")).alias("sqp"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sqp") - d("sq") * d("sp")) / F.sqrt(
+        (d("n") * d("sqq") - d("sq") * d("sq"))
+        * (d("n") * d("spp") - d("sp") * d("sp"))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.floor(corr * 1_000_000).cast("bigint").alias("corr_e6"),
+    )
