@@ -519,3 +519,43 @@ def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(corr * 1_000_000).cast("bigint").alias("corr_e6"),
     )
+
+
+HIST_BIN_CENTS = 5000  #: 50-currency-unit equi-width bins
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // {HIST_BIN_CENTS} AS BIGINT) AS bin,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // {HIST_BIN_CENTS} AS BIGINT) * {HIST_BIN_CENTS} AS bin_lo_cents,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value distribution per event type — the profiling/
+    dashboarding histogram. Binning on exact CENTS with integer division
+    (never width_bucket on raw doubles: a value sitting on a float bin
+    edge can land differently per engine; an integer edge cannot). One
+    map-side-combined shuffle on (type, bin) — at 100 TB the combine
+    collapses each partition to ≤ types×bins rows before the exchange."""
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    binned = ev.select(
+        "event_type", cents.alias("cents")
+    ).withColumn("bin", F.expr(f"cents div {HIST_BIN_CENTS}"))
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * HIST_BIN_CENTS).alias("bin_lo_cents"),
+            "n",
+        )
+    )

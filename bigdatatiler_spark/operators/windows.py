@@ -619,3 +619,61 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000) div row_total").alias("p_permille"),
         )
     )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             epoch_ms(ts) AS t_ms,
+             lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS next_ms
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           sum(next_ms - t_ms) AS observed_ms,
+           sum(cents * (next_ms - t_ms)) AS weighted_cents_ms,
+           CAST(sum(cents * (next_ms - t_ms)) // sum(next_ms - t_ms) AS BIGINT)
+             AS twa_cents
+    FROM seq WHERE next_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the hypertable/metrics-store aggregate):
+    each observation holds its value until the next one, so the mean is
+    weighted by holding time, not by sample count — THE correct average
+    for irregularly sampled gauges (a value sampled 100× in one busy
+    minute must not dominate a quiet day). Last observation per user has
+    no holding interval and drops out (locf semantics at the open end).
+
+    All integer: cents × interval-ms sums are exact BIGINTs (≤ 2^53
+    headroom at any realistic scale per user), the final division is
+    integer floor — nothing float anywhere. One user-keyed window shuffle
+    + one agg, the events_session_windows plan shape."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
+    )
+    return (
+        seq.where(F.col("next_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("next_ms") - F.col("t_ms")).alias("observed_ms"),
+            F.sum(F.col("cents") * (F.col("next_ms") - F.col("t_ms"))).alias(
+                "weighted_cents_ms"
+            ),
+        )
+        .withColumn(
+            "twa_cents", F.expr("weighted_cents_ms div observed_ms")
+        )
+    )
