@@ -616,3 +616,82 @@ def doc_length_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+# --- Zipf slope (vocabulary distribution health) --------------------------
+# A natural corpus has token frequencies ~ rank^-s with s ≈ 1; template
+# spam, boilerplate floods, or tokenizer bugs bend the log-log line. The
+# slope is the OLS fit of ln(freq) on ln(rank) — a standard corpus-health
+# gauge for training-data pipelines.
+_ZQ = 1_000_000  #: micro-nat quantization of both log axes
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                                AS DOUBLE)) * {_ZQ}) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * {_ZQ}) AS BIGINT) AS y
+      FROM freq
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM ranked
+    )
+    SELECT n AS vocab_size,
+           CAST(floor(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * {_ZQ}) AS BIGINT) AS zipf_slope_e6
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(freq) vs ln(rank) over the whole
+    vocabulary, emitted micro-scaled. Natural text sits near −1; a
+    template-flooded corpus flattens toward 0 at the head.
+
+    Determinism: both log axes are floored to integer micro-nats BEFORE
+    the moment sums (the doc_unigram_logprob libm discipline), moments
+    accumulate exactly (128-bit-safe), and the final slope derives from
+    them in correctly-rounded double ops — bit-identical cross-engine.
+    Plan: one vocab agg, one total-order rank window over vocab-sized
+    (not corpus-sized) rows, one 1-row moment agg."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(_norm_col(), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = freq.select(
+        F.floor(F.ln(F.row_number().over(w).cast("double")) * _ZQ)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.ln(F.col("cnt").cast("double")) * _ZQ).cast("long").alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return s.select(
+        F.col("n").alias("vocab_size"),
+        F.floor(slope * _ZQ).cast("bigint").alias("zipf_slope_e6"),
+    )
