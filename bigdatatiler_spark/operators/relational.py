@@ -17,7 +17,7 @@ Scale notes per query are inline; the recurring patterns:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -558,4 +558,66 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bin") * HIST_BIN_CENTS).alias("bin_lo_cents"),
             "n",
         )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             max(epoch_ms(o_orderdate)) AS last_order_ms,
+             count(*) AS frequency,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT c_custkey, last_order_ms, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY last_order_ms DESC, c_custkey ASC) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS f,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey ASC) AS m
+      FROM base
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           sum(monetary_cents) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled by recency / frequency /
+    monetary value (1 = best), rolled up to segment sizes and revenue —
+    the standard marketing-analytics cube.
+
+    Determinism: every ntile ordering carries the c_custkey tiebreak (a
+    total order — quartile boundaries cannot shuffle between engines);
+    money is exact cents. Plan note: each ntile is a single-partition
+    window over the CUSTOMER aggregate (dimension-sized, not fact-
+    sized); at 100 TB the exact quartile ranks would ride the histogram-
+    prefix-sum kernel (doc_length_rank_deciles) instead of one-partition
+    windows — same output, corpus-parallel."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(ms("o_orderdate")).alias("last_order_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = base.select(
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order_ms"), F.asc("c_custkey")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("c_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
     )

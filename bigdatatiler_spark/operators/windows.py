@@ -677,3 +677,80 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twa_cents", F.expr("weighted_cents_ms div observed_ms")
         )
     )
+
+
+PATH_LEN = 5  #: leading events kept per session path
+
+
+@register(
+    "events_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             array_to_string(
+               (list(event_type ORDER BY epoch_ns(ts), event_id))[1:{PATH_LEN}],
+               '>') AS path
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: the first {PATH_LEN} event types of every
+     30-min-gap session, joined with '>', counted across the corpus —
+    the flow-analysis primitive behind "how do users actually move
+    through the product". Sessionization is the gaps-and-islands kernel
+    (lag + running sum — the same sessions events_session_windows
+    derives); within-session order is (ts_ns, event_id), a total order,
+    and the path materializes via array_sort over collected structs so
+    collection order is irrelevant. Two user-keyed window passes + two
+    aggs; path cardinality (≤ |types|^{PATH_LEN}) keeps the final agg
+    broadcast-small."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) >= 30 * 60 * 1_000_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        numbered.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.expr("transform(seq, s -> s.event_type)"), 1, PATH_LEN),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
