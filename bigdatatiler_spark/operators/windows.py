@@ -754,3 +754,71 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+      GROUP BY user_id
+    ),
+    wk AS (
+      SELECT f.cw, (epoch_ms(date_trunc('week', e.ts)) - epoch_ms(f.cw))
+               // 604800000 AS week_offset,
+             sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events e JOIN f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT epoch_ms(cw) AS cohort_week_ms,
+           week_offset,
+           cents AS week_cents,
+           sum(cents) OVER (
+             PARTITION BY cw ORDER BY week_offset
+             ROWS UNBOUNDED PRECEDING
+           ) AS cum_cents
+    FROM wk
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup-week cohort, weekly and
+    CUMULATIVE revenue by week offset — the LTV triangle next to the
+    retention triangle (events_weekly_retention shares the cohort
+    derivation). Money is exact cents; the running total is a window
+    over the (weeks × weeks)-sized aggregate, never over raw events —
+    the cumulative pass costs nothing at any corpus scale."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    wk = (
+        ev.join(f, "user_id")
+        .groupBy(
+            "cw",
+            (
+                (
+                    F.unix_millis(F.date_trunc("week", F.col("ts")))
+                    - F.unix_millis(F.col("cw"))
+                )
+                / F.lit(604_800_000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("week_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return wk.select(
+        F.unix_millis("cw").alias("cohort_week_ms"),
+        "week_offset",
+        "week_cents",
+        F.sum("week_cents").over(w).alias("cum_cents"),
+    )
