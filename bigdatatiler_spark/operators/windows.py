@@ -822,3 +822,87 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_cents",
         F.sum("week_cents").over(w).alias("cum_cents"),
     )
+
+
+@register(
+    "orders_priority_scd2",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderkey,
+             epoch_ms(o_orderdate) AS d_ms,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY epoch_ms(o_orderdate), o_orderkey)
+    ),
+    isl AS (
+      SELECT *, sum(chg) OVER (
+               PARTITION BY o_custkey
+               ORDER BY d_ms, o_orderkey ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ),
+    spans AS (
+      SELECT o_custkey, island,
+             min(o_orderpriority) AS o_orderpriority,
+             min(d_ms) AS valid_from_ms,
+             count(*) AS n_orders
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT o_custkey, o_orderpriority, valid_from_ms,
+           lead(valid_from_ms) OVER (
+             PARTITION BY o_custkey ORDER BY island
+           ) AS valid_to_ms,
+           CASE WHEN lead(valid_from_ms) OVER (
+                  PARTITION BY o_custkey ORDER BY island) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_orders
+    FROM spans
+    """,
+)
+def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction: each customer's order-priority
+    history collapsed into [valid_from, valid_to) rows with an
+    is_current flag — the slowly-changing-dimension builder every
+    warehouse runs over attribute change streams, expressed as
+    gaps-and-islands (change flag → running island id → interval agg →
+    lead() for the closing edge).
+
+    All three window passes key on o_custkey with the (date_ms,
+    o_orderkey) total order, so the whole history of one entity is one
+    shuffle partition's work and entities parallelize freely — the
+    correct 100 TB shape for entity-history rebuilds."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderkey",
+        ms("o_orderdate").alias("d_ms"),
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    isl = seq.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("o_orderpriority"),
+        F.min("d_ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    lead_from = F.lead("valid_from_ms").over(w2)
+    return spans.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from_ms",
+        lead_from.alias("valid_to_ms"),
+        F.when(lead_from.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_orders",
+    )
