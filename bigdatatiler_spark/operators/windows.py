@@ -906,3 +906,46 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lead_from.isNull(), 1).otherwise(0).alias("is_current"),
         "n_orders",
     )
+
+
+@register(
+    "events_trailing_hour_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+             AS trailing_cents
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user activity: for EVERY event, the count and
+    exact-cents sum of that user's events in the preceding hour — a
+    RANGE (time-interval) window frame, the only frame class the engine
+    didn't yet exercise (ROWS frames ≠ RANGE frames: RANGE bounds are
+    VALUE offsets on the ordering key, so ties and irregular spacing are
+    handled by time, not by row position). The rate-limiting /
+    burst-detection primitive.
+
+    The frame rides integer epoch-ms (identical frame edges on both
+    engines — interval literals vs ms integers can disagree at DST
+    boundaries under non-UTC sessions, integers cannot). One user-keyed
+    shuffle; frame evaluation is streaming within each partition."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .over(w)
+        .alias("trailing_cents"),
+    )
