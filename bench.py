@@ -111,6 +111,17 @@ HEADLINE = (
     "bm25_topk",
     "multimodal_phash_near_dup",
     "events_bucket_checksums",
+    "events_type_transitions",
+    "basket_part_pairs",
+    "lineitem_price_quantity_corr",
+    "events_time_weighted_value",
+    "events_value_histogram",
+    "corpus_zipf_slope",
+    "customer_rfm_segments",
+    "events_session_paths",
+    "events_cohort_ltv",
+    "orders_priority_scd2",
+    "events_trailing_hour_stats",
 )
 
 
