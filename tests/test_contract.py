@@ -62,3 +62,31 @@ def test_all_queries_execute_smoke(spark, sf_dir):
     for name, fn in mod.queries().items():
         n = fn(spark, sf_dir).count()
         assert n >= 0, name
+
+
+def test_no_hash_hostile_output_types(spark):
+    """Registry determinism lint: no registered query may emit raw
+    TIMESTAMP/DATE (stringification and tz semantics differ between
+    engines — the rules demand epoch-ms longs) or FLOAT32 (repr drifts
+    through float→double widening) columns. DOUBLE is permitted only
+    because every emitting query derives it from exact decimal sums +
+    explicit rounding (registry.py rules) — verified conf-invariant by
+    the env sweep."""
+    from pyspark.sql.types import (
+        DateType,
+        FloatType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from bigdatatiler_spark.registry import load_all
+
+    bad = []
+    for name, spec in load_all().items():
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(
+                f.dataType, (TimestampType, TimestampNTZType, DateType, FloatType)
+            ):
+                bad.append((name, f.name, str(f.dataType)))
+    assert not bad, f"hash-hostile output columns: {bad}"
