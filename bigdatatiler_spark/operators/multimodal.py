@@ -355,7 +355,16 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (candidates) + exact Hamming verify (bit_count of XOR per
     band, summed — all integer ops). One shuffle on the band key, one
     distinct, no all-pairs anywhere."""
-    bands = ahash_bands(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    # The hash pass is CPU-heavy per row (64 interpreted segment folds);
+    # the small-SF fixture is a single parquet split, which would serialize
+    # it on one core AND recompute it per self-join side. Repartition to
+    # the session's parallelism and persist: one distributed hash pass,
+    # read twice. (At 100 TB the scan's natural splits already provide the
+    # parallelism and the hash rides the decode stage — ahash_bands_stub.)
+    bands = ahash_bands(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).persist()
     e = bands.select(
         "doc_id", "bands", F.posexplode("bands").alias("k", "v")
     )

@@ -26,6 +26,7 @@ def purchase_attribution_join(
     attribution_window: str = "1 hour",
     purchase_watermark: str = "1 hour",
     click_watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Clicks joined to purchases by the same user within the attribution
     window (click.ts ≤ purchase.ts < click.ts + window).
@@ -34,6 +35,14 @@ def purchase_attribution_join(
     adds watermark-bounded join state). The click side keeps a longer
     watermark than the purchase side because a click must wait up to
     `attribution_window` for its purchase to arrive.
+
+    ``how='left_outer'`` keeps UNattributed purchases (null click
+    columns) — the organic-conversion stream. Outer results cannot emit
+    eagerly: a purchase is only provably unmatched once the click-side
+    watermark passes the end of its attribution window, so null rows
+    trail the watermark and purchases younger than the final watermark
+    are withheld at stream end (Spark's documented outer-join
+    semantics; the restart-to-drain pattern applies on real pipelines).
     """
     p = purchases.select(
         F.col("event_id").alias("purchase_event_id"),
@@ -53,6 +62,7 @@ def purchase_attribution_join(
         (F.col("p_user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        how,
     ).select(
         "purchase_event_id",
         "click_event_id",

@@ -303,3 +303,76 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert {r["event_id"] for r in back.select("event_id").collect()} == {
         r["event_id"] for r in ev.select("event_id").collect()
     }
+
+
+def test_stream_stream_left_outer_emits_unattributed(spark, tmp_path):
+    """LEFT OUTER stream-stream join: purchases with no click in their
+    attribution window must still emit (null click columns) once the
+    click watermark provably passes their window. A young purchase near
+    the stream's end stays withheld — that is the documented semantics,
+    so the fixture keeps unmatched purchases far behind the final
+    watermark (a late sentinel click pushes it forward)."""
+    import datetime as dt
+
+    from bigdatatiler_spark.streaming.joins import purchase_attribution_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, t_min, uid, etype):
+        return (eid, base + dt.timedelta(minutes=t_min), uid, etype, 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    purchases = spark.createDataFrame(
+        [ev(1, 30, 1, "purchase"),   # attributed: click@25 within 1h window
+         ev(2, 40, 2, "purchase"),   # unattributed (user 2 never clicks)
+         ev(3, 50, 3, "purchase")],  # unattributed (click too early for window)
+        schema,
+    )
+    clicks = spark.createDataFrame(
+        [ev(10, 25, 1, "click"),
+         ev(11, -120, 3, "click")],      # outside the 1h window for purchase 3
+        schema,
+    )
+    p_src, c_src = str(tmp_path / "p"), str(tmp_path / "c")
+    # watermarks only advance BETWEEN micro-batches (batch N's watermark
+    # derives from batch N-1's max event time), and the GLOBAL watermark
+    # is the MIN across both inputs — so BOTH streams need later-batch
+    # sentinels far in the future, one file per batch via
+    # maxFilesPerTrigger=1
+    import time as _time
+
+    purchases.coalesce(1).write.mode("append").parquet(p_src)
+    clicks.coalesce(1).write.mode("append").parquet(c_src)
+    for i, sentinel_min in enumerate((60 * 50, 60 * 51, 60 * 52)):
+        _time.sleep(1.1)  # distinct mod-times → deterministic file order
+        spark.createDataFrame(
+            [ev(99 + i, sentinel_min, 999, "click")], schema
+        ).coalesce(1).write.mode("append").parquet(c_src)
+        spark.createDataFrame(
+            [ev(199 + i, sentinel_min, 998, "purchase")], schema
+        ).coalesce(1).write.mode("append").parquet(p_src)
+
+    joined = purchase_attribution_join(
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src),
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["purchase_event_id"]: r["click_event_id"]
+        for r in spark.sql("SELECT * FROM ss_outer_test").collect()
+    }
+    assert rows.get(1) == 10           # attributed pair
+    assert 2 in rows and rows[2] is None
+    assert 3 in rows and rows[3] is None
