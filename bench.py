@@ -176,17 +176,28 @@ def main() -> None:
             rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Apples-to-apples trend line: the headline set GROWS every round
+    # (47 → 96 entries), so the grand total is not comparable across
+    # rounds. Also report the total over the round-1 query set, so
+    # "within 2x of the recorded baseline" reads against the same work.
+    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(r1_path) as f:
+            r1_queries = set(json.load(f)["parsed"]["queries"])
+        out["r1_subset_sec"] = round(
+            sum(v for k, v in timings.items() if k in r1_queries), 3
         )
-    )
+        out["r1_subset_n"] = sum(1 for k in timings if k in r1_queries)
+    except (OSError, KeyError, ValueError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
