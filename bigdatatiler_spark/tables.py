@@ -72,6 +72,7 @@ REQUIRED_COLUMNS: dict[str, tuple[str, ...]] = {
         "l_orderkey",
         "l_partkey",
         "l_suppkey",
+        "l_linenumber",
         "l_quantity",
         "l_extendedprice",
         "l_discount",
@@ -163,6 +164,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             conv = _as_timestamp(name, col, df.schema[col].dataType)
             if conv is not None:
                 df = df.withColumn(col, conv)
+    elif name == "documents" and "n_chars" not in df.columns:
+        # round-3 fixtures added n_chars == length(text) (verified equal);
+        # synthesize it if a future regeneration drops the column so the
+        # sampling/quality consumers keep working unchanged.
+        df = df.withColumn("n_chars", F.length("text").cast("long"))
     return df
 
 
