@@ -74,3 +74,31 @@ def sql_dec(col: str, typ: str = SQL_PRICE) -> str:
 
 def sql_money_sum(expr: str, alias: str, ndigits: int = 2) -> str:
     return f"CAST(round(sum({expr}), {ndigits}) AS DOUBLE) AS {alias}"
+
+
+def e_int(x: Column, scale: int, alias: str) -> Column:
+    """floor(x·10^scale) as BIGINT — the tie-free emission for RATIONAL
+    double ratios. round(double, n) half-up ties legitimately diverge
+    between engines (Spark rounds the double's exact decimal expansion;
+    DuckDB multiplies and nearbyints) whenever an int/int quotient lands
+    on an exact decimal midpoint — which small integer denominators
+    (token counts, char counts, powers of two) hit routinely. floor of
+    one correctly-rounded multiply has no tie to disagree on. SQL
+    mirror: CAST(floor((x) * 10^scale) AS BIGINT)."""
+    return F.floor(x * F.lit(float(10**scale))).cast("bigint").alias(alias)
+
+
+def int_ratio(num: Column, den: Column, scale: int, alias: str) -> Column:
+    """floor((num·10^scale) / den) for exact-integer num/den — the SQL
+    mirror is ``(num * 10^scale) // den``. The double intermediate is
+    safe: the product is exact below 2^53, and a rational p/q is never
+    within an ulp of an integer it doesn't exactly equal (distance ≥ 1/q
+    ≫ ulp for any realistic q), so floor cannot land on the wrong side.
+    """
+    n = num if isinstance(num, Column) else F.col(num)
+    d = den if isinstance(den, Column) else F.col(den)
+    return (
+        F.floor((n.cast("double") * F.lit(float(10**scale))) / d)
+        .cast("bigint")
+        .alias(alias)
+    )

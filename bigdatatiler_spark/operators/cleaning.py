@@ -234,8 +234,8 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(*) AS n_tokens,
       sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
         AS sum_logp_micro,
-      round(CAST(sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
-                 AS DOUBLE) / 1000000 / count(*), 4) AS avg_logprob
+      sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
+        // count(*) AS avg_logp_micro
     FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -267,8 +267,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum(lp_micro).alias("sum_logp_micro"),
-            F.round(
-                F.sum(lp_micro).cast("double") / 1000000 / F.count("*"), 4
-            ).alias("avg_logprob"),
         )
+        # integer micro-nat mean (sum div count — both engines truncate
+        # toward zero): the rational sum/1e6/count emitted as a rounded
+        # double was the midpoint-tie divergence class
+        .withColumn("avg_logp_micro", F.expr("sum_logp_micro div n_tokens"))
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
+from ._util import int_ratio
 
 # MinHash parameters: K hashes, B bands of R=2 rows → catches pairs with
 # Jaccard ≳ (1/B)^(1/R) ≈ 0.35; verification threshold keeps true near-dups.
@@ -204,13 +205,14 @@ def _minhash_oracle() -> str:
     SELECT
       c.doc_id_1,
       c.doc_id_2,
-      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+      (len(list_intersect(x.sh, y.sh)) * 1000000)
+        // len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_e6
     FROM cand c
     JOIN shingled x ON c.doc_id_1 = x.doc_id
     JOIN shingled y ON c.doc_id_2 = y.doc_id
-    WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= {MINHASH_THRESHOLD}
+    WHERE (len(list_intersect(x.sh, y.sh)) * 1000000)
+            // len(list_distinct(list_concat(x.sh, y.sh)))
+          >= {int(MINHASH_THRESHOLD * 1000000)}
     """
 
 
@@ -250,14 +252,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2")),
         "doc_id_2",
     )
-    jaccard = F.round(
-        F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        / F.size(F.array_union("sh1", "sh2")),
+    # integer Jaccard on the e6 grid — the rounded-double form is the
+    # midpoint-tie class (union sizes of 2^7·5^b land exactly on half
+    # boundaries); the threshold compares on the same grid
+    jaccard = int_ratio(
+        F.size(F.array_intersect("sh1", "sh2")),
+        F.size(F.array_union("sh1", "sh2")),
         6,
+        "jaccard_e6",
     )
     return (
-        pairs.select("doc_id_1", "doc_id_2", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        pairs.select("doc_id_1", "doc_id_2", jaccard)
+        .where(F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000))
     )
 
 
@@ -277,20 +283,20 @@ def _incremental_oracle() -> str:
       WHERE n.doc_id % {INCREMENTAL_BATCH_MOD} = 0
         AND o.doc_id % {INCREMENTAL_BATCH_MOD} <> 0
     )
-    SELECT doc_id, dup_of, jaccard FROM (
-      SELECT s.doc_id, s.dup_of, s.jaccard,
+    SELECT doc_id, dup_of, jaccard_e6 FROM (
+      SELECT s.doc_id, s.dup_of, s.jaccard_e6,
              row_number() OVER (
-               PARTITION BY s.doc_id ORDER BY s.jaccard DESC, s.dup_of ASC
+               PARTITION BY s.doc_id ORDER BY s.jaccard_e6 DESC, s.dup_of ASC
              ) AS rn
       FROM (
         SELECT c.doc_id, c.dup_of,
-               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               (len(list_intersect(x.sh, y.sh)) * 1000000)
+                 // len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_e6
         FROM cand c
         JOIN shingled x ON c.doc_id = x.doc_id
         JOIN shingled y ON c.dup_of = y.doc_id
       ) s
-      WHERE s.jaccard >= {MINHASH_THRESHOLD}
+      WHERE s.jaccard_e6 >= {int(MINHASH_THRESHOLD * 1000000)}
     ) WHERE rn = 1
     """
 
@@ -331,18 +337,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_old")),
         "dup_of",
     )
-    jaccard = F.round(
-        F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
-        / F.size(F.array_union("sh_new", "sh_old")),
+    jaccard = int_ratio(
+        F.size(F.array_intersect("sh_new", "sh_old")),
+        F.size(F.array_union("sh_new", "sh_old")),
         6,
+        "jaccard_e6",
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard_e6"), F.asc("dup_of"))
     return (
-        pairs.select("doc_id", "dup_of", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        pairs.select("doc_id", "dup_of", jaccard)
+        .where(F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", "dup_of", "jaccard")
+        .select("doc_id", "dup_of", "jaccard_e6")
     )
 
 
@@ -372,9 +379,9 @@ def _decontam_oracle() -> str:
     SELECT c.doc_id,
            len(c.sh) AS n_grams,
            o.n_overlap,
-           round(CAST(o.n_overlap AS DOUBLE) / len(c.sh), 6) AS contamination
+           (o.n_overlap * 1000000) // len(c.sh) AS contamination_e6
     FROM corpus c JOIN overlap o USING (doc_id)
-    WHERE round(CAST(o.n_overlap AS DOUBLE) / len(c.sh), 6) >= {DECONTAM_THRESHOLD}
+    WHERE (o.n_overlap * 1000000) // len(c.sh) >= {int(DECONTAM_THRESHOLD * 1000000)}
     """
 
 
@@ -407,13 +414,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").alias("n_overlap"))
     )
-    contamination = F.round(
-        F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+    contamination = int_ratio(
+        F.col("n_overlap"), F.col("n_grams"), 6, "contamination_e6"
     )
     return (
-        overlap.withColumn("contamination", contamination)
-        .where(F.col("contamination") >= DECONTAM_THRESHOLD)
-        .select("doc_id", "n_grams", "n_overlap", "contamination")
+        overlap.select("doc_id", "n_grams", "n_overlap", contamination)
+        .where(F.col("contamination_e6") >= int(DECONTAM_THRESHOLD * 1000000))
     )
 
 
@@ -489,12 +495,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       b.doc_id AS doc_id_2,
       a.lang,
       a.source,
-      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+      (len(list_intersect(a.toks, b.toks)) * 1000000)
+        // len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_e6
     FROM d a
     JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= {NGRAM_THRESHOLD}
+    WHERE (len(list_intersect(a.toks, b.toks)) * 1000000)
+            // len(list_distinct(list_concat(a.toks, b.toks)))
+          >= {int(NGRAM_THRESHOLD * 1000000)}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,10 +539,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lb_probe"),
     )
-    jaccard = F.round(
-        F.size(F.array_intersect("toks", "toks_b")).cast("double")
-        / F.size(F.array_union("toks", "toks_b")),
+    jaccard = int_ratio(
+        F.size(F.array_intersect("toks", "toks_b")),
+        F.size(F.array_union("toks", "toks_b")),
         6,
+        "jaccard_e6",
     )
     return (
         a.join(
@@ -550,9 +558,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_2",
             "lang",
             "source",
-            jaccard.alias("jaccard"),
+            jaccard,
         )
-        .where(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .where(F.col("jaccard_e6") >= int(NGRAM_THRESHOLD * 1000000))
     )
 
 

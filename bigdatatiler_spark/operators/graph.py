@@ -301,8 +301,8 @@ def _cc_verified_oracle() -> str:
     from .dedup import MINHASH_THRESHOLD
 
     jaccard = (
-        "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+        "(len(list_intersect(x.sh, y.sh)) * 1000000)"
+        " // len(list_distinct(list_concat(x.sh, y.sh)))"
     )
     return f"""
     WITH RECURSIVE {_SHINGLED_SQL},
@@ -318,7 +318,7 @@ def _cc_verified_oracle() -> str:
       FROM cand c
       JOIN shingled x ON c.a = x.doc_id
       JOIN shingled y ON c.b = y.doc_id
-      WHERE {jaccard} >= {MINHASH_THRESHOLD}
+      WHERE {jaccard} >= {int(MINHASH_THRESHOLD * 1000000)}
     ),
     edges AS (
       SELECT a, b FROM verified UNION SELECT b, a FROM verified
@@ -361,8 +361,8 @@ def _keep_canonical_oracle() -> str:
     from .dedup import MINHASH_THRESHOLD
 
     jaccard = (
-        "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+        "(len(list_intersect(x.sh, y.sh)) * 1000000)"
+        " // len(list_distinct(list_concat(x.sh, y.sh)))"
     )
     return f"""
     WITH RECURSIVE {_SHINGLED_SQL},
@@ -378,7 +378,7 @@ def _keep_canonical_oracle() -> str:
       FROM cand c
       JOIN shingled x ON c.a = x.doc_id
       JOIN shingled y ON c.b = y.doc_id
-      WHERE {jaccard} >= {MINHASH_THRESHOLD}
+      WHERE {jaccard} >= {int(MINHASH_THRESHOLD * 1000000)}
     ),
     edges AS (
       SELECT a, b FROM verified UNION SELECT b, a FROM verified

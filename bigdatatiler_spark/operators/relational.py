@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import RATE, dec, money_sum, ms, one_minus, one_plus, ratio, ts_lit
+from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ratio, ts_lit
 
 
 @register(
@@ -37,9 +37,12 @@ from ._util import RATE, dec, money_sum, ms, one_minus, one_plus, ratio, ts_lit
       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
-      round(CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) / count(*), 4) AS avg_qty,
-      round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE) / count(*), 4) AS avg_price,
-      round(CAST(round(sum(CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) / count(*), 4) AS avg_disc,
+      (CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
+        // count(*) AS avg_qty_e4,
+      (CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
+        // count(*) AS avg_price_e4,
+      (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) * 100 AS BIGINT) * 100)
+        // count(*) AS avg_disc_e4,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,9 +65,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(dec("l_extendedprice"), "sum_base_price"),
         money_sum(disc_price, "sum_disc_price"),
         money_sum(charge, "sum_charge"),
-        ratio(F.round(F.sum(dec("l_quantity")), 2).cast("double"), cnt, "avg_qty"),
-        ratio(F.round(F.sum(dec("l_extendedprice")), 2).cast("double"), cnt, "avg_price"),
-        ratio(F.round(F.sum(dec("l_discount", RATE)), 2).cast("double"), cnt, "avg_disc"),
+        # exact cents (decimal sum ×100 → BIGINT) over count on the e4
+        # grid — the round(double)/count form is the midpoint-tie class
+        int_ratio((F.sum(dec("l_quantity")) * 100).cast("long"), cnt, 2, "avg_qty_e4"),
+        int_ratio(
+            (F.sum(dec("l_extendedprice")) * 100).cast("long"), cnt, 2, "avg_price_e4"
+        ),
+        int_ratio(
+            (F.sum(dec("l_discount", RATE)) * 100).cast("long"), cnt, 2, "avg_disc_e4"
+        ),
         cnt.alias("count_order"),
     )
 

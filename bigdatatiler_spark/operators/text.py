@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
+from ._util import int_ratio
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 #: words treated as English function-word markers by the heuristic
@@ -38,20 +39,23 @@ def _norm_col():
       doc_id, lang, source, n_chars,
       len(toks) AS n_tokens,
       len(list_distinct(toks)) AS n_distinct_tokens,
-      round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks), 4)
-        AS avg_token_len,
-      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
-        AS ttr,
+      (list_sum([length(x) for x in toks]) * 10000) // len(toks)
+        AS avg_token_len_e4,
+      (len(list_distinct(toks)) * 10000) // len(toks)
+        AS ttr_e4,
       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
     FROM t
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals: token count, vocabulary size,
-    mean token length, type-token ratio, punctuation density. Integer
-    bases with one rounded division → deterministic. This is the
-    whitespace tokenizer; the BPE-ish regex tokenizer is in
-    functions/tokenize.py (oracle-checked as doc_bpe_token_counts)."""
+    mean token length (e4), type-token ratio (e4), punctuation density.
+    Ratios emit as (num·10^4) div den — pure integer arithmetic, immune
+    to the round(double) midpoint-tie divergence class (an int/int
+    quotient routinely lands on an exact decimal midpoint, where the two
+    engines' half-up implementations disagree — observed at sf0.1 on
+    doc_quality_score). This is the whitespace tokenizer; the BPE-ish
+    regex tokenizer is in functions/tokenize.py (doc_bpe_token_counts)."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", "source", "n_chars", "text", F.split(_norm_col(), " ").alias("toks")
@@ -66,8 +70,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_tok.cast("bigint").alias("n_tokens"),
         n_distinct.cast("bigint").alias("n_distinct_tokens"),
-        F.round(sum_len.cast("double") / n_tok, 4).alias("avg_token_len"),
-        F.round(n_distinct.cast("double") / n_tok, 4).alias("ttr"),
+        int_ratio(sum_len, n_tok, 4, "avg_token_len_e4"),
+        int_ratio(n_distinct, n_tok, 4, "ttr_e4"),
         F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("bigint").alias("n_punct"),
     )
 
@@ -88,7 +92,7 @@ def _stopword_hits_sql() -> str:
       doc_id,
       lang AS labeled_lang,
       {_stopword_hits_sql()} AS en_stopword_hits,
-      round(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks), 4) AS en_stopword_ratio,
+      ({_stopword_hits_sql()} * 10000) // len(toks) AS en_stopword_ratio_e4,
       CASE WHEN CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) >= {STOPWORD_RATIO_EN}
            THEN 'en' ELSE 'und' END AS predicted_lang
     FROM t
@@ -107,7 +111,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         hits.cast("bigint").alias("en_stopword_hits"),
-        F.round(ratio, 4).alias("en_stopword_ratio"),
+        int_ratio(hits, F.size("toks"), 4, "en_stopword_ratio_e4"),
         F.when(ratio >= STOPWORD_RATIO_EN, "en").otherwise("und").alias("predicted_lang"),
     )
 
@@ -205,26 +209,30 @@ LEN_SAT = 50.0  # token count at which the length term saturates
              string_split({_NORM_SQL}, ' ') AS toks
       FROM documents
     )
-    SELECT
-      doc_id, source,
-      round(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks), 4) AS stopword_ratio,
-      round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-            / n_chars, 4) AS alpha_ratio,
-      round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-            / n_chars, 4) AS punct_ratio,
-      round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
-            + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
-            + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) AS quality_score,
+    , terms AS (
+      SELECT doc_id, source,
+        ({_stopword_hits_sql()} * 10000) // len(toks) AS stopword_ratio_e4,
+        (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000) // n_chars
+          AS alpha_ratio_e4,
+        (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 10000) // n_chars
+          AS punct_ratio_e4,
+        least(({_stopword_hits_sql()} * 20 * 10000) // len(toks), 10000)
+          AS stop_term_e4,
+        least(len(toks) * 200, 10000) AS len_term_e4
+      FROM t
+    )
+    SELECT doc_id, source,
+      stopword_ratio_e4, alpha_ratio_e4, punct_ratio_e4,
+      (4 * stop_term_e4 + 3 * alpha_ratio_e4 + 3 * len_term_e4) // 10
+        AS quality_score_e4,
       CASE
-        WHEN round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
-                   + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
-                   + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) >= 0.8 THEN 'high'
-        WHEN round({QW_STOP} * least(CAST({_stopword_hits_sql()} AS DOUBLE) / len(toks) / {STOP_SAT}, 1.0)
-                   + {QW_ALPHA} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars)
-                   + {QW_LEN} * least(len(toks) / {LEN_SAT}, 1.0), 4) >= 0.5 THEN 'medium'
+        WHEN (4 * stop_term_e4 + 3 * alpha_ratio_e4 + 3 * len_term_e4) // 10
+             >= 8000 THEN 'high'
+        WHEN (4 * stop_term_e4 + 3 * alpha_ratio_e4 + 3 * len_term_e4) // 10
+             >= 5000 THEN 'medium'
         ELSE 'low'
       END AS quality_tier
-    FROM t
+    FROM terms
     """,
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,25 +250,35 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tok = F.size("toks")
     hits = F.size(F.filter("toks", lambda x: x.isin(*_EN_STOPWORDS)))
-    stop_ratio = hits.cast("double") / n_tok
-    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
-    alpha_ratio = alpha / F.col("n_chars")
-    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
-    score = F.round(
-        F.lit(QW_STOP) * F.least(stop_ratio / STOP_SAT, F.lit(1.0))
-        + F.lit(QW_ALPHA) * alpha_ratio
-        + F.lit(QW_LEN) * F.least(n_tok / LEN_SAT, F.lit(1.0)),
-        4,
-    )
-    return t.select(
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    # every term lives on the e4 integer grid: /STOP_SAT is ×20, /LEN_SAT
+    # is ×200, and the 0.4/0.3/0.3 weights are 4/3/3 over 10 — the whole
+    # score is exact integer arithmetic end to end (this query is where
+    # the round(double) midpoint-tie divergence was OBSERVED at sf0.1)
+    terms = t.select(
         "doc_id",
         "source",
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct / F.col("n_chars"), 4).alias("punct_ratio"),
-        score.alias("quality_score"),
-        F.when(score >= 0.8, "high")
-        .when(score >= 0.5, "medium")
+        int_ratio(hits, n_tok, 4, "stopword_ratio_e4"),
+        int_ratio(alpha, F.col("n_chars"), 4, "alpha_ratio_e4"),
+        int_ratio(punct, F.col("n_chars"), 4, "punct_ratio_e4"),
+        F.least(int_ratio(hits * 20, n_tok, 4, "_"), F.lit(10000)).alias(
+            "stop_term_e4"
+        ),
+        F.least(n_tok.cast("bigint") * 200, F.lit(10000)).alias("len_term_e4"),
+    )
+    score = F.expr(
+        "(4 * stop_term_e4 + 3 * alpha_ratio_e4 + 3 * len_term_e4) div 10"
+    )
+    return terms.select(
+        "doc_id",
+        "source",
+        "stopword_ratio_e4",
+        "alpha_ratio_e4",
+        "punct_ratio_e4",
+        score.alias("quality_score_e4"),
+        F.when(score >= 8000, "high")
+        .when(score >= 5000, "medium")
         .otherwise("low")
         .alias("quality_tier"),
     )
@@ -425,14 +443,13 @@ REP_DUP_BIGRAM_MAX = 0.05
     SELECT s.doc_id,
            s.n_tokens,
            top.top_token,
-           round(CAST(top.top_cnt AS DOUBLE) / s.n_tokens, 4) AS top_token_frac,
-           round(1.0 - CAST(s.n_distinct_bigrams AS DOUBLE) / s.n_bigrams, 4)
-             AS dup_bigram_frac,
+           (top.top_cnt * 10000) // s.n_tokens AS top_token_frac_e4,
+           ((s.n_bigrams - s.n_distinct_bigrams) * 10000) // s.n_bigrams
+             AS dup_bigram_frac_e4,
            CAST(
-             round(CAST(top.top_cnt AS DOUBLE) / s.n_tokens, 4)
-               > {REP_TOP_TOKEN_MAX}
-             OR round(1.0 - CAST(s.n_distinct_bigrams AS DOUBLE) / s.n_bigrams, 4)
-               > {REP_DUP_BIGRAM_MAX}
+             (top.top_cnt * 10000) // s.n_tokens > {int(REP_TOP_TOKEN_MAX * 10000)}
+             OR ((s.n_bigrams - s.n_distinct_bigrams) * 10000) // s.n_bigrams
+               > {int(REP_DUP_BIGRAM_MAX * 10000)}
            AS INT) AS flagged
     FROM stats s JOIN top USING (doc_id)
     """,
@@ -476,19 +493,25 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_distinct_bigrams"),
     )
-    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 4)
-    dup_frac = F.round(
-        F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 4
+    # all-integer fractions (see doc_token_stats: the round(double)
+    # midpoint-tie class); thresholds compare on the same e4 grid
+    top_frac = int_ratio(F.col("top_cnt"), F.col("n_tokens"), 4, "top_token_frac_e4")
+    dup_frac = int_ratio(
+        F.col("n_bigrams") - F.col("n_distinct_bigrams"),
+        F.col("n_bigrams"),
+        4,
+        "dup_bigram_frac_e4",
     )
-    return stats.join(top, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "top_token",
-        top_frac.alias("top_token_frac"),
-        dup_frac.alias("dup_bigram_frac"),
-        ((top_frac > REP_TOP_TOKEN_MAX) | (dup_frac > REP_DUP_BIGRAM_MAX))
-        .cast("int")
-        .alias("flagged"),
+    return (
+        stats.join(top, "doc_id")
+        .select("doc_id", "n_tokens", "top_token", top_frac, dup_frac)
+        .withColumn(
+            "flagged",
+            (
+                (F.col("top_token_frac_e4") > int(REP_TOP_TOKEN_MAX * 10000))
+                | (F.col("dup_bigram_frac_e4") > int(REP_DUP_BIGRAM_MAX * 10000))
+            ).cast("int"),
+        )
     )
 
 

@@ -163,9 +163,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_year,
-      round(CAST(round(sum(CASE WHEN supp_nation = 'NATION_5'
-                                THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END), 2) AS DOUBLE)
-            / CAST(round(sum(volume), 2) AS DOUBLE), 6) AS mkt_share
+      (CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END)
+              * 10000 AS HUGEINT) * 1000000)
+        // CAST(sum(volume) * 10000 AS BIGINT) AS mkt_share_e6
     FROM all_nations
     GROUP BY o_year
     """,
@@ -214,11 +215,19 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.round(F.sum(nation_vol), 2).cast("double")
-                / F.round(F.sum(vol), 2).cast("double"),
-                6,
-            ).alias("mkt_share")
+            (F.sum(nation_vol) * 10000).cast("long").alias("_num4"),
+            (F.sum(vol) * 10000).cast("long").alias("_den4"),
+        )
+        # exact e4-scaled decimal sums → integer share on the e6 grid
+        # (the rounded-double ratio is the midpoint-tie class: a cents
+        # ratio reducing to x/2^k·5^m lands exactly on a half boundary);
+        # the product widens to DECIMAL(38)/HUGEINT — overflow-free at
+        # any corpus scale
+        .select(
+            "o_year",
+            F.expr(
+                "(CAST(_num4 AS DECIMAL(38,0)) * 1000000) div _den4"
+            ).alias("mkt_share_e6"),
         )
     )
 
@@ -310,9 +319,10 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_revenue",
     oracle=f"""
     SELECT
-      round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
-                                        ELSE CAST(0 AS DECIMAL(10,2)) END), 2) AS DOUBLE)
-            / CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE), 6) AS promo_revenue
+      (CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                     ELSE CAST(0 AS DECIMAL(10,2)) END) * 10000 AS HUGEINT)
+         * 100000000)
+        // CAST(sum({_DISC_SQL}) * 10000 AS BIGINT) AS promo_pct_e6
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -335,12 +345,15 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.round(F.sum(promo), 2).cast("double")
-                / F.round(F.sum(vol), 2).cast("double"),
-                6,
-            ).alias("promo_revenue")
+            (F.sum(promo) * 10000).cast("long").alias("_num4"),
+            (F.sum(vol) * 10000).cast("long").alias("_den4"),
+        )
+        # percent on the e6 grid from exact e4 decimal sums (×1e8 = the
+        # 100.0 factor and the e6 scale combined), widened to DECIMAL(38)
+        .select(
+            F.expr(
+                "(CAST(_num4 AS DECIMAL(38,0)) * 100000000) div _den4"
+            ).alias("promo_pct_e6")
         )
     )
 

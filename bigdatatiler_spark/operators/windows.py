@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import dec, money_sum, ms, ts_lit
+from ._util import dec, int_ratio, money_sum, ms, ts_lit
 
 
 @register(
@@ -310,8 +310,8 @@ _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
       (SELECT count(*) FROM s2) AS n_view,
       (SELECT count(*) FROM s3) AS n_click,
       (SELECT count(*) FROM s4) AS n_purchase,
-      round(CAST((SELECT count(*) FROM s4) AS DOUBLE)
-            / (SELECT count(*) FROM s1), 4) AS signup_to_purchase_rate
+      ((SELECT count(*) FROM s4) * 10000) // (SELECT count(*) FROM s1)
+        AS signup_to_purchase_rate_e4
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,9 +376,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         reached(2).alias("n_view"),
         reached(3).alias("n_click"),
         reached(4).alias("n_purchase"),
-        F.round(
-            reached(4).cast("double") / reached(1), 4
-        ).alias("signup_to_purchase_rate"),
+        # int/int ratio on the e4 grid (round(double) midpoint-tie class)
+        int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
     )
 
 

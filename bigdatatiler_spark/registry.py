@@ -10,7 +10,13 @@ order-insensitively but exactly):
   cast/round at the end — identical in Spark and DuckDB;
 - never emit raw timestamps: emit epoch millis (unix_millis / epoch_ms);
 - every LIMIT carries a total-order ORDER BY (unique tiebreak column);
-- alias every computed column identically on both sides.
+- alias every computed column identically on both sides;
+- never round(double, n) a RATIONAL quotient (int/int, cents/count,
+  |A∩B|/|A∪B|): such values land on exact decimal midpoints, where the
+  engines' half-up implementations legitimately disagree (observed at
+  sf0.1). Emit floor-scaled integers instead — (num·10^n) div den or
+  _util.int_ratio — which have no tie to disagree on. round() on
+  irrational-valued doubles (cosines, sqrt-normalized stats) is safe.
 """
 
 from __future__ import annotations
