@@ -58,11 +58,6 @@ def money_sum(expr: Column, alias: str, ndigits: int = 2) -> Column:
     return F.round(F.sum(expr), ndigits).cast("double").alias(alias)
 
 
-def ratio(num: Column, den: Column, alias: str, ndigits: int = 4) -> Column:
-    """Deterministic average/ratio over already-deterministic doubles."""
-    return F.round(num / den, ndigits).alias(alias)
-
-
 # SQL-side mirrors (DuckDB) of the same discipline, for oracle strings.
 SQL_PRICE = "DECIMAL(10,2)"
 SQL_RATE = "DECIMAL(3,2)"

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ratio, ts_lit
+from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ts_lit
 
 
 @register(
