@@ -27,6 +27,10 @@ SMOKE_QUERIES = (
     "sample_domain_mixture",
     "doc_duplicate_spans",
     "events_filtered_topk",
+    # round-3 rounding-tie conversions: one per converted family
+    "doc_quality_score",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
 )
 
 SMOKE_VARIANTS = ("tz_nyc", "ansi_on", "ntz_infer_off", "small_splits")
