@@ -60,6 +60,11 @@ def test_shuffle_budget_holds(spark):
     )
     over = {}
     for name, spec in specs.items():
+        # measure the COLD plan: persist()-bearing queries (bm25, phash)
+        # otherwise count InMemoryTableScan-collapsed plans or not
+        # depending on which tests ran earlier in the shared session —
+        # the budget is generated cold (plan_audit clears cache too)
+        spark.catalog.clearCache()
         a = audit(spec.fn(spark, SF))
         if a.exchanges > budget[name]:
             over[name] = (a.exchanges, budget[name])

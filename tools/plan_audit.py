@@ -59,6 +59,10 @@ def main() -> int:
         if names and name not in names:
             continue
         try:
+            # cold plan: a persist() materialized by an earlier query in
+            # this loop would collapse shared branches to
+            # InMemoryTableScan and under-count that query's exchanges
+            spark.catalog.clearCache()
             a = audit(spec.fn(spark, sf_dir))
         except Exception as e:  # audit must cover everything — surface, don't die
             print(f"  ✗ {name}: audit failed: {e}")
