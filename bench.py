@@ -122,6 +122,7 @@ HEADLINE = (
     "events_cohort_ltv",
     "orders_priority_scd2",
     "events_trailing_hour_stats",
+    "events_seasonal_backtest",
 )
 
 

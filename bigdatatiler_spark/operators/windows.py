@@ -948,3 +948,68 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("trailing_cents"),
     )
+
+
+@register(
+    "events_seasonal_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('hour', ts)) AS h_ms,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    forecast AS (
+      SELECT event_type, cents,
+             lag(cents, 24) OVER (
+               PARTITION BY event_type ORDER BY h_ms
+             ) AS fc
+      FROM hourly
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           sum(abs(cents - fc)) // count(*) AS mae_cents,
+           sum(cents - fc) // count(*) AS bias_cents
+    FROM forecast WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's revenue as
+    the same hour yesterday (lag 24 on the hourly series) and score MAE
+    and bias per event type — the baseline every real forecaster must
+    beat, and the cheapest drift detector for a metrics pipeline. Exact
+    integer cents end-to-end; errors aggregate as order-independent
+    BIGINT sums with integer-div means.
+
+    Scale: the window runs over the HOURLY AGGREGATE (hours × types
+    rows, like the gapfill family), never raw events — one fact shuffle
+    for the rollup, then the series logic is free at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h_ms"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "h_ms")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h_ms")
+    fc = hourly.withColumn("fc", F.lag("cents", 24).over(w)).where(
+        F.col("fc").isNotNull()
+    )
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.abs(F.col("cents") - F.col("fc"))).alias("_sae"),
+            F.sum(F.col("cents") - F.col("fc")).alias("_se"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.expr("_sae div n_hours").alias("mae_cents"),
+            F.expr("_se div n_hours").alias("bias_cents"),
+        )
+    )
