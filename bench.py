@@ -123,6 +123,7 @@ HEADLINE = (
     "orders_priority_scd2",
     "events_trailing_hour_stats",
     "events_seasonal_backtest",
+    "events_weekly_seasonality",
 )
 
 

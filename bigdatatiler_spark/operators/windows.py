@@ -1013,3 +1013,40 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_se div n_hours").alias("bias_cents"),
         )
     )
+
+
+@register(
+    "events_weekly_seasonality",
+    oracle="""
+    SELECT
+      ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+      (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
+      count(*) AS n_events,
+      sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat map: activity and revenue per (day-of-week,
+    UTC hour) cell — the load-planning/capacity view every ops dashboard
+    opens with, and the seasonal profile the naive backtest
+    (events_seasonal_backtest) implicitly models.
+
+    Both time coordinates are pure integer arithmetic on epoch-ms
+    (day-of-week via the epoch-day + 4 mod 7 trick — 1970-01-01 was a
+    Thursday) — no calendar functions, whose week/weekday numbering
+    conventions differ between engines (Spark dayofweek is 1=Sunday,
+    DuckDB's is 0=Sunday; integer epochs have no convention to disagree
+    on). One map-side-combined shuffle onto a ≤168-cell key."""
+    ev = table(spark, sf_dir, "events")
+    ems = F.unix_millis("ts")
+    return (
+        ev.select(
+            (((ems / 86_400_000).cast("long") + 4) % 7).alias("dow"),
+            ((ems / 3_600_000).cast("long") % 24).alias("hour_utc"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("dow", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("c").alias("cents"))
+    )
