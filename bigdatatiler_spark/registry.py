@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.skew",
     "bigdatatiler_spark.operators.sqlsurface",
     "bigdatatiler_spark.operators.graph",
+    "bigdatatiler_spark.operators.linkgraph",
     "bigdatatiler_spark.operators.sketches",
     "bigdatatiler_spark.operators.sampling",
     "bigdatatiler_spark.operators.quality",

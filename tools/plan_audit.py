@@ -39,6 +39,9 @@ BNLJ_BY_DESIGN = {
     "events_zorder_key",  # 1-row min/max-bounds broadcast
     "orders_constraint_audit",  # audit() cross-joins 1-row check frames
     "lineitem_constraint_audit",  # same 1-row audit() combination
+    "ann_pq_adc_topk",  # 1-row codebook crossJoin (×2) + 5-row query ADC tables
+    "basket_part_pairs",  # 1-row total-baskets crossJoin for support denominator
+    "bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
 }
 
 
