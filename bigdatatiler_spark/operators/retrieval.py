@@ -297,3 +297,93 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BM25_TOPK)
         .select("query_id", "doc_id", "bm25_micro", "rank")
     )
+
+
+# ── trigram-indexed substring search ────────────────────────────────────
+
+#: literal search patterns (pg_trgm-style workload: "find every doc
+#: containing this exact phrase"); no LIKE metacharacters by construction
+TRIGRAM_PATTERNS = (
+    "merge batch part",
+    "vector stream join",
+    "slow filter value",
+    "big vector table",
+)
+#: posting lists intersected per pattern — the k rarest trigrams bound
+#: the candidate stream (pg_trgm's selectivity heuristic, exact here)
+TRIGRAM_N_RARE = 3
+
+
+def _char_trigrams(col: str):
+    """Distinct character 3-grams of a string column — pure codegen
+    (sequence + transform + array_distinct), no Python in the scan."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - 2, 0)),"
+            f" i -> substring({col}, i, 3))"
+        )
+    )
+
+
+def _trigram_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in TRIGRAM_PATTERNS)
+    return f"""
+    SELECT p.pattern, d.doc_id
+    FROM (VALUES {vals}) p(pattern)
+    JOIN documents d ON d.text LIKE '%' || p.pattern || '%'
+    """
+
+
+@register("doc_trigram_search", oracle=_trigram_oracle())
+def doc_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a trigram inverted index (pg_trgm /
+    Lucene-wildcard shape): docs → distinct character-trigram postings;
+    each pattern intersects the posting lists of its ``TRIGRAM_N_RARE``
+    RAREST trigrams (rarity = exact document frequency, ties by trigram
+    text — deterministic); survivors are verified with an exact
+    ``contains``. Complete by construction: a doc containing the pattern
+    contains every one of its trigrams, so intersecting any subset never
+    drops a match — the rarest-k choice only shrinks the candidate
+    stream. The DuckDB oracle is the brute-force ``LIKE '%p%'`` scan —
+    an independent formulation of the same predicate.
+
+    Scale shape: the postings/DF build is the INDEX-BUILD pass (one
+    corpus scan + one trigram-keyed agg — materialized once in a real
+    deployment, amortized over every search); per query the pattern's
+    trigram rows broadcast into the postings stream (map-side semi
+    filter), the intersection is one candidate-bounded agg keyed by
+    doc_id, and verification touches only candidate docs via a broadcast
+    hash join. Nothing all-pairs, nothing driver-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(_char_trigrams("text")).alias("tg")
+    )
+    tgdf = postings.groupBy("tg").agg(F.count("*").alias("df"))
+    pat_rows = [
+        (p, tg)
+        for p in TRIGRAM_PATTERNS
+        for tg in sorted({p[i : i + 3] for i in range(len(p) - 2)})
+    ]
+    pats = spark.createDataFrame(pat_rows, ["pattern", "tg"])
+    w = Window.partitionBy("pattern").orderBy(F.asc("df"), F.asc("tg"))
+    rare = F.broadcast(
+        pats.join(tgdf, "tg")  # pats side is tiny: broadcast into the DF frame
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TRIGRAM_N_RARE)
+        .groupBy("pattern")
+        .agg(F.collect_set("tg").alias("tgs"), F.count("*").alias("n_rare"))
+        .select("pattern", F.explode("tgs").alias("tg"), "n_rare")
+    )
+    cand = (
+        postings.join(rare, "tg")
+        .groupBy("pattern", "doc_id", "n_rare")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_rare"))
+        .select("pattern", "doc_id")
+    )
+    return (
+        docs.join(F.broadcast(cand), "doc_id")
+        .where(F.contains("text", F.col("pattern")))
+        .select("pattern", "doc_id")
+    )
