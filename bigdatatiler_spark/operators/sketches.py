@@ -244,3 +244,97 @@ def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
     )
     return by_type.unionByName(merged)
+
+
+# ── count-min sketch ────────────────────────────────────────────────────
+
+#: depth (independent hash rows) × width (counters per row). ε ≈ e/W ≈ 1%
+#: of the stream length, failure probability ≈ e^-D ≈ 2%.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+#: report the sketch estimate next to truth for this many heaviest tokens
+CMS_TOPK = 20
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT unnest(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+    cells AS (
+      SELECT g.r,
+             ('0x' || substr(md5(g.r::VARCHAR || '|' || token), 1, 8))::UBIGINT
+               % {CMS_WIDTH} AS col,
+             sum(c) AS v
+      FROM cnt, generate_series(0, {CMS_DEPTH - 1}) g(r)
+      GROUP BY g.r, col
+    ),
+    top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {CMS_TOPK})
+    SELECT top.token,
+           top.c AS exact_occurrences,
+           CAST(min(cells.v) AS BIGINT) AS cms_estimate
+    FROM top, generate_series(0, {CMS_DEPTH - 1}) g(r)
+    JOIN cells ON cells.r = g.r
+              AND cells.col = ('0x' || substr(md5(g.r::VARCHAR || '|' || top.token), 1, 8))::UBIGINT
+                              % {CMS_WIDTH}
+    GROUP BY top.token, top.c
+    """
+
+
+@register("sketch_countmin_tokens", oracle=_cms_oracle())
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: D×W integer
+    counters (portable md5 row-salted hashing, so DuckDB rebuilds the
+    IDENTICAL sketch bit-for-bit), point-queried for the CMS_TOPK
+    heaviest tokens next to their exact counts. cms_estimate ≥
+    exact_occurrences always (one-sided error); the gap shows the
+    collision overestimate at this width.
+
+    Scale shape: the sketch build aggregates the *vocabulary* frame
+    (token counts — one bounded-key shuffle that any heavy-hitter query
+    already pays), then folds it into D·W = {CMS_DEPTH}·{CMS_WIDTH}
+    cells — a second agg over vocab-sized input into a CONSTANT-size
+    frame. The sketch is re-mergeable (cells add across shards/windows,
+    like the rollup's HLL column); point queries broadcast the
+    constant-size cell frame. At 100 TB nothing here grows but the one
+    vocabulary agg."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
+    salted = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cells = (
+        cnt.select("token", "c", rows)
+        .select("r", (salted % CMS_WIDTH).alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("v"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(CMS_TOPK)
+    probes = top.select("token", "c", rows).select(
+        "token", "c", "r", (salted % CMS_WIDTH).alias("col")
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "col"])
+        .groupBy("token", "c")
+        .agg(F.min("v").cast("bigint").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("c").alias("exact_occurrences"),
+            "cms_estimate",
+        )
+    )

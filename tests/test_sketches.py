@@ -140,3 +140,47 @@ def test_hll_sketches_merge(spark):
     ).first()["est"]
     assert abs(merged - 5000) / 5000 < 0.05
     assert merged == global_est
+
+
+def test_countmin_estimate_is_one_sided(spark):
+    """CMS point estimates can only overestimate: est ≥ exact for every
+    reported token (the sketch's defining guarantee)."""
+    from bigdatatiler_spark.operators.sketches import sketch_countmin_tokens
+
+    rows = sketch_countmin_tokens(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "CMS query returned no rows"
+    assert all(r["cms_estimate"] >= r["exact_occurrences"] for r in rows)
+
+
+def test_countmin_cells_merge_across_shards(spark):
+    """Sketch mergeability: CMS cells built on two disjoint halves of a
+    stream, added cell-wise, equal the cells of the whole stream — the
+    property that lets shards/windows fold without rescanning."""
+    from pyspark.sql import functions as F
+
+    def cells(df):
+        cnt = df.groupBy("token").agg(F.count("*").alias("c"))
+        rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+        salted = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("token"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("bigint")
+        out = (
+            cnt.select("token", "c", rows)
+            .select("r", (salted % 256).alias("col"), "c")
+            .groupBy("r", "col").agg(F.sum("c").alias("v"))
+        )
+        return {(r["r"], r["col"]): r["v"] for r in out.collect()}
+
+    words = [f"w{i % 17}" for i in range(400)]
+    whole = spark.createDataFrame([(w,) for w in words], ["token"])
+    h1 = spark.createDataFrame([(w,) for w in words[:150]], ["token"])
+    h2 = spark.createDataFrame([(w,) for w in words[150:]], ["token"])
+    c1, c2, cw = cells(h1), cells(h2), cells(whole)
+    merged = {}
+    for d in (c1, c2):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cw
