@@ -334,3 +334,37 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (col, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+@register(
+    "part_unpivot_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS BIGINT) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice_cents' AS measure,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+    FROM part
+    """,
+)
+def part_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of orders_status_pivot, completing the
+    reshaping surface: part's measure columns become (key, measure,
+    value) rows via the native ``DataFrame.unpivot`` (ANSI UNPIVOT —
+    a zero-shuffle map-side expansion, NOT a self-union that would scan
+    the table once per measure; at 100 TB the single-scan property is
+    the point). Prices emitted as exact cents (de-float rule); the
+    oracle states the same reshape as the textbook UNION ALL."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("p_retailprice_cents"),
+    )
+    return p.unpivot(
+        ids="p_partkey",
+        values=["p_size", "p_retailprice_cents"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -1050,3 +1050,102 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour_utc")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("c").alias("cents"))
     )
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT event_type, cents AS med, n FROM r1 WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.cents - m.med) AS d, m.med, m.n
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, d, med, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, d AS mad, med, n FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT v.event_type,
+           m.n AS n_events,
+           m.med AS median_cents,
+           m.mad AS mad_cents,
+           CAST(sum(CASE WHEN v.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev v JOIN mad m USING (event_type)
+    GROUP BY v.event_type, m.n, m.med, m.mad
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) on exact integer cents, flagging |x − med| >
+    3·MAD. The median is the LOWER median — the value at rank
+    (n+1) div 2 — an actual element, so both engines pick the identical
+    integer with no interpolation or percentile-convention dependence
+    (the registry's de-float rule applied to order statistics).
+
+    Scale shape: two rank windows partitioned by event_type. Event-type
+    cardinality is small, so at 100 TB the per-type window IS the skew
+    hazard — the production form replaces each rank pass with the
+    histogram-prefix-sum median (groupBy (type, cents) + running sums,
+    as doc_length_rank_deciles does for ranks) or the GK sketch
+    (sketch_quantile_gk) when ε-approximate quantiles suffice; the
+    3·MAD flagging pass is embarrassingly parallel either way. The
+    window form is the exact-oracle-checkable statement of the
+    semantics."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wc = Window.partitionBy("event_type")
+    r1 = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = r1.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("cents").alias("med"), "n"
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("d"), "med", "n"
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select("event_type", "d", F.row_number().over(wd).alias("rn"), "n", "med")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"), "med", "n")
+    )
+    return (
+        dev.select("event_type", "d")
+        .join(mad, "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_outliers",
+        )
+    )

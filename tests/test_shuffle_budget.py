@@ -45,6 +45,7 @@ MAP_ONLY = (
     "events_filtered_topk",
     "events_page_keyset",
     "event_id_generation",
+    "part_unpivot_measures",
 )
 
 
