@@ -1149,3 +1149,133 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "lineitem_pit_priority",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderkey,
+             epoch_ms(o_orderdate) AS d_ms,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY epoch_ms(o_orderdate), o_orderkey)
+    ),
+    isl AS (
+      SELECT *, sum(chg) OVER (
+               PARTITION BY o_custkey
+               ORDER BY d_ms, o_orderkey ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ),
+    spans AS (
+      SELECT o_custkey, island,
+             min(o_orderpriority) AS o_orderpriority,
+             min(d_ms) AS valid_from_ms
+      FROM isl GROUP BY 1, 2
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderpriority, island, valid_from_ms,
+             lead(valid_from_ms) OVER (
+               PARTITION BY o_custkey ORDER BY island) AS valid_to_ms
+      FROM spans
+    ),
+    probes AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+             epoch_ms(l.l_shipdate) AS ship_ms
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.o_custkey, p.ship_ms,
+           d.o_orderpriority AS priority_at_ship
+    FROM probes p
+    JOIN dim d ON d.o_custkey = p.o_custkey
+              AND d.valid_from_ms <= p.ship_ms
+              AND (d.valid_to_ms IS NULL OR d.valid_to_ms > p.ship_ms)
+    """,
+)
+def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join to an SCD Type-2 dimension: each
+    lineitem ship event retrieves the o_orderpriority regime its
+    CUSTOMER was in at ship time — the "what did the dimension say when
+    the fact happened" join behind every PIT feature store and
+    as-reported reporting. Probes shipping before the customer's first
+    interval (the fixture ships some lines before the order date) have
+    no covering interval and drop on both engines.
+
+    Spark-first shape: NOT the oracle's interval-predicate join (a
+    range join that degrades to per-customer nested loops) but the
+    union-and-window as-of trick — dimension starts and probes union
+    into one stream keyed by customer, one window pass ordered by
+    (t, dim-first, island) gives every probe ``last_value(priority
+    IGNORE NULLS)`` = the latest interval start ≤ t; half-open interval
+    semantics (zero-width regimes skipped) fall out of the island
+    tiebreak. One shuffle on o_custkey; entity histories parallelize
+    freely — the identical scale argument as the as-of join
+    (operators/asof.py), applied to a *derived* dimension."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderkey",
+        ms("o_orderdate").alias("d_ms"),
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    isl = seq.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    dim = isl.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("prio"),
+        F.min("d_ms").alias("t"),
+    )
+    lineitem = table(spark, sf_dir, "lineitem")
+    probes = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        ms("l_shipdate").alias("t"),
+    )
+    tagged = dim.select(
+        "o_custkey",
+        "t",
+        F.lit(1).alias("is_dim"),
+        "island",
+        "prio",
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("long").alias("l_linenumber"),
+    ).unionByName(
+        probes.select(
+            "o_custkey",
+            "t",
+            F.lit(0).alias("is_dim"),
+            F.lit(None).cast("long").alias("island"),
+            F.lit(None).cast("string").alias("prio"),
+            F.col("l_orderkey").cast("long"),
+            F.col("l_linenumber").cast("long"),
+        )
+    )
+    ws = Window.partitionBy("o_custkey").orderBy(
+        F.asc("t"), F.desc("is_dim"), F.asc("island")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    pit = tagged.withColumn("pit_prio", F.last("prio", ignorenulls=True).over(ws))
+    return (
+        pit.where((F.col("is_dim") == 0) & F.col("pit_prio").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.col("t").alias("ship_ms"),
+            F.col("pit_prio").alias("priority_at_ship"),
+        )
+    )
