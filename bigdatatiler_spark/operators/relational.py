@@ -630,3 +630,76 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    vals AS (SELECT x, count(*) AS c FROM rev GROUP BY x),
+    pref AS (
+      SELECT x, c,
+             sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c AS prefix
+      FROM vals
+    ),
+    agg AS (
+      SELECT sum(c) AS n,
+             sum(CAST(c AS HUGEINT) * x) AS t,
+             sum((CAST(c AS HUGEINT) * prefix
+                  + (CAST(c AS HUGEINT) * (c + 1)) // 2) * x) AS s1
+      FROM pref
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST(((2 * s1 - (n + 1) * t) * 1000000)
+                // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_e6
+    FROM agg
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customer lifetime
+    spend — the inequality gauge behind every whale-analysis dashboard,
+    computed EXACTLY: G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) on integer
+    cents, emitted as a floor-scaled e6 integer (de-float rule; the
+    rank-sum Σi·x₍ᵢ₎ widens through DECIMAL(38)/HUGEINT so no corpus
+    size can overflow it).
+
+    Scale shape: ranks come from a VALUE-GROUPED histogram prefix sum —
+    customers aggregate once (shuffle on custkey), then the rank-sum
+    folds over the *distinct revenue values* frame with tie runs handled
+    in closed form (c·prefix + c(c+1)/2), so the one unpartitioned
+    window runs over ≤ |distinct values| rows (dimension-sized, the same
+    posture as customer_rfm_segments' documented histogram-prefix 100 TB
+    form), never over raw orders."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rev = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", cents.alias("c0"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c0").alias("x"))
+    )
+    vals = rev.groupBy("x").agg(F.count("*").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pref = vals.withColumn("prefix", F.sum("c").over(w) - F.col("c"))
+    agg = pref.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * x")).alias("t"),
+        F.sum(
+            F.expr(
+                "(CAST(c AS DECIMAL(38,0)) * prefix"
+                " + (CAST(c AS DECIMAL(38,0)) * (c + 1)) div 2) * x"
+            )
+        ).alias("s1"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * s1 - (n + 1) * t) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)"
+        ).alias("gini_e6"),
+    )

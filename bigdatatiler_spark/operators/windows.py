@@ -1279,3 +1279,50 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pit_prio").alias("priority_at_ship"),
         )
     )
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           count(DISTINCT u.user_id) AS active_7d
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the sliding-window
+    COUNT(DISTINCT) no window-function engine supports directly (DISTINCT
+    is not frame-decomposable). Spark-first shape: dedup to (day, user)
+    pairs once (one shuffle on a key whose cardinality is days×users,
+    ALREADY tiny next to raw events), then each pair fans out map-side to
+    the ≤7 window-end days it contributes to (explode of a 7-element
+    sequence — no join, no per-day rescan), and one final agg counts
+    distinct users per target day. Work is 7× the DAILY-distinct frame,
+    not 7× the event stream — at 100 TB the raw-events pass happens
+    exactly once. Emitting only days that exist in the data keeps both
+    engines' day spines identical. The oracle states the same semantics
+    as the textbook self-range-join over daily distincts.
+    """
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"), "user_id"
+    ).distinct()
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day_end"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        fanned.join(days, fanned.day_end == days.day)
+        .groupBy(fanned.day_end)
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("day_end").alias("day"), "active_7d")
+    )
