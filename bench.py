@@ -124,6 +124,16 @@ HEADLINE = (
     "events_trailing_hour_stats",
     "events_seasonal_backtest",
     "events_weekly_seasonality",
+    # round-4 additions
+    "graph_pagerank_docs",
+    "graph_triangle_cohesion",
+    "doc_trigram_search",
+    "sketch_countmin_tokens",
+    "events_value_mad_outliers",
+    "part_unpivot_measures",
+    "lineitem_pit_priority",
+    "events_rolling_7d_active_users",
+    "customer_revenue_gini",
 )
 
 

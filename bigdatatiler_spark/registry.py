@@ -125,7 +125,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # cluster-canonicalization family keeps dedup_connected_components
     # in-window; the verified-edge variant rides the local oracle.)
     "knn_bruteforce_cosine",
-    "ann_lsh_buckets",
+    # (ann_lsh_buckets rotated out for round 4's link-graph family:
+    # r2 driver-green, and its banded-LSH bucketing kernel stays
+    # in-window inside ann_lsh_topk (same tables + exact rerank on top);
+    # still local-oracle-checked every round. In: integer PageRank — the
+    # iterative-rank kernel class, new in operators/linkgraph.py.)
+    "graph_pagerank_docs",
     "ann_ivf_topk",
     # (ann_ivf_multiprobe rotated out for round 3's PQ leg: same trained-
     # IVF kernel as ann_ivf_topk with nprobe=2; the nprobe knob's recall
