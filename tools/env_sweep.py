@@ -59,6 +59,10 @@ VARIANTS: dict[str, dict[str, str]] = {
     },
     "no_aqe": {"spark.sql.adaptive.enabled": "false"},
     "legacy_nanos": {"spark.sql.legacy.parquet.nanosAsLong": "true"},
+    # the scalar (row-at-a-time) parquet decode path — a driver harness
+    # on exotic storage may fall back to it; decode differences would
+    # surface as value-level divergence
+    "vec_reader_off": {"spark.sql.parquet.enableVectorizedReader": "false"},
 }
 
 
