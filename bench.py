@@ -134,6 +134,7 @@ HEADLINE = (
     "lineitem_pit_priority",
     "events_rolling_7d_active_users",
     "customer_revenue_gini",
+    "events_value_winsorized",
 )
 
 

@@ -273,3 +273,102 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double was the midpoint-tie divergence class
         .withColumn("avg_logp_micro", F.expr("sum_logp_micro div n_tokens"))
     )
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest((n * 1) // 100, 1) THEN cents END) AS p01,
+             max(CASE WHEN rn = greatest((n * 99) // 100, 1) THEN cents END) AS p99
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           b.p01 AS p01_cents,
+           b.p99 AS p99_cents,
+           sum(CASE WHEN e.cents < b.p01 THEN 1 ELSE 0 END) AS n_clipped_low,
+           sum(CASE WHEN e.cents > b.p99 THEN 1 ELSE 0 END) AS n_clipped_high,
+           sum(least(greatest(e.cents, b.p01), b.p99)) AS winsorized_sum_cents
+    FROM e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p01, b.p99
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard heavy-tail repair before averaging
+    noisy metrics: per event type, clip values to the [p01, p99] rank
+    band and report the clipped exact-cents sum plus how many rows each
+    tail lost. The percentile bounds are ORDER STATISTICS — the element
+    at rank max(⌊n·k/100⌋, 1) — so both engines pick identical integers
+    (same discipline as events_value_mad_outliers' lower median; no
+    interpolation convention in the hash).
+
+    Scale shape: one rank window per type for the bounds (histogram-
+    prefix replacement documented on the MAD op applies identically),
+    then the clip-and-sum is a map-side expression + one agg — the
+    repair pass itself never materializes a sorted corpus."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wc = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 1) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 99) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("p99"),
+    )
+    return (
+        e.join(b, "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("cents") < F.col("p01"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("cents") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("p01")), F.col("p99"))
+            ).alias("winsorized_sum_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("p01").alias("p01_cents"),
+            F.col("p99").alias("p99_cents"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_sum_cents",
+        )
+    )
