@@ -141,6 +141,10 @@ def tile_bytecap(
     entry = F.concat(F.col(id_col).cast("string"), F.lit(".xml"))
     keep = [F.col(c) for c in keep_cols]
 
+    # NOT split-normalized (unlike the shingle/trigram/aHash passes):
+    # measured at sf0.1, the fixpoint's per-round fixed costs dominate —
+    # a repartition here bought nothing and multiplied the audited
+    # exchange count via per-round lineage replays of the cached frame
     whole = (
         df.select(F.col(id_col), *keep, F.col(payload_col).alias("chunk"))
         .withColumn("zipped", zip_payload(F.col("chunk"), entry))

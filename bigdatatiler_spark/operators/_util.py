@@ -97,3 +97,18 @@ def int_ratio(num: Column, den: Column, scale: int, alias: str) -> Column:
         .cast("bigint")
         .alias(alias)
     )
+
+
+def ensure_parallelism(df):
+    """Repartition ONLY when the input arrives with fewer splits than
+    half the cluster's cores — the single-file local-fixture case where
+    a per-row-expensive pass (md5 shingle hashing, zip compression)
+    would otherwise run one-core (the round-3 aHash lesson). A real
+    multi-file corpus already has the splits, and there this is a no-op
+    decision: no exchange is added, so no raw-payload shuffle cost at
+    scale. Results are always partition-layout-independent (env sweep's
+    small_splits variant pins that)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 2):
+        return df.repartition(par)
+    return df

@@ -51,15 +51,12 @@ def _norm_col() -> Column:
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct word 3-shingles of the normalized text."""
     docs = table(spark, sf_dir, "documents")
-    # normalize input splits before the per-shingle md5 fan-out: the
-    # single-file local fixture otherwise runs the whole MinHash hashing
-    # pass one-core for every consumer of this frame (the round-3 aHash
-    # lesson); a multi-file corpus gets the parallelism from its natural
-    # splits, and every downstream use shuffles anyway, so the exchange
-    # costs nothing extra at scale. Results are per-row hashes —
-    # partition-layout-independent (env sweep's small_splits pins this).
-    par = spark.sparkContext.defaultParallelism
-    d = docs.repartition(par).select(
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-shingle md5 fan-out, which every
+    # MinHash consumer pays (no-op on a corpus that already has splits;
+    # see ensure_parallelism)
+    d = ensure_parallelism(docs).select(
         "doc_id", F.split(_norm_col(), " ").alias("toks")
     ).where(F.size("toks") >= 3)
     shingles = F.array_distinct(

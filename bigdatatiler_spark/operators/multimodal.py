@@ -358,13 +358,13 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # The hash pass is CPU-heavy per row (64 interpreted segment folds);
     # the small-SF fixture is a single parquet split, which would serialize
-    # it on one core AND recompute it per self-join side. Repartition to
-    # the session's parallelism and persist: one distributed hash pass,
-    # read twice. (At 100 TB the scan's natural splits already provide the
-    # parallelism and the hash rides the decode stage — ahash_bands_stub.)
-    bands = ahash_bands(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    ).persist()
+    # it on one core AND recompute it per self-join side. Split-normalize
+    # (conditional — no exchange on a corpus that already has splits) and
+    # persist: one distributed hash pass, read twice. (At 100 TB the hash
+    # rides the decode stage — ahash_bands_stub.)
+    from ._util import ensure_parallelism
+
+    bands = ahash_bands(ensure_parallelism(docs)).persist()
     e = bands.select(
         "doc_id", "bands", F.posexplode("bands").alias("k", "v")
     )

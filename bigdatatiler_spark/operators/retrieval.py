@@ -371,13 +371,11 @@ def _trigram_candidates(docs: DataFrame, patterns, n_rare: int = TRIGRAM_N_RARE)
         for tg in sorted({p[i : i + 3] for i in range(len(p) - 2)})
     ]
     pats = docs.sparkSession.createDataFrame(pat_rows, ["pattern", "tg"])
-    # normalize input splits before the ~500×-row explode: a single-file
-    # local fixture otherwise runs the whole index build one-core (the
-    # round-3 aHash lesson); a real multi-file corpus gets this
-    # parallelism from its natural splits and the exchange folds into
-    # the one-time index build
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    postings = docs.repartition(par).select(
+    from ._util import ensure_parallelism
+
+    # split-normalize before the ~500×-row explode (no-op on a corpus
+    # that already has splits; see ensure_parallelism)
+    postings = ensure_parallelism(docs).select(
         "doc_id", F.explode(_char_trigrams("text")).alias("tg")
     )
     hits = postings.join(F.broadcast(pats), "tg").persist()
