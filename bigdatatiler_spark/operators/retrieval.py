@@ -246,6 +246,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("tok"))
     # four consumers (dl, dfreq, qterms, candidate join) — materialize the
     # postings frame once instead of re-running the explode+agg per branch
+    # (split normalization measured: no win here — the agg pipeline, not
+    # the explode, bounds this query)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = F.broadcast(
