@@ -135,6 +135,7 @@ HEADLINE = (
     "events_rolling_7d_active_users",
     "customer_revenue_gini",
     "events_value_winsorized",
+    "dedup_shingle_containment",
 )
 
 

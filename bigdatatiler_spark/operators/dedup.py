@@ -882,3 +882,128 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(td * F.col("n_common") >= tn * F.col("n_union"))
     )
+
+
+# ── shingle-containment join ────────────────────────────────────────────
+
+#: containment threshold 4/5 as an exact rational (never a float)
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lang, source, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS sh
+      FROM norm WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_id_1,
+           b.doc_id AS doc_id_2,
+           a.lang, a.source,
+           (len(list_intersect(a.sh, b.sh)) * 1000000)
+             // least(len(a.sh), len(b.sh)) AS containment_e6
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {CONTAIN_DEN} * len(list_intersect(a.sh, b.sh))
+          >= {CONTAIN_NUM} * least(len(a.sh), len(b.sh))
+    """
+
+
+@register("dedup_shingle_containment", oracle=_containment_oracle())
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup join: pairs where the
+    SMALLER doc's shingle set is ≥ 4/5 inside the other's — the
+    snippet-inclusion / quoted-reuse case that resemblance metrics
+    (Jaccard, MinHash) structurally miss when sizes differ (a 10-shingle
+    quote inside a 500-shingle article has Jaccard ≈ 0.02). No length
+    filter is admissible — disparate sizes are the point — so candidate
+    generation is PPJoin-style PREFIX FILTERING on the containment bound:
+    order shingles globally by (document frequency, shingle); if
+    |S∩L| ≥ ⌈4|S|/5⌉ then at most ⌊|S|/5⌋ of S's shingles miss L, so
+    among the ⌊|S|/5⌋+1 RAREST shingles of the smaller doc at least one
+    hits the larger doc's inverted index — an equi-join on (shingle,
+    lang, source), never all-pairs. Exact verification with the 5·|∩| ≥
+    4·min integer grid; containment_e6 floor-scaled (de-float rule).
+    The oracle is the plain blocked all-pairs statement — the driver's
+    hash compare proves prefix filtering drops no qualifying pair.
+
+    Scale notes: candidate volume is Σ prefix-shingle df within each
+    (lang, source) block; on adversarial corpora whose rare-shingle df
+    is still high, PPJoin's positional and suffix filters tighten the
+    same skeleton without changing the join shape."""
+    from ._util import ensure_parallelism, int_ratio
+
+    docs = table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+        )
+    )
+    d = (
+        ensure_parallelism(docs)
+        .select("doc_id", "lang", "source", F.split(_norm_col(), " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "lang", "source", shingles.alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
+    ex = d.select("doc_id", "lang", "source", "n", F.explode("sh").alias("s"))
+    sdf = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(sdf, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.expr(f"(n div {CONTAIN_DEN}) + 1"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "lang",
+            "source",
+            F.col("n").alias("n_a"),
+            "s",
+        )
+    )
+    full = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("n").alias("n_b"),
+        "s",
+    )
+    smaller_first = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    cand = (
+        prefix.join(full, ["s", "lang", "source"])
+        .where(smaller_first)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_id_1"),
+            F.greatest("doc_a", "doc_b").alias("doc_id_2"),
+            "lang",
+            "source",
+        )
+        .distinct()
+    )
+    p = d.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"), F.col("n").alias("n1"))
+    q = d.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"), F.col("n").alias("n2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(p, "doc_id_1")
+        .join(q, "doc_id_2")
+        .where(
+            F.lit(CONTAIN_DEN) * inter
+            >= F.lit(CONTAIN_NUM) * F.least("n1", "n2")
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "lang",
+            "source",
+            int_ratio(inter, F.least("n1", "n2"), 6, "containment_e6"),
+        )
+    )
