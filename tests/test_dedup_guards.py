@@ -109,3 +109,40 @@ def test_prefix_filter_is_superset_of_minhash_verified(spark):
         for r in dedup_minhash_lsh(spark, sf).collect()
     }
     assert banded <= exact, f"banding found pairs prefix filter missed: {banded - exact}"
+
+
+def test_containment_catches_snippet_inclusion_jaccard_misses(spark, tmp_path):
+    """The containment join's reason to exist: a short doc fully quoted
+    inside a long one has near-zero Jaccard but containment 1.0. Build
+    that corpus, run the registered query against it, and pin both that
+    the pair is found and that its Jaccard would NOT have qualified."""
+    import os
+    from pyspark.sql import functions as F
+    from bigdatatiler_spark.operators.dedup import dedup_shingle_containment
+
+    base = " ".join(f"w{i} w{i+1} link{i}" for i in range(40))  # long doc
+    snippet = " ".join(base.split()[10:25])  # contiguous quote, 15 tokens
+    unrelated = " ".join(f"z{i} q{i} r{i}" for i in range(30))
+    rows = [
+        (1, base, "en", "srcA", len(base)),
+        (2, snippet, "en", "srcA", len(snippet)),
+        (3, unrelated, "en", "srcA", len(unrelated)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["containment_e6"]
+        for r in dedup_shingle_containment(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 800000
+    assert not any(3 in pair for pair in got)
+    # the same pair fails the Jaccard-family threshold (|∩|/|∪| small)
+    from bigdatatiler_spark.operators.dedup import MINHASH_THRESHOLD
+
+    n_small = len(set(" ".join(x) for x in zip(*[snippet.split()[i:] for i in range(3)])))
+    n_big = len(set(" ".join(x) for x in zip(*[base.split()[i:] for i in range(3)])))
+    jaccard = n_small / n_big  # snippet shingles ⊂ base shingles here
+    assert jaccard < MINHASH_THRESHOLD
