@@ -136,6 +136,7 @@ HEADLINE = (
     "customer_revenue_gini",
     "events_value_winsorized",
     "dedup_shingle_containment",
+    "doc_tfidf_keywords",
 )
 
 

@@ -718,3 +718,88 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("vocab_size"),
         F.floor(slope * _ZQ).cast("bigint").alias("zipf_slope_e6"),
     )
+
+
+# ── TF-IDF keyword extraction ───────────────────────────────────────────
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "doc_tfidf_keywords",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(floor(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                        * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, score_micro,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, rank, score_micro
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    """,
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{TFIDF_TOPK} tokens by
+    TF-IDF — the metadata-enrichment pass (tags, index terms, cluster
+    labels) every corpus-curation pipeline runs. Smoothed idf
+    ln((N+1)/(df+1)) + 1 with the constants spelled as identical
+    literals on both engines; the per-term score floors to integer
+    MICRO-units before ranking (the bm25_topk discipline — a correctly-
+    rounded ln can differ by an ulp across libm implementations, and the
+    floor grid absorbs it), ties broken by token text, so the top-k set
+    is engine-exact.
+
+    Scale shape: tf is one (doc, token)-keyed agg; df one token-keyed
+    agg over the tf frame (vocabulary-sized — ≪ corpus); the corpus
+    count joins back as a broadcast scalar; ranking is one window keyed
+    by doc_id. Nothing all-pairs, nothing driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "rank", "score_micro")
+    )

@@ -42,6 +42,7 @@ BNLJ_BY_DESIGN = {
     "ann_pq_adc_topk",  # 1-row codebook crossJoin (×2) + 5-row query ADC tables
     "basket_part_pairs",  # 1-row total-baskets crossJoin for support denominator
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
+    "doc_tfidf_keywords",  # 1-row corpus-count crossJoin for the idf term
 }
 
 
