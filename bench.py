@@ -137,6 +137,7 @@ HEADLINE = (
     "events_value_winsorized",
     "dedup_shingle_containment",
     "doc_tfidf_keywords",
+    "corpus_pmi_collocations",
 )
 
 

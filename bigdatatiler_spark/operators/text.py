@@ -803,3 +803,115 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TFIDF_TOPK)
         .select("doc_id", "token", "rank", "score_micro")
     )
+
+
+# ── PMI collocations ────────────────────────────────────────────────────
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+@register(
+    "corpus_pmi_collocations",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    bg0 AS (
+      SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, len(toks) - 1)]) AS pair
+      FROM norm
+    ),
+    bg AS (
+      SELECT string_split(pair, ' ')[1] AS w1,
+             string_split(pair, ' ')[2] AS w2
+      FROM bg0
+    ),
+    uni AS (
+      SELECT unnest(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS t, (SELECT count(*) FROM bg) AS b),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.c12,
+             CAST(floor(ln(((((CAST(c12.c12 AS DOUBLE) * tot.t) / tot.b) * tot.t)
+                            / u1.c) / u2.c) * 1000000) AS BIGINT) AS pmi_micro
+      FROM c12
+      JOIN c1 u1 ON u1.w = c12.w1
+      JOIN c1 u2 ON u2.w = c12.w2
+      CROSS JOIN tot
+      WHERE c12.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c12 AS n_pair, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_TOPK}
+    """,
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOPK} adjacent token pairs by
+    pointwise mutual information — the phrase-detection pass (Mikolov-
+    style word2phrase, "new york" → token) of corpus preprocessing.
+    PMI = ln(P(w1,w2) / (P(w1)·P(w2))) computed with an IDENTICALLY
+    parenthesized double expression on both engines (each IEEE op is
+    correctly rounded, so same tree ⇒ same bits; the final micro-floor
+    absorbs the one ulp ln may differ by — bm25/tfidf discipline). Rare
+    pairs (< {PMI_MIN_COUNT}) are dropped before ranking: PMI of
+    singletons is noise.
+
+    Scale shape: bigram generation is a map-side transform+explode; the
+    pair and unigram counts are (pair/token)-keyed aggs over
+    vocabulary²-bounded (in practice collocation-sparse) frames; totals
+    ride a broadcast scalar row; the global top-k compiles to
+    TakeOrderedAndProject. Nothing all-pairs over documents."""
+    docs = table(spark, sf_dir, "documents")
+    toks_arr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    norm = docs.select("doc_id", toks_arr.alias("toks"))
+    bg = norm.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = norm.select(F.explode("toks").alias("w"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = F.broadcast(
+        uni.agg(F.count("*").alias("t")).crossJoin(bg.agg(F.count("*").alias("b")))
+    )
+    u1 = c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1"))
+    u2 = c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2"))
+    scored = (
+        c12.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            F.floor(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("t")
+                    / F.col("b")
+                    * F.col("t")
+                    / F.col("cw1")
+                    / F.col("cw2")
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOPK)

@@ -43,6 +43,7 @@ BNLJ_BY_DESIGN = {
     "basket_part_pairs",  # 1-row total-baskets crossJoin for support denominator
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
     "doc_tfidf_keywords",  # 1-row corpus-count crossJoin for the idf term
+    "corpus_pmi_collocations",  # 1-row (T, B) totals crossJoin for the PMI term
 }
 
 
