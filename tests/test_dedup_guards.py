@@ -146,3 +146,58 @@ def test_containment_catches_snippet_inclusion_jaccard_misses(spark, tmp_path):
     n_big = len(set(" ".join(x) for x in zip(*[base.split()[i:] for i in range(3)])))
     jaccard = n_small / n_big  # snippet shingles ⊂ base shingles here
     assert jaccard < MINHASH_THRESHOLD
+
+
+def test_containment_prefix_filter_complete_on_random_corpora(spark, tmp_path):
+    """Prefix filtering must drop NO qualifying pair: compare the
+    registered query against a driver-side brute force on a randomized
+    corpus with planted inclusions."""
+    import os
+    import random
+
+    from bigdatatiler_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        dedup_shingle_containment,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(60)]
+    rows = []
+    texts = {}
+    for i in range(24):
+        n = rng.randint(8, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 5 == 4:  # plant an inclusion: doc i embeds a chunk of doc i-1
+            prev = texts[i - 1].split()
+            k = max(3, len(prev) * 4 // 5)
+            words = prev[:k] + words[: max(0, n - k)]
+        text = " ".join(words)
+        texts[i] = text
+        rows.append((i, text, "en", "srcX", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    brute = set()
+    ids = sorted(texts)
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            if CONTAIN_DEN * len(sa & sb) >= CONTAIN_NUM * min(len(sa), len(sb)):
+                brute.add((a, b))
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup_shingle_containment(spark, str(tmp_path)).collect()
+    }
+    assert got == brute
