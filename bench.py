@@ -69,6 +69,7 @@ HEADLINE = (
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "ann_lsh_topk",
+    "ann_hamming_binary_topk",
     "embedding_kmeans_cells",
     "doc_token_stats",
     "doc_rolling_hash",

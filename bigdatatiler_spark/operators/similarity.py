@@ -856,3 +856,148 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
             (-F.col("t.neg_cos")).alias("cosine"),
         )
     )
+
+
+# --- Binary quantization: sign-bit codes + Hamming shortlist -----------------
+#
+# The fourth ANN family beside LSH buckets, IVF lists, and PQ codes: quantize
+# every vector to its 64 sign bits (1 bit/dim — a 32× reduction vs float32),
+# scan CODES ONLY with popcount Hamming distance to build a per-query
+# shortlist, then fetch the float vectors for the shortlist alone and rerank
+# by exact cosine. Sign-bit Hamming approximates angular distance (the
+# simplest SRP-LSH estimator: P[bit differs] = θ/π per Charikar's SimHash
+# construction), so the shortlist concentrates the true top-k with high
+# probability while the scan stays integer-only.
+BQ_SHORTLIST = 20  # Hamming candidates per query before the exact rerank
+
+
+def bq_word(emb: Column, word: int) -> Column:
+    """One 32-bit sign word of the binary code, as a BIGINT.
+
+    Bit i of word w is set iff embedding[w*32 + i] > 0. Two 32-bit words
+    (not one 64-bit word) keep every packed value positive, so the packed
+    integers are sign-free in BIGINT on both engines and XOR/popcount
+    semantics can't diverge on two's-complement edge cases.
+    """
+    lo = word * 32
+    acc = None
+    for i in range(32):
+        term = (
+            F.when(F.element_at(emb, lo + i + 1) > F.lit(0.0), F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _bq_word_sql(alias: str, word: int) -> str:
+    lo = word * 32
+    return (
+        f"CAST(list_sum([CASE WHEN {alias}.embedding[i] > 0"
+        f" THEN (CAST(1 AS BIGINT) << (i - {lo + 1})) ELSE CAST(0 AS BIGINT) END"
+        f" for i in generate_series({lo + 1}, {lo + 32})]) AS BIGINT)"
+    )
+
+
+def _bq_oracle() -> str:
+    ham = "CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT)"
+    return f"""
+    WITH codes AS (
+      SELECT vec_id, {_bq_word_sql('e', 0)} AS w0, {_bq_word_sql('e', 1)} AS w1
+      FROM embeddings e
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {ham} AS hamming,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {ham} ASC, c.vec_id ASC
+               ) AS hrank
+        FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE hrank <= {BQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6)
+                        DESC, s.neighbor_id ASC
+             ) AS rank
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_hamming_binary_topk", oracle=_bq_oracle())
+def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via binary quantization: sign-bit codes, popcount-Hamming
+    shortlist, exact cosine rerank on shortlist rows only.
+
+    Scale shape (the reason this family exists at 100 TB): the first pass
+    reads NOTHING but (vec_id, w0, w1) — 20 bytes/vector vs 256 for the
+    float32 embedding — and its kernel is two XOR+popcount integer ops,
+    whole-stage-codegen'd, no float math. Only BQ_SHORTLIST rows per query
+    ever fetch the real vector for the rerank join. The query side
+    broadcasts (tiny by construction); ranking orders carry vec_id
+    tiebreaks, so both stages are totally ordered and deterministic.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        bq_word(F.col("embedding"), 0).alias("w0"),
+        bq_word(F.col("embedding"), 1).alias("w1"),
+    )
+    q = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("w0").alias("c0"),
+        F.col("w1").alias("c1"),
+    )
+    hamming = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+    ).cast("bigint")
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", hamming.alias("hamming"))
+        .withColumn("hrank", F.row_number().over(wh))
+        .where(F.col("hrank") <= BQ_SHORTLIST)
+        .drop("hrank")
+    )
+    vecs = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cosine = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", "hamming", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+    )

@@ -139,3 +139,44 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     got = _topk_sets(ann_pq_adc_topk(spark, SF_DIR))
     rec = _recall(got, want)
     assert rec >= 0.3, f"PQ shortlist+rerank recall {rec:.3f} below floor"
+
+
+def test_binary_quantization_packing_and_recall(spark):
+    """Binary codes must (a) pack exactly the sign bits of the embedding
+    (checked bit-for-bit against a Python repack of the raw vectors) and
+    (b) concentrate the true neighbors: the 20-candidate Hamming
+    shortlist's final top-k must beat chance recall by a wide margin —
+    Hamming on sign bits estimates angle (SimHash), it is not a random
+    subset. The rerank output must also always rank by exact cosine."""
+    from bigdatatiler_spark.operators.similarity import (
+        BQ_SHORTLIST,
+        ann_hamming_binary_topk,
+        bq_word,
+        knn_bruteforce_cosine,
+    )
+    from bigdatatiler_spark.tables import table
+
+    e = table(spark, SF_DIR, "embeddings")
+    rows = (
+        e.select(
+            "vec_id",
+            "embedding",
+            bq_word(F.col("embedding"), 0).alias("w0"),
+            bq_word(F.col("embedding"), 1).alias("w1"),
+        )
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows, "fixture empty"
+    for r in rows:
+        want0 = sum(1 << i for i in range(32) if r.embedding[i] > 0)
+        want1 = sum(1 << i for i in range(32) if r.embedding[32 + i] > 0)
+        assert (r.w0, r.w1) == (want0, want1), f"vec {r.vec_id} packed wrong"
+
+    got = _topk_sets(ann_hamming_binary_topk(spark, SF_DIR))
+    bf = _topk_sets(knn_bruteforce_cosine(spark, SF_DIR))
+    n = e.count()
+    rec = _recall(got, bf)
+    chance = BQ_SHORTLIST / max(n - 1, 1)
+    assert rec >= max(3 * chance, 0.3), f"recall {rec:.3f} ~ chance {chance:.3f}"

@@ -25,6 +25,7 @@ from bigdatatiler_spark.session import get_spark  # noqa: E402
 #: aggregate), so the "nested loop" is one pass over the big side.
 BNLJ_BY_DESIGN = {
     "knn_bruteforce_cosine",  # 5 query vectors × corpus (exact baseline)
+    "ann_hamming_binary_topk",  # 5-row query-code broadcast × corpus codes
     "ann_ivf_topk",  # 5 query vectors; cell equi-join does the pruning
     "ann_ivf_multiprobe",  # 5 queries × 16 centroids probe assignment
     "dedup_embedding_cosine",  # self-pair generation, id<id residual
