@@ -132,6 +132,7 @@ HEADLINE = (
     "sketch_countmin_tokens",
     "events_value_mad_outliers",
     "part_unpivot_measures",
+    "part_pareto_frontier",
     "lineitem_pit_priority",
     "events_rolling_7d_active_users",
     "customer_revenue_gini",

@@ -703,3 +703,68 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)"
         ).alias("gini_e6"),
     )
+
+
+@register(
+    "part_pareto_frontier",
+    oracle="""
+    WITH g AS (
+      SELECT p_brand,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             p_size,
+             count(*) AS n_parts,
+             min(p_partkey) AS min_partkey
+      FROM part
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.p_brand, a.price_cents, a.p_size, a.n_parts, a.min_partkey
+    FROM g a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_cents <= a.price_cents
+        AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) per brand: the parts where no other part
+    of the same brand is both cheaper-or-equal AND larger-or-equal with at
+    least one strict — i.e. the optimal price/size trade-off set.
+
+    Spark-first shape: the oracle's textbook NOT-EXISTS dominance
+    anti-join is quadratic in the group; here the 2-D skyline falls out of
+    ONE pass over each brand's points sorted by (price asc, size desc) —
+    after deduping to distinct (brand, price, size) the sort is total, and
+    a point is dominated iff the running max size over its predecessors
+    reaches its own size (every predecessor is cheaper, or equal-price
+    with strictly larger size). One dimension-sized groupBy + one
+    partitioned window; nothing quadratic, no self-join. At 100 TB the
+    grouped frame is catalog-sized (distinct price/size combos per brand),
+    so the window input stays tiny regardless of fact growth.
+    """
+    p = table(spark, sf_dir, "part")
+    g = p.groupBy(
+        "p_brand",
+        (dec("p_retailprice", "decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        "p_size",
+    ).agg(
+        F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.asc("price_cents"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.withColumn("max_prev_size", F.max("p_size").over(w))
+        .where(
+            F.col("max_prev_size").isNull()
+            | (F.col("max_prev_size") < F.col("p_size"))
+        )
+        .select("p_brand", "price_cents", "p_size", "n_parts", "min_partkey")
+    )
