@@ -52,6 +52,7 @@ HEADLINE = (
     "orders_page_offset",
     "orders_page_keyset",
     "orders_status_pivot",
+    "orders_merge_upsert",
     "order_price_percentiles",
     "top_customers_per_nation",
     "setops_customer_cohorts",

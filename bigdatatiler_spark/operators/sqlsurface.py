@@ -368,3 +368,103 @@ def part_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# --- MERGE INTO (SCD1 upsert) ------------------------------------------------
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    update_cols: tuple[str, ...],
+) -> DataFrame:
+    """ANSI MERGE semantics on plain DataFrames: latest-wins upsert.
+
+    WHEN MATCHED THEN UPDATE SET the ``update_cols`` from the change row;
+    WHEN NOT MATCHED THEN INSERT the change row; base rows without a
+    change pass through. Emits an ``action`` column ('keep' / 'update' /
+    'insert') so callers can audit the merge, mirroring the row-activity
+    metrics table formats report after a MERGE commit.
+
+    Plan shape: ONE full-outer shuffle join on the merge key — the
+    standard copy-on-write MERGE kernel. At 100 TB the change batch is
+    normally << base, so Spark's AQE flips the join to broadcast when the
+    batch fits, and a storage layer would additionally prune untouched
+    files by join-key min/max before this kernel ever runs.
+    """
+    b = base.alias("b")
+    c = changes.alias("c")
+    matched = F.col(f"c.{key}").isNotNull()
+    cols = [
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
+        *[
+            (
+                F.when(matched, F.col(f"c.{n}")).otherwise(F.col(f"b.{n}"))
+                if n in update_cols
+                else F.coalesce(F.col(f"b.{n}"), F.col(f"c.{n}"))
+            ).alias(n)
+            for n in base.columns
+            if n != key
+        ],
+        F.when(F.col(f"b.{key}").isNull(), F.lit("insert"))
+        .when(matched, F.lit("update"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    ]
+    return b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer").select(
+        *cols
+    )
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS total_cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey, o_custkey, 'U' AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+               AS total_cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+                ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.status
+                ELSE b.status END AS status,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.total_cents
+                ELSE b.total_cents END AS total_cents,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN c.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the orders snapshot: a change batch (every third
+    order, repriced +5.00 and statused 'U') upserted latest-wins into a
+    base snapshot that is missing every tenth order — so the result
+    exercises all three MERGE arms: update (matched), insert (change key
+    absent from base), keep (base key untouched). Both inputs derive
+    deterministically from the fixture; the oracle replays the merge as
+    the textbook FULL OUTER JOIN + CASE formulation."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("total_cents"),
+    )
+    chg = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("status"),
+        (cents + 500).alias("total_cents"),
+    )
+    return merge_upsert(base, chg, "o_orderkey", ("o_custkey", "status", "total_cents"))
