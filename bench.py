@@ -107,6 +107,7 @@ HEADLINE = (
     "events_gapfill_locf",
     "orders_constraint_audit",
     "lineitem_constraint_audit",
+    "tpch_fk_orphan_audit",
     "rangejoin_error_bursts",
     "ann_pq_adc_topk",
     "sample_weighted_priority",

@@ -248,3 +248,90 @@ def events_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")),
     )
     return bucket_checksums(ev, F.col("event_id"), rep)
+
+
+# --- Referential-integrity profile across the whole schema -------------------
+
+
+def fk_edge_profile(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    edge: str,
+) -> DataFrame:
+    """1-row RI profile of one foreign-key edge: child row/key counts,
+    orphaned child rows (FK violation), and unreferenced parents
+    (coverage — parents no child points at).
+
+    One pass: child rows collapse to per-key counts first (the only scan
+    of the fact side), then the KEY frames full-outer-join and all four
+    stats fall out of a single aggregate — no separate anti-join per
+    stat. Full-outer cannot broadcast in Spark, so the join is a key
+    shuffle on both sides — but of key-cardinality frames, never raw
+    fact rows, and AQE handles skewed keys. That trade (one extra
+    dimension-keyframe shuffle) buys the unreferenced-parent stat that a
+    broadcast anti-join formulation would need a second pass for.
+    """
+    ck = child.groupBy(F.col(child_key).alias("ck")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pk = parent.select(F.col(parent_key).alias("pk")).distinct()
+    joined = ck.join(pk, ck.ck == pk.pk, "full_outer")
+    return joined.agg(
+        F.lit(edge).alias("edge"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"),
+        F.count("ck").alias("n_child_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_orphans"),
+        F.count(F.when(F.col("ck").isNull(), F.lit(1))).alias("n_unref_parents"),
+    )
+
+
+_FK_EDGES = (
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_edge_sql(edge: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           (SELECT count(*) FROM {ct}) AS n_child,
+           (SELECT count(DISTINCT {ck}) FROM {ct}) AS n_child_keys,
+           (SELECT count(*) FROM {ct} c WHERE NOT EXISTS
+              (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphans,
+           (SELECT count(*) FROM {pt} p WHERE NOT EXISTS
+              (SELECT 1 FROM {ct} c WHERE c.{ck} = p.{pk})) AS n_unref_parents
+    """
+
+
+@register(
+    "tpch_fk_orphan_audit",
+    oracle="\n    UNION ALL\n".join(
+        _fk_edge_sql(e, ct, ck, pt, pk) for e, ct, ck, pt, pk in _FK_EDGES
+    ),
+)
+def tpch_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide referential-integrity audit: every declared FK edge of
+    the TPC-H-ish schema (plus the cross-domain events.user_id →
+    customer edge) profiled for orphans AND unreferenced parents in one
+    result. Orphan counts are the FK-violation gate a pipeline runs
+    before publishing a snapshot; unreferenced-parent counts are the
+    coverage side (e.g. customers with no orders / no events — real,
+    non-zero values in this data). The oracle replays each edge as
+    independent NOT-EXISTS subqueries — a different formulation than the
+    engine's single full-outer key-join pass."""
+    frames = [
+        fk_edge_profile(
+            table(spark, sf_dir, ct), table(spark, sf_dir, pt), ck, pk, e
+        )
+        for e, ct, ck, pt, pk in _FK_EDGES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)

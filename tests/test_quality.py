@@ -101,3 +101,31 @@ def test_checksums_localize_single_row_divergence(spark):
     )
     b = bucket_checksums(mutated, F.col("event_id"), rep)
     assert diverging_buckets(a, b) == [123 % N_CK_BUCKETS]
+
+
+def test_fk_edge_profile_synthetic(spark):
+    """All four RI stats on a synthetic edge with orphans, duplicate
+    child keys, and unreferenced parents at once."""
+    from bigdatatiler_spark.operators.quality import fk_edge_profile
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (7,), (7,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    row = fk_edge_profile(child, parent, "fk", "pk", "t").collect()[0]
+    assert row.edge == "t"
+    assert row.n_child == 6
+    assert row.n_child_keys == 3       # {1, 2, 7}
+    assert row.n_orphans == 3          # the three fk=7 rows
+    assert row.n_unref_parents == 2    # {3, 4}
+
+
+def test_fk_edge_profile_empty_child(spark):
+    from bigdatatiler_spark.operators.quality import fk_edge_profile
+
+    child = spark.createDataFrame([], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = fk_edge_profile(child, parent, "fk", "pk", "t").collect()[0]
+    assert (row.n_child, row.n_child_keys, row.n_orphans, row.n_unref_parents) == (
+        0, 0, 0, 2,
+    )
