@@ -90,6 +90,7 @@ HEADLINE = (
     "doc_unigram_logprob",
     "events_funnel_conversion",
     "events_weekly_retention",
+    "events_user_lifecycle",
     "events_hourly_anomaly",
     "orders_profile",
     "events_xml_inspection",

@@ -1326,3 +1326,96 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.col("day_end").alias("day"), "active_7d")
     )
+
+
+@register(
+    "events_user_lifecycle",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS wk
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+      FROM act
+    ),
+    weekly AS (
+      SELECT wk AS week_ms,
+             count(*) AS n_active,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN prev = wk - 604800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND prev < wk - 604800000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM lagged GROUP BY 1
+    )
+    SELECT w.week_ms, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+           coalesce(p.n_active, 0) - w.n_retained AS n_churned
+    FROM weekly w
+    LEFT JOIN weekly p ON p.week_ms = w.week_ms - 604800000
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (user, week) classified as NEW
+    (first-ever week), RETAINED (also active the immediately preceding
+    week), or RESURRECTED (returning after ≥1 skipped week), aggregated
+    to a per-week lifecycle report with CHURNED = last week's actives
+    who didn't retain. The identity n_active = n_new + n_retained +
+    n_resurrected holds by construction — the standard DAU/MAU
+    growth-accounting decomposition.
+
+    Plan: one distinct on (user, week), one user-partitioned lag window
+    (same user_id shuffle granularity the retention/cohort family rides),
+    then a week-keyed aggregate whose output is weeks-sized; churn comes
+    from a self-join of that tiny weekly frame on week-1 — NOT a lag
+    over weeks, so a week entirely missing from the data cannot silently
+    shift the comparison row. Nothing downstream of the user shuffle
+    scales with the event stream."""
+    from ..tables import table as _table
+
+    wk = ms(F.date_trunc("week", F.col("ts")))
+    act = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", wk.alias("wk"))
+        .distinct()
+    )
+    prev = F.lag("wk").over(Window.partitionBy("user_id").orderBy("wk"))
+    lagged = act.select("user_id", "wk", prev.alias("prev"))
+    week_len = F.lit(604800000).cast("long")
+    weekly = lagged.groupBy(F.col("wk").alias("week_ms")).agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev") == F.col("wk") - week_len, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("prev") < F.col("wk") - week_len),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    p = weekly.select(
+        (F.col("week_ms") + week_len).alias("week_ms"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return (
+        weekly.join(F.broadcast(p), "week_ms", "left")
+        .select(
+            "week_ms",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
