@@ -131,7 +131,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # still local-oracle-checked every round. In: integer PageRank — the
     # iterative-rank kernel class, new in operators/linkgraph.py.)
     "graph_pagerank_docs",
-    "ann_ivf_topk",
+    # (ann_ivf_topk rotated out for round 4's binary-quantization leg:
+    # r2 driver-green, and the trained-IVF kernel keeps an in-window
+    # representative in embedding_kmeans_cells (identical training +
+    # assignment path); nprobe recall monotonicity stays pytest-pinned.
+    # In: sign-bit codes + popcount-Hamming shortlist + exact rerank —
+    # the fourth ANN kernel class.)
+    "ann_hamming_binary_topk",
     # (ann_ivf_multiprobe rotated out for round 3's PQ leg: same trained-
     # IVF kernel as ann_ivf_topk with nprobe=2; the nprobe knob's recall
     # monotonicity is pytest-pinned in test_ann_recall.py.)
@@ -176,7 +182,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # exactness baseline whose semantics ride in knn_bruteforce_cosine +
     # dedup_embedding_lsh_blocked, doc_rolling_hash ⊂
     # doc_fingerprint_bottomk (built on the same Karp-Rabin kernel).)
-    "doc_tile_bytecap_roundtrip",
+    # (doc_tile_bytecap_roundtrip rotated out for round 4's MERGE
+    # surface: r2 driver-green, the tiling family keeps its composite
+    # ingest kernel in-window via doc_tile_roundtrip, and the byte-cap
+    # re-chunk fixpoint is hypothesis-pinned in test_tiling_property.
+    # In: MERGE INTO latest-wins upsert — the DML arm of the SQL
+    # surface, previously only unit-tested via sources/versioned.)
+    "orders_merge_upsert",
     "events_page_keyset",
     "events_xml_inspection",
     "ann_lsh_topk",
