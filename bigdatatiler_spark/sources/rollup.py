@@ -162,7 +162,11 @@ def merge_upsert(
 ) -> None:
     """MERGE INTO target USING updates — update matched keys, insert new.
 
-    Copy-on-write: rows whose key appears in ``updates`` are replaced
+    This is the STORAGE side of MERGE (partition-scoped copy-on-write
+    rewrite, whole-row replacement); the row-level kernel with
+    per-column update sets and an action audit is
+    ``operators.sqlsurface.merge_upsert`` / the orders_merge_upsert
+    query. Copy-on-write: rows whose key appears in ``updates`` are replaced
     (left-anti join keeps the rest), then the union is written back. With
     ``partition_col`` the whole operation is scoped to the partitions the
     update set touches — the partition-pruned read plus dynamic overwrite
