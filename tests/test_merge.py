@@ -43,3 +43,41 @@ def test_merge_empty_change_batch(spark):
     chg = base.where("k < 0")
     rows = merge_upsert(base, chg, "k", ("v",)).collect()
     assert [(r.k, r.action) for r in rows] == [(1, "keep")]
+
+
+def test_merge_property_random_batches(spark):
+    """merge_upsert vs a dict-model of MERGE semantics on randomized
+    key sets (overlapping, disjoint, empty overlaps) — one Spark job per
+    example batch."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdatatiler_spark.operators.sqlsurface import merge_upsert
+
+    keys_st = st.lists(
+        st.integers(min_value=0, max_value=15), unique=True, max_size=10
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(base_keys=keys_st, chg_keys=keys_st)
+    def run(base_keys, chg_keys):
+        base = spark.createDataFrame(
+            [(k, k * 10) for k in base_keys], "k long, v long"
+        )
+        chg = spark.createDataFrame(
+            [(k, k * 100) for k in chg_keys], "k long, v long"
+        )
+        model = {k: (k * 10, "keep") for k in base_keys}
+        for k in chg_keys:
+            model[k] = (k * 100, "update" if k in model else "insert")
+        got = {
+            r.k: (r.v, r.action)
+            for r in merge_upsert(base, chg, "k", ("v",)).collect()
+        }
+        assert got == model
+
+    run()
