@@ -139,6 +139,7 @@ HEADLINE = (
     "lineitem_pit_priority",
     "events_rolling_7d_active_users",
     "customer_revenue_gini",
+    "orders_abc_classification",
     "events_value_winsorized",
     "dedup_shingle_containment",
     "doc_tfidf_keywords",

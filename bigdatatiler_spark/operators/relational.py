@@ -768,3 +768,74 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "price_cents", "p_size", "n_parts", "min_partkey")
     )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER () AS t,
+             sum(rev) OVER (
+               ORDER BY rev DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM cust
+    )
+    SELECT CASE WHEN cum * 1000 <= t * 800 THEN 'A'
+                WHEN cum * 1000 <= t * 950 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) analysis: customers ranked by lifetime revenue;
+    class A = the head covering the first 80% of cumulative revenue,
+    B = up to 95%, C = the tail — reported as per-class customer counts
+    and revenue. The class boundary test is the pure-integer comparison
+    cum·1000 ≤ total·k (no division, no ratio — nothing to tie-break
+    across engines), computed on a TOTAL order (revenue desc, custkey
+    asc), so the boundary row assignment is deterministic.
+
+    Plan: one custkey-keyed aggregate (the only fact-sized shuffle),
+    then cumulative + grand-total sums in one unpartitioned window pass
+    over the customer-dimension-sized frame — the same precedent as the
+    RFM/Gini family: the window input never scales with the fact table.
+    At catalog sizes where even the customer frame is too big for one
+    partition, the cumsum decomposes into the two-phase
+    per-partition-prefix form (partial sums + broadcast offsets);
+    DECIMAL(38) widening keeps the boundary products overflow-free."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    big = "decimal(38,0)"
+    ranked = cust.select(
+        "rev",
+        F.sum("rev").over(w_all).cast(big).alias("t"),
+        F.sum("rev").over(w_cum).cast(big).alias("cum"),
+    )
+    cls = (
+        F.when(F.col("cum") * 1000 <= F.col("t") * 800, F.lit("A"))
+        .when(F.col("cum") * 1000 <= F.col("t") * 950, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+    )
