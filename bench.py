@@ -64,6 +64,7 @@ HEADLINE = (
     "sketch_kmv_distinct",
     "sketch_frequent_tokens",
     "sample_train_test_split",
+    "sample_leakage_safe_split",
     "dedup_embedding_lsh_blocked",
     "dedup_connected_components",
     "knn_bruteforce_cosine",

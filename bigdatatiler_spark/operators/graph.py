@@ -468,3 +468,86 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("keep"),
         )
     )
+
+
+# ── leakage-safe corpus split ───────────────────────────────────────────
+
+
+def _leakage_split_oracle() -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT"
+        " % 100 AS BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    g AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT group_id) AS n_groups
+    FROM g
+    GROUP BY 1
+    """
+
+
+@register("sample_leakage_safe_split", oracle=_leakage_split_oracle())
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split that cannot leak near-duplicates across
+    sides: the split hash keys on the document's DEDUP CLUSTER canonical
+    id (connected components over MinHash band candidates; singletons =
+    their own id), so every near-dup pair — which by construction shares
+    a cluster — lands on ONE side. A plain per-doc split
+    (sample_train_test_split) puts ~2·p·(1-p) of near-dup pairs across
+    the train/test boundary, silently inflating eval scores on
+    memorizable content; group-aware splitting is the standard fix
+    (GroupKFold semantics), here at corpus scale.
+
+    Plan: the CC label pass (same iterative kernel and cost as
+    dedup_connected_components), one left join to attach labels to the
+    corpus (absent docs coalesce to themselves), a stateless md5 split
+    projection, and a 3-group aggregate. Stability note: the assignment
+    is reproducible run-to-run on the same corpus; new data can MERGE
+    clusters, which may move a whole (small) cluster to the new
+    canonical id's side — per-cluster stability, the price of the
+    leakage guarantee."""
+    from ..tables import table
+    from .sampling import split_column
+
+    labels = connected_components(_band_edges(spark, sf_dir), "a", "b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    g = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    return (
+        g.select(split_column(F.col("group_id")).alias("split"), "group_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("group_id").alias("n_groups"),
+        )
+    )

@@ -4,6 +4,7 @@ the label-propagation fixpoint must equal the true components."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdatatiler_spark.operators.graph import connected_components
 
@@ -203,3 +204,48 @@ def test_two_star_round_exhaustion_stays_well_formed(spark):
     # and with enough rounds the same graph fully converges
     full = connected_components_star(df, "a", "b", max_rounds=8).collect()
     assert {r["cluster_id"] for r in full} == {min(ids)}
+
+
+def test_leakage_safe_split_keeps_neardup_pairs_together(spark):
+    """The guarantee the operator exists for: every MinHash candidate
+    pair (the near-dup edge set) must land on ONE side of the split —
+    and the fixture must actually contain pairs for this to mean
+    anything. Also pins the doc count identity vs the corpus."""
+    from bigdatatiler_spark.operators.graph import (
+        _band_edges,
+        connected_components,
+        sample_leakage_safe_split,
+    )
+    from bigdatatiler_spark.operators.sampling import split_column
+    from bigdatatiler_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    edges = _band_edges(spark, sf)
+    assert edges.count() > 0, "fixture has no near-dup candidates"
+
+    labels = connected_components(edges, "a", "b")
+    docs = table(spark, sf, "documents").select("doc_id")
+    g = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    assign = g.select(
+        "doc_id", split_column(F.col("group_id")).alias("split")
+    )
+    a = assign.withColumnRenamed("doc_id", "a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = assign.withColumnRenamed("doc_id", "b").withColumnRenamed(
+        "split", "split_b"
+    )
+    crossed = (
+        edges.join(a, "a").join(b, "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossed == 0, f"{crossed} near-dup pairs straddle the split"
+
+    out = {r.split: r.n_docs for r in sample_leakage_safe_split(spark, sf).collect()}
+    assert sum(out.values()) == docs.count()
