@@ -135,6 +135,8 @@ HEADLINE = (
     "doc_trigram_search",
     "sketch_countmin_tokens",
     "events_value_mad_outliers",
+    "events_iqm_udaf",
+    "events_zscore_grouped",
     "part_unpivot_measures",
     "part_pareto_frontier",
     "lineitem_pit_priority",

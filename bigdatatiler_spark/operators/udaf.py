@@ -1,0 +1,176 @@
+"""Python aggregate / grouped-map UDF surface (SURVEY.md §2.11).
+
+Completes the UDF API matrix alongside the scalar Arrow UDFs
+(logstore/codec.py), mapInPandas (operators/multimodal.py) and the
+stateful streaming processors (streaming/): a GROUPED_AGG pandas UDAF
+and an ``applyInPandas`` grouped-map transform — both registered with
+DuckDB oracles, so the driver cross-checks that the Python kernels
+compute EXACTLY what the declarative SQL formulation computes.
+
+Determinism design (the reason these are hash-matchable at all):
+- the UDAF's interquartile mean is pure integer arithmetic on exact
+  cents (sort, rank-slice, floor-div) — no float ever enters;
+- the grouped z-score keeps every sum in arbitrary-precision Python
+  ints (no int64 overflow at any corpus size), converts exactly once
+  to double for one IEEE-correctly-rounded sqrt and one division whose
+  numerator is < 2^53 — both engines perform the identical float ops
+  on identical operands, so the floored per-mille z matches bit-exact.
+
+Scale caveat (documented, inherent to the API): a GROUPED_AGG /
+applyInPandas group materializes IN MEMORY in one Python worker. That
+is the right tool for bounded groups (per-type event families here);
+for unbounded groups the rank-window SQL form (this module's oracles)
+or a GK sketch (operators/sketches.py) is the scale path. The hot
+integer loop is one Arrow batch transfer each way — never per-row
+Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..registry import register
+from ..tables import table
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@pandas_udf(LongType())
+def _n_rows(cents: pd.Series) -> int:
+    """Group size as a pandas UDAF: Spark disallows mixing GROUPED_AGG
+    pandas UDFs with JVM aggregates in one agg(), so the count rides the
+    same Arrow batch."""
+    return len(cents)
+
+
+@pandas_udf(LongType())
+def _iqm_cents(cents: pd.Series) -> int:
+    """Interquartile mean as exact integers: mean of the sorted values at
+    1-based ranks ⌈n/4⌉+1 .. ⌊3n/4⌋ (floor-div result). Falls back to
+    the plain mean when the band is empty (n ≤ 4 boundary cases)."""
+    xs = sorted(int(v) for v in cents)
+    n = len(xs)
+    lo = -(-n // 4) + 1  # ceil(n/4) + 1
+    hi = (3 * n) // 4
+    band = xs[lo - 1 : hi] if hi >= lo else xs
+    return sum(band) // len(band)
+
+
+@register(
+    "events_iqm_udaf",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, {_CENTS} AS cents,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY {_CENTS}, event_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    banded AS (
+      SELECT event_type, n, cents,
+             (rk >= CAST(ceil(n / 4.0) AS BIGINT) + 1
+              AND rk <= (3 * n) // 4) AS in_band,
+             (((3 * n) // 4) >= CAST(ceil(n / 4.0) AS BIGINT) + 1) AS has_band
+      FROM c
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN has_band THEN
+                      CASE WHEN in_band THEN cents END
+                    ELSE cents END)
+                // count(CASE WHEN has_band THEN
+                           CASE WHEN in_band THEN 1 END
+                         ELSE 1 END) AS BIGINT) AS iqm_cents
+    FROM banded
+    GROUP BY event_type
+    """,
+)
+def events_iqm_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type average via a GROUPED_AGG pandas UDAF: the
+    interquartile mean of the value column in exact cents. The oracle
+    recomputes the identical rank-band in SQL, so the driver's hash
+    compare certifies the Python aggregate against the declarative
+    formulation — the UDAF analog of the codec round-trip tests."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            _n_rows(F.col("cents")).alias("n_events"),
+            _iqm_cents(F.col("cents")).alias("iqm_cents"),
+        )
+    )
+
+
+#: |z| threshold for the grouped z-score outlier report, in milli-z.
+_Z_MILLI = 2500
+
+_ZSCORE_SCHEMA = (
+    "event_id long, event_type string, cents long, z_e3 long"
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group classical z-score in exact arithmetic: every sum is an
+    arbitrary-precision Python int; z = (n·x − S)/√(n·Q − S²) touches
+    float exactly twice (one sqrt, one division with < 2^53 numerator)."""
+    xs = [int(v) for v in pdf["cents"]]
+    n = len(xs)
+    s = sum(xs)
+    q = sum(x * x for x in xs)
+    disc = n * q - s * s
+    if disc <= 0:  # constant group: z undefined, nothing to report
+        return pdf.iloc[0:0][["event_id", "event_type", "cents"]].assign(z_e3=0)
+    sd = math.sqrt(float(disc))
+    out = pdf.copy()
+    out["z_e3"] = [math.floor((n * x - s) * 1000 / sd) for x in xs]
+    out = out[abs(out["z_e3"]) >= _Z_MILLI]
+    return out[["event_id", "event_type", "cents", "z_e3"]]
+
+
+@register(
+    "events_zscore_grouped",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type, {_CENTS} AS cents FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           CAST(floor(CAST((st.n * c.cents - st.s) * 1000 AS DOUBLE)
+                / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)))
+                AS BIGINT) AS z_e3
+    FROM c JOIN stats st USING (event_type)
+    WHERE st.n * st.q > st.s * st.s
+      AND abs(CAST(floor(CAST((st.n * c.cents - st.s) * 1000 AS DOUBLE)
+                / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)))
+                AS BIGINT)) >= {_Z_MILLI}
+    """,
+)
+def events_zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier report (|z| ≥ 2.5) via an
+    ``applyInPandas`` grouped-map transform — the batch grouped-map cell
+    of the UDF matrix, cross-checked against the window-aggregate SQL
+    form. The floored milli-z is deterministic because the only float
+    steps are an IEEE sqrt of an exactly-represented integer and one
+    division with an exact < 2^53 numerator (see module docstring); a
+    boundary tie at the 2500 threshold would need z exactly 2.5, which
+    the irrational denominator rules out for nonzero numerators."""
+    e = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        e.select("event_id", "event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+    )

@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.sketches",
     "bigdatatiler_spark.operators.sampling",
     "bigdatatiler_spark.operators.quality",
+    "bigdatatiler_spark.operators.udaf",
     "bigdatatiler_spark.sources.layout",
     "bigdatatiler_spark.sources.rollup",
 )
@@ -124,7 +125,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # (dedup_clusters_verified rotated out: r2 driver-green, and the
     # cluster-canonicalization family keeps dedup_connected_components
     # in-window; the verified-edge variant rides the local oracle.)
-    "knn_bruteforce_cosine",
+    # (knn_bruteforce_cosine rotated out for round 4's Python-UDAF
+    # family: r2 driver-green, and the exact-cosine rerank kernel stays
+    # in-window twice over (ann_hamming_binary_topk and ann_lsh_topk
+    # both end in it). In: the applyInPandas grouped-map z-score — the
+    # driver cross-check then certifies a PYTHON kernel against the SQL
+    # window formulation, the one UDF-surface cell no prior window row
+    # exercised.)
+    "events_zscore_grouped",
     # (ann_lsh_buckets rotated out for round 4's link-graph family:
     # r2 driver-green, and its banded-LSH bucketing kernel stays
     # in-window inside ann_lsh_topk (same tables + exact rerank on top);

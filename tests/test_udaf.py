@@ -1,0 +1,83 @@
+"""Python UDAF / grouped-map kernels vs direct models on hostile groups."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def _iqm_model(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    lo = -(-n // 4) + 1
+    hi = (3 * n) // 4
+    band = xs[lo - 1 : hi] if hi >= lo else xs
+    return sum(band) // len(band)
+
+
+def test_iqm_band_boundaries(spark):
+    """The rank band on tiny groups (n = 1..8): empty-band fallback and
+    exact slice edges, UDAF vs the Python model."""
+    from bigdatatiler_spark.operators.udaf import _iqm_cents, _n_rows
+    from pyspark.sql import functions as F
+
+    rows = []
+    for n in range(1, 9):
+        for i in range(n):
+            rows.append((f"g{n}", (i + 1) * 100 + n))  # distinct values
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {
+        r.g: (r.n, r.iqm)
+        for r in df.groupBy("g")
+        .agg(_n_rows(F.col("cents")).alias("n"), _iqm_cents(F.col("cents")).alias("iqm"))
+        .collect()
+    }
+    want = {}
+    for n in range(1, 9):
+        xs = [(i + 1) * 100 + n for i in range(n)]
+        want[f"g{n}"] = (n, _iqm_model(xs))
+    assert got == want
+
+
+def test_zscore_constant_group_and_formula(spark):
+    """Constant groups must vanish (variance 0), and reported z values
+    must match the exact-integer formula replayed in Python."""
+    from bigdatatiler_spark.operators.udaf import (
+        _Z_MILLI,
+        _ZSCORE_SCHEMA,
+        _zscore_group,
+    )
+
+    xs = [100] * 20 + [100000]  # one extreme outlier
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(xs)),
+            "event_type": ["t"] * len(xs),
+            "cents": xs,
+        }
+    )
+    out = _zscore_group(pdf)
+    n, s = len(xs), sum(xs)
+    q = sum(x * x for x in xs)
+    sd = math.sqrt(float(n * q - s * s))
+    want = {
+        i: math.floor((n * x - s) * 1000 / sd)
+        for i, x in enumerate(xs)
+        if abs(math.floor((n * x - s) * 1000 / sd)) >= _Z_MILLI
+    }
+    assert dict(zip(out["event_id"], out["z_e3"])) == want
+    assert len(want) >= 1  # the outlier must be reported
+
+    const = pd.DataFrame(
+        {"event_id": [1, 2], "event_type": ["c", "c"], "cents": [5, 5]}
+    )
+    assert len(_zscore_group(const)) == 0
+
+    # schema sanity: the declared applyInPandas schema names the output
+    assert [c.strip().split()[0] for c in _ZSCORE_SCHEMA.split(",")] == [
+        "event_id",
+        "event_type",
+        "cents",
+        "z_e3",
+    ]
