@@ -134,6 +134,7 @@ HEADLINE = (
     "graph_triangle_cohesion",
     "doc_trigram_search",
     "sketch_countmin_tokens",
+    "sketch_kmv_join_estimate",
     "events_value_mad_outliers",
     "events_iqm_udaf",
     "events_zscore_grouped",

@@ -338,3 +338,154 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_estimate",
         )
     )
+
+
+# ── KMV set algebra: join-cardinality estimation ──────────────────────────
+
+#: hash space as exact integer (the estimators below never touch floats)
+_HASH_SPACE_INT = 2**32
+
+
+def _kmv_sketch(keys: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """Bottom-k sketch of a key set as a frame of k distinct hv values.
+
+    The sketch IS a set of points in hash space, so union/intersection
+    algebra happens on hv alone; orderBy+limit compiles to
+    TakeOrderedAndProject (k rows cross the wire per partition, never
+    the key set)."""
+    return (
+        keys.select(_hv32(F.col(key_col)).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def _kmv_sketch_sql(src: str, key: str, k: int = KMV_K) -> str:
+    return f"""
+      SELECT hv FROM (
+        SELECT DISTINCT
+          CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT
+               AS BIGINT) AS hv
+        FROM {src}
+      ) ORDER BY hv LIMIT {k}
+    """
+
+
+@register(
+    "sketch_kmv_join_estimate",
+    oracle=f"""
+    WITH ska AS ({_kmv_sketch_sql('customer', 'c_custkey')}),
+    skb AS ({_kmv_sketch_sql('orders', 'o_custkey')}),
+    merged AS (
+      SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+      ORDER BY hv LIMIT {KMV_K}
+    ),
+    est AS (
+      SELECT count(*) AS n_merged, max(hv) AS theta,
+             sum(CASE WHEN hv IN (SELECT hv FROM ska)
+                       AND hv IN (SELECT hv FROM skb)
+                      THEN 1 ELSE 0 END) AS n_shared
+      FROM merged
+    ),
+    exact AS (
+      SELECT count(DISTINCT c.c_custkey) AS exact_a,
+             count(DISTINCT o.o_custkey) AS exact_b
+      FROM customer c, orders o
+    ),
+    exact_i AS (
+      SELECT count(*) AS exact_intersection FROM (
+        SELECT c_custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders
+      )
+    )
+    SELECT
+      CAST(CASE WHEN n_merged < {KMV_K} THEN n_merged * 100
+           ELSE (({KMV_K} - 1) * {_HASH_SPACE_INT} * 100) // theta
+           END AS BIGINT) AS est_union_e2,
+      CAST(CASE WHEN n_merged < {KMV_K} THEN n_shared * 100
+           ELSE (n_shared * ((({KMV_K} - 1) * {_HASH_SPACE_INT} * 100)
+                             // theta)) // {KMV_K}
+           END AS BIGINT) AS est_intersection_e2,
+      CAST(exact_a + exact_b -
+           (SELECT exact_intersection FROM exact_i) AS BIGINT) AS exact_union,
+      CAST((SELECT exact_intersection FROM exact_i) AS BIGINT)
+        AS exact_intersection
+    FROM est, exact
+    """,
+)
+def sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV sketch algebra — the CBO
+    input a planner needs BEFORE running a join: distinct-key union and
+    intersection of customer.c_custkey vs orders.o_custkey estimated
+    from two bottom-{KMV_K} sketches (a few KB), beside the exact truth
+    columns for driver-verified error inspection.
+
+    Estimator (Beyer et al.): merge = bottom-k of sketch-union; θ = its
+    k-th smallest hash → |A∪B| ≈ (k-1)·2³²/θ; ρ = fraction of merged
+    points present in BOTH input sketches → |A∩B| ≈ ρ·|A∪B|. Every
+    quantity here stays an INTEGER ((k-1)·2³²·100 < 2^63, floor-div by
+    θ, then by k) — the de-float rule applied to an estimator, so both
+    engines produce the identical centi-scaled estimates.
+
+    Scale shape: each sketch is one distinct + TakeOrderedAndProject (k
+    rows out of any key cardinality); the estimate itself is sketch-
+    algebra on ≤ 3k rows. The exact columns are the expensive truth
+    (full distinct + INTERSECT) kept here for verification — a real
+    planner ships only the sketches."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    ska = _kmv_sketch(c, "c_custkey").persist()
+    skb = _kmv_sketch(o, "o_custkey").persist()
+    merged = (
+        ska.unionByName(skb).distinct().orderBy("hv").limit(KMV_K)
+    )
+    in_a = F.broadcast(ska.withColumnRenamed("hv", "hv_a"))
+    in_b = F.broadcast(skb.withColumnRenamed("hv", "hv_b"))
+    flags = (
+        merged.join(in_a, merged.hv == in_a.hv_a, "left")
+        .join(in_b, merged.hv == in_b.hv_b, "left")
+        .select(
+            "hv",
+            (F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull()).alias(
+                "shared"
+            ),
+        )
+    )
+    est = flags.agg(
+        F.count("*").alias("n_merged"),
+        F.max("hv").alias("theta"),
+        F.sum(F.col("shared").cast("bigint")).alias("n_shared"),
+    )
+    # exact union/intersection from one full-outer key join pass
+    a_keys = c.select(F.col("c_custkey").alias("k")).distinct()
+    b_keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    j = a_keys.withColumnRenamed("k", "ka").join(
+        b_keys.withColumnRenamed("k", "kb"),
+        F.col("ka") == F.col("kb"),
+        "full_outer",
+    )
+    exact = j.agg(
+        F.count("*").alias("exact_union"),
+        F.sum(
+            (F.col("ka").isNotNull() & F.col("kb").isNotNull()).cast("bigint")
+        ).alias("exact_intersection"),
+    )
+    k_, hs = KMV_K, _HASH_SPACE_INT
+    est_union = F.when(
+        F.col("n_merged") < k_, F.col("n_merged") * 100
+    ).otherwise(F.expr(f"(({k_} - 1) * {hs} * 100) div theta"))
+    out = est.crossJoin(F.broadcast(exact)).select(
+        est_union.cast("long").alias("est_union_e2"),
+        F.when(F.col("n_merged") < k_, F.col("n_shared") * 100)
+        .otherwise(
+            F.expr(
+                f"(n_shared * ((({k_} - 1) * {hs} * 100) div theta)) div {k_}"
+            )
+        )
+        .cast("long")
+        .alias("est_intersection_e2"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+    )
+    return out

@@ -184,3 +184,48 @@ def test_countmin_cells_merge_across_shards(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == cw
+
+
+def test_kmv_join_estimate_branches_and_accuracy(spark, tmp_path):
+    """The estimator on constructed key sets: the small-set branch must
+    be EXACT (sketch holds the whole set), and the sketch branch must
+    land within the KMV error envelope on a 60%-overlap pair."""
+    import os
+
+    from bigdatatiler_spark.registry import load_all
+
+    def write(path, a_keys, b_keys):
+        spark.createDataFrame(
+            [(k, f"c{k}", 0) for k in a_keys],
+            "c_custkey long, c_name string, c_nationkey long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "customer.parquet")
+        )
+        import datetime as dt
+
+        d = dt.datetime(2025, 1, 1)
+        spark.createDataFrame(
+            [(i, k, "O", 1.0, d, "1-URGENT") for i, k in enumerate(b_keys)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "orders.parquet")
+        )
+
+    fn = load_all()["sketch_kmv_join_estimate"].fn
+
+    small = str(tmp_path / "small")
+    write(small, range(10), range(5, 15))  # union 15, intersection 5 < K
+    r = fn(spark, small).collect()[0]
+    assert (r.est_union_e2, r.est_intersection_e2) == (1500, 500)
+    assert (r.exact_union, r.exact_intersection) == (15, 5)
+
+    big = str(tmp_path / "big")
+    write(big, range(1000), range(400, 1400))  # union 1400, inter 600
+    r = fn(spark, big).collect()[0]
+    assert (r.exact_union, r.exact_intersection) == (1400, 600)
+    # k=64 → se ≈ 1/sqrt(62) ≈ 12.7%; allow 4 se on union, wider on the
+    # intersection (ratio estimator compounds both errors)
+    assert abs(r.est_union_e2 / 100 - 1400) <= 0.51 * 1400
+    assert abs(r.est_intersection_e2 / 100 - 600) <= 0.7 * 600
