@@ -138,6 +138,7 @@ HEADLINE = (
     "events_value_mad_outliers",
     "events_iqm_udaf",
     "events_zscore_grouped",
+    "doc_rag_chunks",
     "part_unpivot_measures",
     "part_pareto_frontier",
     "lineitem_pit_priority",

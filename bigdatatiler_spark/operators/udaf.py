@@ -174,3 +174,107 @@ def events_zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
     )
+
+
+# ── Python UDTF: RAG-style overlapping chunker ────────────────────────────
+
+#: chunk geometry in whitespace tokens: window 64, stride 48 (overlap 16)
+CHUNK_TOKS = 64
+CHUNK_STRIDE = 48
+
+
+class _ChunkDoc:
+    """Arrow-optimized Python UDTF: one document row in → one row per
+    overlapping chunk out (the retrieval-indexing chunker: fixed token
+    window, fixed stride, deterministic chunk ids and content hashes).
+
+    Chunk k covers 0-based token span [k·stride, k·stride+window); k
+    runs while k·stride < n_tokens, so every token is covered and the
+    final chunk may be short. The md5 content hash makes the emitted
+    VALUES verifiable cross-engine, not just the chunk arithmetic.
+    """
+
+    def eval(self, doc_id: int, toks: list):  # noqa: A003 - UDTF contract
+        import hashlib
+
+        n = len(toks)
+        k = 0
+        while k * CHUNK_STRIDE < n:
+            s = k * CHUNK_STRIDE
+            piece = toks[s : s + CHUNK_TOKS]
+            text = " ".join(piece)
+            yield (
+                doc_id,
+                k,
+                s + 1,  # 1-based start, matching SQL list slicing
+                s + len(piece),
+                len(piece),
+                hashlib.md5(text.encode()).hexdigest()[:16],
+            )
+            k += 1
+
+
+_CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, start_tok bigint, end_tok bigint, "
+    "n_toks bigint, chunk_md5 string"
+)
+
+_NORM_TOKS_SQL = (
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+@register(
+    "doc_rag_chunks",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, CAST(ceil(len(toks) /
+                    {CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS k
+      FROM norm
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           k AS chunk_idx,
+           k * {CHUNK_STRIDE} + 1 AS start_tok,
+           least(k * {CHUNK_STRIDE} + {CHUNK_TOKS}, n) AS end_tok,
+           least(k * {CHUNK_STRIDE} + {CHUNK_TOKS}, n)
+             - k * {CHUNK_STRIDE} AS n_toks,
+           substr(md5(array_to_string(
+             toks[k * {CHUNK_STRIDE} + 1 :
+                  least(k * {CHUNK_STRIDE} + {CHUNK_TOKS}, n)], ' ')), 1, 16)
+             AS chunk_md5
+    FROM spans
+    """,
+)
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-indexing chunker as a PYTHON UDTF (the §2.11 table-
+    function cell): every document lateral-joins to its overlapping
+    64-token / 48-stride chunks with content hashes — the shape a RAG
+    pipeline indexes. The DuckDB oracle rebuilds every chunk with list
+    slicing + generate_series, so the driver hash certifies the UDTF's
+    row expansion AND chunk contents.
+
+    The UDTF runs Arrow-optimized (batched transfer); still, a Python
+    table function is the API demonstration — the same expansion stays
+    fully JVM-side as posexplode(sequence(...)) + slice() when the
+    chunker needs no imperative logic (this one wouldn't; real ones
+    carry tokenizer state that does). One narrow projection + the
+    lateral expansion; no shuffle anywhere."""
+    from pyspark.sql.functions import udtf
+
+    chunker = udtf(_ChunkDoc, returnType=_CHUNK_SCHEMA, useArrow=True)
+    spark.udtf.register("doc_chunker", chunker)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+    )
+    docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") > 0
+    ).createOrReplaceTempView("_rag_docs")
+    return spark.sql(
+        "SELECT c.* FROM _rag_docs d, LATERAL doc_chunker(d.doc_id, d.toks) c"
+    )

@@ -81,3 +81,32 @@ def test_zscore_constant_group_and_formula(spark):
         "cents",
         "z_e3",
     ]
+
+
+def test_rag_chunker_geometry():
+    """Pure-Python chunk geometry: coverage (every token in ≥1 chunk),
+    overlap (stride < window ⇒ consecutive chunks share 16 tokens), and
+    the boundary counts at n = 1, 48, 49, 64, 65, 112, 113."""
+    from bigdatatiler_spark.operators.udaf import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        _ChunkDoc,
+    )
+
+    def chunks(n):
+        toks = [f"t{i}" for i in range(n)]
+        return list(_ChunkDoc().eval(1, toks))
+
+    expect_counts = {1: 1, 48: 1, 49: 2, 64: 2, 65: 2, 96: 2, 97: 3, 112: 3, 113: 3}
+    for n, want in expect_counts.items():
+        got = chunks(n)
+        assert len(got) == want, f"n={n}: {len(got)} chunks, want {want}"
+        covered = set()
+        for _, k, s, e, m, _h in got:
+            assert s == k * CHUNK_STRIDE + 1
+            assert e - s + 1 == m <= CHUNK_TOKS
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1)), f"n={n}: coverage hole"
+    # overlap: with n=65 the second chunk starts at 49 ≤ 64 = first end
+    (_, _, _, e1, _, _), (_, _, s2, _, _, _) = chunks(65)
+    assert s2 <= e1 and e1 - s2 + 1 == CHUNK_TOKS - CHUNK_STRIDE
