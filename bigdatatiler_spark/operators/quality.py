@@ -264,6 +264,11 @@ def fk_edge_profile(
     orphaned child rows (FK violation), and unreferenced parents
     (coverage — parents no child points at).
 
+    ``n_unref_parents`` counts unreferenced parent KEYS (the parent set
+    is deduped before the join), not parent rows — the two differ only
+    when the parent side is not key-unique; NULL keys on either side are
+    never counted as parents (a NULL child key is an orphan).
+
     One pass: child rows collapse to per-key counts first (the only scan
     of the fact side), then the KEY frames full-outer-join and all four
     stats fall out of a single aggregate — no separate anti-join per
@@ -285,7 +290,12 @@ def fk_edge_profile(
         F.coalesce(
             F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
         ).alias("n_orphans"),
-        F.count(F.when(F.col("ck").isNull(), F.lit(1))).alias("n_unref_parents"),
+        # pk non-null guard: a NULL child key also produces a row with
+        # ck NULL after the full outer join — it is an orphan, never an
+        # unreferenced parent
+        F.count(
+            F.when(F.col("ck").isNull() & F.col("pk").isNotNull(), F.lit(1))
+        ).alias("n_unref_parents"),
     )
 
 
@@ -307,7 +317,7 @@ def _fk_edge_sql(edge: str, ct: str, ck: str, pt: str, pk: str) -> str:
            (SELECT count(DISTINCT {ck}) FROM {ct}) AS n_child_keys,
            (SELECT count(*) FROM {ct} c WHERE NOT EXISTS
               (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphans,
-           (SELECT count(*) FROM {pt} p WHERE NOT EXISTS
+           (SELECT count(DISTINCT p.{pk}) FROM {pt} p WHERE NOT EXISTS
               (SELECT 1 FROM {ct} c WHERE c.{ck} = p.{pk})) AS n_unref_parents
     """
 

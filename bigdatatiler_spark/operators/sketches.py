@@ -389,9 +389,8 @@ def _kmv_sketch_sql(src: str, key: str, k: int = KMV_K) -> str:
       FROM merged
     ),
     exact AS (
-      SELECT count(DISTINCT c.c_custkey) AS exact_a,
-             count(DISTINCT o.o_custkey) AS exact_b
-      FROM customer c, orders o
+      SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS exact_a,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_b
     ),
     exact_i AS (
       SELECT count(*) AS exact_intersection FROM (
@@ -435,8 +434,8 @@ def sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner ships only the sketches."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    ska = _kmv_sketch(c, "c_custkey").persist()
-    skb = _kmv_sketch(o, "o_custkey").persist()
+    ska = _kmv_sketch(c, "c_custkey")
+    skb = _kmv_sketch(o, "o_custkey")
     merged = (
         ska.unionByName(skb).distinct().orderBy("hv").limit(KMV_K)
     )

@@ -399,13 +399,19 @@ def merge_upsert(
     b = base.alias("b")
     c = changes.alias("c")
     matched = F.col(f"c.{key}").isNotNull()
+    from_base = F.col(f"b.{key}").isNotNull()
     cols = [
         F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
         *[
             (
                 F.when(matched, F.col(f"c.{n}")).otherwise(F.col(f"b.{n}"))
                 if n in update_cols
-                else F.coalesce(F.col(f"b.{n}"), F.col(f"c.{n}"))
+                # non-SET column: base value whenever a base row exists —
+                # including a NULL base value (coalesce would wrongly pull
+                # the change row's value through a legitimate NULL)
+                else F.when(from_base, F.col(f"b.{n}")).otherwise(
+                    F.col(f"c.{n}")
+                )
             ).alias(n)
             for n in base.columns
             if n != key

@@ -52,14 +52,19 @@ def _n_rows(cents: pd.Series) -> int:
 @pandas_udf(LongType())
 def _iqm_cents(cents: pd.Series) -> int:
     """Interquartile mean as exact integers: mean of the sorted values at
-    1-based ranks ⌈n/4⌉+1 .. ⌊3n/4⌋ (floor-div result). Falls back to
-    the plain mean when the band is empty (n ≤ 4 boundary cases)."""
+    1-based ranks ⌈n/4⌉+1 .. ⌊3n/4⌋, truncating division (DuckDB's //
+    truncates toward zero while Python's floors — sign-normalizing here
+    keeps negative-sum bands engine-exact). Falls back to the plain mean
+    when the band is empty (n ≤ 4 boundary cases)."""
     xs = sorted(int(v) for v in cents)
     n = len(xs)
     lo = -(-n // 4) + 1  # ceil(n/4) + 1
     hi = (3 * n) // 4
     band = xs[lo - 1 : hi] if hi >= lo else xs
-    return sum(band) // len(band)
+    s, m = sum(band), len(band)
+    # truncate toward zero, matching the oracle's DuckDB // semantics
+    # (Python // floors: they differ on negative non-exact quotients)
+    return s // m if s >= 0 else -((-s) // m)
 
 
 @register(

@@ -27,13 +27,20 @@ def test_merge_arms_and_column_resolution(spark):
 
 
 def test_merge_partial_update_cols(spark):
-    """Columns outside update_cols must keep the base value on a match."""
+    """Columns outside update_cols must keep the base value on a match —
+    INCLUDING a NULL base value (ANSI MERGE leaves non-SET columns
+    alone; a coalesce-based merge would clobber the NULL)."""
     from bigdatatiler_spark.operators.sqlsurface import merge_upsert
 
-    base = spark.createDataFrame([(1, "keepme", 1)], "k long, tag string, v long")
-    chg = spark.createDataFrame([(1, "clobber", 99)], "k long, tag string, v long")
-    row = merge_upsert(base, chg, "k", ("v",)).collect()[0]
-    assert (row.tag, row.v, row.action) == ("keepme", 99, "update")
+    base = spark.createDataFrame(
+        [(1, "keepme", 1), (2, None, 2)], "k long, tag string, v long"
+    )
+    chg = spark.createDataFrame(
+        [(1, "clobber", 99), (2, "clobber", 88)], "k long, tag string, v long"
+    )
+    rows = {r.k: r for r in merge_upsert(base, chg, "k", ("v",)).collect()}
+    assert (rows[1].tag, rows[1].v, rows[1].action) == ("keepme", 99, "update")
+    assert (rows[2].tag, rows[2].v, rows[2].action) == (None, 88, "update")
 
 
 def test_merge_empty_change_batch(spark):

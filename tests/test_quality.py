@@ -129,3 +129,20 @@ def test_fk_edge_profile_empty_child(spark):
     assert (row.n_child, row.n_child_keys, row.n_orphans, row.n_unref_parents) == (
         0, 0, 0, 2,
     )
+
+
+def test_fk_edge_profile_null_child_keys_and_dup_parents(spark):
+    """NULL child keys are orphans, never unreferenced parents; the
+    unreferenced-parent stat counts distinct KEYS even when the parent
+    side is not key-unique; NULL parent keys are ignored entirely."""
+    from bigdatatiler_spark.operators.quality import fk_edge_profile
+
+    child = spark.createDataFrame([(None,), (None,), (1,)], "fk long")
+    parent = spark.createDataFrame(
+        [(1,), (3,), (3,), (None,)], "pk long"
+    )
+    row = fk_edge_profile(child, parent, "fk", "pk", "t").collect()[0]
+    assert row.n_child == 3
+    assert row.n_child_keys == 1        # NULLs excluded, like count(DISTINCT)
+    assert row.n_orphans == 2           # both NULL-key rows
+    assert row.n_unref_parents == 1     # key 3 once; NULL pk ignored

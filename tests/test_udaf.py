@@ -13,7 +13,8 @@ def _iqm_model(xs):
     lo = -(-n // 4) + 1
     hi = (3 * n) // 4
     band = xs[lo - 1 : hi] if hi >= lo else xs
-    return sum(band) // len(band)
+    s, m = sum(band), len(band)
+    return s // m if s >= 0 else -((-s) // m)  # truncating division
 
 
 def test_iqm_band_boundaries(spark):
@@ -110,3 +111,21 @@ def test_rag_chunker_geometry():
     # overlap: with n=65 the second chunk starts at 49 ≤ 64 = first end
     (_, _, _, e1, _, _), (_, _, s2, _, _, _) = chunks(65)
     assert s2 <= e1 and e1 - s2 + 1 == CHUNK_TOKS - CHUNK_STRIDE
+
+
+def test_iqm_negative_band_truncates_like_duckdb(spark):
+    """Negative band sums: Python // floors but DuckDB // truncates; the
+    UDAF must truncate (e.g. sum -7 over 4 → -1, not -2) — verified
+    against DuckDB's operator directly."""
+    import duckdb
+
+    from bigdatatiler_spark.operators.udaf import _iqm_cents
+    from pyspark.sql import functions as F
+
+    xs = [-9, -3, -2, -1, -1, 30]  # band (ranks 3..4 of 6) = [-2, -1]
+    df = spark.createDataFrame([("g", x) for x in xs], "g string, cents long")
+    got = (
+        df.groupBy("g").agg(_iqm_cents(F.col("cents")).alias("iqm")).collect()
+    )[0].iqm
+    want = duckdb.sql("SELECT (-2 + -1) // 2").fetchone()[0]
+    assert got == want == -1
