@@ -90,6 +90,7 @@ HEADLINE = (
     "doc_duplicate_spans",
     "doc_unigram_logprob",
     "events_funnel_conversion",
+    "events_funnel_windowed",
     "events_weekly_retention",
     "events_user_lifecycle",
     "events_hourly_anomaly",

@@ -1419,3 +1419,93 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_churned"),
         )
     )
+
+
+#: per-step conversion window for the timed funnel (24h in ms)
+_FUNNEL_STEP_MS = 86_400_000
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+    ),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND t > t1
+             AND t - t1 <= {_FUNNEL_STEP_MS} GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'click' AND t > t2
+             AND t - t2 <= {_FUNNEL_STEP_MS} GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t3
+             AND t - t3 <= {_FUNNEL_STEP_MS} GROUP BY e.user_id)
+    SELECT
+      (SELECT count(*) FROM s1) AS n_signup,
+      (SELECT count(*) FROM s2) AS n_view,
+      (SELECT count(*) FROM s3) AS n_click,
+      (SELECT count(*) FROM s4) AS n_purchase,
+      ((SELECT count(*) FROM s4) * 10000) // (SELECT count(*) FROM s1)
+        AS signup_to_purchase_rate_e4
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timed funnel: same signup → view → click → purchase cascade
+    as events_funnel_conversion but each step must land WITHIN 24h of
+    reaching the previous step — the product-analytics default (an
+    unbounded funnel calls a year-later purchase a conversion; a timed
+    one measures the actual activation flow). First-touch anchoring
+    makes the semantics well-defined on both engines: step k+1's time
+    is the MINIMUM eligible event after step k within the window, which
+    is exactly what the left-to-right fold meets first.
+
+    Same single user_id shuffle + in-codegen array fold as the
+    unbounded funnel; the oracle's per-step rescan formulation is the
+    independent cross-check."""
+    from ..tables import table as _table
+
+    evs = _table(spark, sf_dir, "events").select(
+        "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
+    )
+    per_user = evs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        zero.alias("t1"), zero.alias("t2"), zero.alias("t3"), zero.alias("t4")
+    )
+    d = F.lit(_FUNNEL_STEP_MS).cast("bigint")
+
+    def step(acc, e):
+        t, ty = e["t"], e["ty"]
+        t1 = F.when((acc["t1"] == 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
+            acc["t1"]
+        )
+        def advance(prev, slot, want):
+            return F.when(
+                (acc[slot] == 0)
+                & (ty == want)
+                & (acc[prev] > 0)
+                & (t > acc[prev])
+                & (t - acc[prev] <= d),
+                t,
+            ).otherwise(acc[slot])
+
+        t2 = advance("t1", "t2", _FUNNEL_STEPS[1])
+        t3 = advance("t2", "t3", _FUNNEL_STEPS[2])
+        t4 = advance("t3", "t4", _FUNNEL_STEPS[3])
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    chain = per_user.select(F.aggregate("seq", init, step).alias("c"))
+    reached = lambda k: F.sum((F.col(f"c.t{k}") > 0).cast("bigint"))
+    return chain.agg(
+        reached(1).alias("n_signup"),
+        reached(2).alias("n_view"),
+        reached(3).alias("n_click"),
+        reached(4).alias("n_purchase"),
+        int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
+    )
