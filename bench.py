@@ -144,6 +144,7 @@ HEADLINE = (
     "part_pareto_frontier",
     "lineitem_pit_priority",
     "events_rolling_7d_active_users",
+    "events_dau_mau_stickiness",
     "customer_revenue_gini",
     "orders_abc_classification",
     "events_value_winsorized",

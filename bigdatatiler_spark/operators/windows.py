@@ -1509,3 +1509,60 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         reached(4).alias("n_purchase"),
         int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d
+      JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, a.dau, m.mau,
+           (a.dau * 1000) // m.mau AS stickiness_e3
+    FROM days d JOIN dau a USING (day) JOIN mau m USING (day)
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio every growth
+    dashboard tracks: daily actives over trailing-28-day actives, on the
+    per-mille integer grid (floor-div — no ratio midpoint to disagree
+    on). Composes two non-frame-decomposable sliding COUNT DISTINCTs
+    the same way as events_rolling_7d_active_users: dedup raw events to
+    the (day, user) frame ONCE, fan each pair map-side to its ≤28
+    window-end days, aggregate per day — work scales with the
+    daily-distinct frame ×28, never the event stream. DAU reuses the
+    same deduped frame (width-1 window needs no fanout)."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(27))
+        ).alias("day_end"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    mau = (
+        fanned.join(days, fanned.day_end == days.day)
+        .groupBy(F.col("day_end").alias("day"))
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("(dau * 1000) div mau").alias("stickiness_e3"),
+        )
+    )
