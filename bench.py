@@ -136,6 +136,7 @@ HEADLINE = (
     "doc_trigram_search",
     "sketch_countmin_tokens",
     "sketch_kmv_join_estimate",
+    "customer_revenue_equidepth",
     "events_value_mad_outliers",
     "events_iqm_udaf",
     "events_zscore_grouped",

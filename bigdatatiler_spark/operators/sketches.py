@@ -488,3 +488,63 @@ def sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_intersection").cast("long").alias("exact_intersection"),
     )
     return out
+
+
+# ── equi-depth histogram: the ANALYZE-stats companion ─────────────────────
+
+#: histogram resolution (buckets)
+HIST_BUCKETS = 20
+
+
+@register(
+    "customer_revenue_equidepth",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT rev,
+             ntile({HIST_BUCKETS}) OVER (ORDER BY rev, o_custkey) AS bucket
+      FROM cust
+    )
+    SELECT bucket, count(*) AS n_customers,
+           min(rev) AS lo_cents, max(rev) AS hi_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def customer_revenue_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of customer lifetime revenue — the ANALYZE
+    statistic a cost-based optimizer uses for range-selectivity
+    estimation (each bucket holds ~n/{HIST_BUCKETS} rows, so a range
+    predicate's selectivity reads off the overlapped buckets ±1 bucket
+    of error; the companion sketch_kmv_join_estimate covers the
+    join-cardinality side of CBO stats). NTILE over a TOTAL order
+    (revenue, custkey) makes bucket assignment engine-exact — the ANSI
+    ntile split (first n mod B buckets one row larger) is identical in
+    Spark and DuckDB.
+
+    Plan: one custkey aggregate (the only fact-sized shuffle), then
+    ntile over the customer-dimension-sized frame (same single-window
+    precedent as Gini/RFM/ABC). At catalog sizes beyond one partition,
+    boundaries come from the GK sketch (sketch_quantile_gk) and bucket
+    assignment becomes a broadcast range lookup; this exact form IS the
+    oracle-verifiable ground truth for that path."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    return (
+        cust.select("rev", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("rev").alias("lo_cents"),
+            F.max("rev").alias("hi_cents"),
+        )
+    )

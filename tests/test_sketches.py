@@ -229,3 +229,29 @@ def test_kmv_join_estimate_branches_and_accuracy(spark, tmp_path):
     # intersection (ratio estimator compounds both errors)
     assert abs(r.est_union_e2 / 100 - 1400) <= 0.51 * 1400
     assert abs(r.est_intersection_e2 / 100 - 600) <= 0.7 * 600
+
+
+def test_equidepth_histogram_depth_and_order(spark):
+    """Equi-depth contract on the real fixture: bucket sizes differ by
+    at most 1, buckets tile the value range in order, and total rows
+    equal the customer count."""
+    from bigdatatiler_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (
+            (r.bucket, r.n_customers, r.lo_cents, r.hi_cents)
+            for r in load_all()["customer_revenue_equidepth"].fn(spark, sf).collect()
+        )
+    )
+    sizes = [r[1] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(rows, rows[1:]):
+        assert b2 == b1 + 1
+        assert lo2 >= hi1  # value ranges are ordered (ties may touch)
+    from bigdatatiler_spark.tables import table
+
+    n_cust = (
+        table(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(sizes) == n_cust
