@@ -291,6 +291,60 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
+def _funnel_chain(evs, step_ms: int | None = None):
+    """Left-to-right funnel fold shared by the unbounded and timed
+    funnels (the timed one is this fold with a per-step window; keeping
+    ONE copy of the state machine means a semantics fix cannot leave the
+    two silently disagreeing). The not-reached sentinel is -1, not 0 —
+    epoch-0 events are valid timestamps and must count (the oracle's
+    min() form has no sentinel to collide with)."""
+    per_user = evs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
+    )
+    none = F.lit(-1).cast("bigint")
+    init = F.struct(
+        none.alias("t1"), none.alias("t2"), none.alias("t3"), none.alias("t4")
+    )
+    d = None if step_ms is None else F.lit(step_ms).cast("bigint")
+
+    def step(acc, e):
+        t, ty = e["t"], e["ty"]
+        t1 = F.when((acc["t1"] < 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
+            acc["t1"]
+        )
+
+        def advance(prev, slot, want):
+            cond = (
+                (acc[slot] < 0)
+                & (ty == want)
+                & (acc[prev] >= 0)
+                & (t > acc[prev])
+            )
+            if d is not None:
+                cond = cond & (t - acc[prev] <= d)
+            return F.when(cond, t).otherwise(acc[slot])
+
+        t2 = advance("t1", "t2", _FUNNEL_STEPS[1])
+        t3 = advance("t2", "t3", _FUNNEL_STEPS[2])
+        t4 = advance("t3", "t4", _FUNNEL_STEPS[3])
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    return per_user.select(F.aggregate("seq", init, step).alias("c"))
+
+
+def _funnel_report(chain):
+    reached = lambda k: F.sum((F.col(f"c.t{k}") >= 0).cast("bigint"))
+    return chain.agg(
+        reached(1).alias("n_signup"),
+        reached(2).alias("n_view"),
+        reached(3).alias("n_click"),
+        reached(4).alias("n_purchase"),
+        int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
+    )
+
+
 @register(
     "events_funnel_conversion",
     oracle="""
@@ -331,54 +385,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     evs = _table(spark, sf_dir, "events").select(
         "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
     )
-    per_user = evs.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
-    )
-    zero = F.lit(0).cast("bigint")
-    init = F.struct(
-        zero.alias("t1"), zero.alias("t2"), zero.alias("t3"), zero.alias("t4")
-    )
+    return _funnel_report(_funnel_chain(evs))
 
-    def step(acc, e):
-        t, ty = e["t"], e["ty"]
-        t1 = F.when((acc["t1"] == 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
-            acc["t1"]
-        )
-        t2 = F.when(
-            (acc["t2"] == 0)
-            & (ty == _FUNNEL_STEPS[1])
-            & (acc["t1"] > 0)
-            & (t > acc["t1"]),
-            t,
-        ).otherwise(acc["t2"])
-        t3 = F.when(
-            (acc["t3"] == 0)
-            & (ty == _FUNNEL_STEPS[2])
-            & (acc["t2"] > 0)
-            & (t > acc["t2"]),
-            t,
-        ).otherwise(acc["t3"])
-        t4 = F.when(
-            (acc["t4"] == 0)
-            & (ty == _FUNNEL_STEPS[3])
-            & (acc["t3"] > 0)
-            & (t > acc["t3"]),
-            t,
-        ).otherwise(acc["t4"])
-        return F.struct(
-            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
-        )
-
-    chain = per_user.select(F.aggregate("seq", init, step).alias("c"))
-    reached = lambda k: F.sum((F.col(f"c.t{k}") > 0).cast("bigint"))
-    return chain.agg(
-        reached(1).alias("n_signup"),
-        reached(2).alias("n_view"),
-        reached(3).alias("n_click"),
-        reached(4).alias("n_purchase"),
-        # int/int ratio on the e4 grid (round(double) midpoint-tie class)
-        int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
-    )
 
 
 @register(
@@ -1281,11 +1289,47 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_users(ev: DataFrame) -> DataFrame:
+    """Distinct (epoch-day, user) frame — the shared input of every
+    sliding COUNT DISTINCT (floor day-bucketing, matching the oracles'
+    floor(epoch_ms/86400000); days×users cardinality, tiny next to raw
+    events)."""
+    return ev.select(
+        F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"), "user_id"
+    ).distinct()
+
+
+def _sliding_distinct_days(
+    du: DataFrame, width: int, restrict_to_observed: bool = True
+) -> DataFrame:
+    """(day, n_distinct) over a trailing ``width``-day window by
+    map-side fanout: each (day, user) pair contributes to its ≤width
+    window-end days, one final distinct-count per day — work scales
+    with the daily-distinct frame × width, never the event stream
+    (DISTINCT is not frame-decomposable, so no window engine has this).
+    ``restrict_to_observed=False`` skips the observed-days semi-filter
+    when the caller's own join already drops phantom window-end days."""
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(width - 1))
+        ).alias("day_end"),
+        "user_id",
+    )
+    if restrict_to_observed:
+        days = du.select("day").distinct()
+        fanned = fanned.join(days, fanned.day_end == days.day).drop("day")
+    return (
+        fanned.groupBy(F.col("day_end").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_distinct"))
+    )
+
+
 @register(
     "events_rolling_7d_active_users",
     oracle="""
     WITH du AS (
-      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+                      user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM du)
     SELECT d.day,
@@ -1309,22 +1353,9 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     engines' day spines identical. The oracle states the same semantics
     as the textbook self-range-join over daily distincts.
     """
-    ev = table(spark, sf_dir, "events")
-    du = ev.select(
-        F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"), "user_id"
-    ).distinct()
-    fanned = du.select(
-        F.explode(
-            F.sequence(F.col("day"), F.col("day") + F.lit(6))
-        ).alias("day_end"),
-        "user_id",
-    )
-    days = du.select("day").distinct()
-    return (
-        fanned.join(days, fanned.day_end == days.day)
-        .groupBy(fanned.day_end)
-        .agg(F.countDistinct("user_id").alias("active_7d"))
-        .select(F.col("day_end").alias("day"), "active_7d")
+    du = _daily_users(table(spark, sf_dir, "events"))
+    return _sliding_distinct_days(du, 7).withColumnRenamed(
+        "n_distinct", "active_7d"
     )
 
 
@@ -1469,53 +1500,16 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     evs = _table(spark, sf_dir, "events").select(
         "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
     )
-    per_user = evs.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
-    )
-    zero = F.lit(0).cast("bigint")
-    init = F.struct(
-        zero.alias("t1"), zero.alias("t2"), zero.alias("t3"), zero.alias("t4")
-    )
-    d = F.lit(_FUNNEL_STEP_MS).cast("bigint")
+    return _funnel_report(_funnel_chain(evs, step_ms=_FUNNEL_STEP_MS))
 
-    def step(acc, e):
-        t, ty = e["t"], e["ty"]
-        t1 = F.when((acc["t1"] == 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
-            acc["t1"]
-        )
-        def advance(prev, slot, want):
-            return F.when(
-                (acc[slot] == 0)
-                & (ty == want)
-                & (acc[prev] > 0)
-                & (t > acc[prev])
-                & (t - acc[prev] <= d),
-                t,
-            ).otherwise(acc[slot])
-
-        t2 = advance("t1", "t2", _FUNNEL_STEPS[1])
-        t3 = advance("t2", "t3", _FUNNEL_STEPS[2])
-        t4 = advance("t3", "t4", _FUNNEL_STEPS[3])
-        return F.struct(
-            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
-        )
-
-    chain = per_user.select(F.aggregate("seq", init, step).alias("c"))
-    reached = lambda k: F.sum((F.col(f"c.t{k}") > 0).cast("bigint"))
-    return chain.agg(
-        reached(1).alias("n_signup"),
-        reached(2).alias("n_view"),
-        reached(3).alias("n_click"),
-        reached(4).alias("n_purchase"),
-        int_ratio(reached(4), reached(1), 4, "signup_to_purchase_rate_e4"),
-    )
 
 
 @register(
     "events_dau_mau_stickiness",
     oracle="""
     WITH du AS (
-      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+                      user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM du),
     dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
@@ -1540,29 +1534,14 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-end days, aggregate per day — work scales with the
     daily-distinct frame ×28, never the event stream. DAU reuses the
     same deduped frame (width-1 window needs no fanout)."""
-    ev = table(spark, sf_dir, "events")
-    du = ev.select(
-        F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"), "user_id"
-    ).distinct()
+    du = _daily_users(table(spark, sf_dir, "events"))
     dau = du.groupBy("day").agg(F.count("*").alias("dau"))
-    fanned = du.select(
-        F.explode(
-            F.sequence(F.col("day"), F.col("day") + F.lit(27))
-        ).alias("day_end"),
-        "user_id",
-    )
-    days = du.select("day").distinct()
-    mau = (
-        fanned.join(days, fanned.day_end == days.day)
-        .groupBy(F.col("day_end").alias("day"))
-        .agg(F.count_distinct("user_id").alias("mau"))
-    )
-    return (
-        dau.join(mau, "day")
-        .select(
-            "day",
-            "dau",
-            "mau",
-            F.expr("(dau * 1000) div mau").alias("stickiness_e3"),
-        )
+    # phantom window-end days (beyond the last observed day) drop in the
+    # inner join with dau — no observed-days semi-filter needed here
+    mau = _sliding_distinct_days(du, 28, restrict_to_observed=False)
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        F.col("n_distinct").alias("mau"),
+        F.expr("(dau * 1000) div n_distinct").alias("stickiness_e3"),
     )

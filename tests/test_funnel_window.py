@@ -66,3 +66,70 @@ def test_funnel_window_boundary(spark, tmp_path):
     assert table_hash(list(sdf.columns), srows) == table_hash(
         ocols, res.fetchall()
     )
+
+
+def test_funnel_epoch_zero_signup_counts(spark, tmp_path):
+    """An event at exactly epoch 0 is a valid timestamp: the fold's
+    not-reached sentinel must not collide with it (regression for the
+    0-sentinel; now -1). Both funnels share the fold, so one check
+    covers both."""
+    import datetime as dt
+    import os
+
+    from bigdatatiler_spark.registry import load_all
+
+    rows = [
+        (1, dt.datetime(1970, 1, 1, 0, 0, 0), 7, "signup", 1.0, "{}"),
+        (2, dt.datetime(1970, 1, 1, 0, 30, 0), 7, "view", 1.0, "{}"),
+    ]
+    path = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    for name in ("events_funnel_conversion", "events_funnel_windowed"):
+        r = load_all()[name].fn(spark, path).collect()[0]
+        assert (r.n_signup, r.n_view) == (1, 1), name
+
+
+def test_day_bucketing_pre_1970_matches_oracle(spark, tmp_path):
+    """Pre-1970 timestamps: Spark floors epoch-day while DuckDB's //
+    truncates toward zero — the oracles now use floor() too; this pins
+    the day-window family on a fixture straddling the epoch."""
+    import datetime as dt
+    import os
+
+    from bigdatatiler_spark.registry import load_all
+
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 0, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(1970, 1, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(1970, 1, 1, 2, 0, 0), 2, "view", 1.0, "{}"),
+    ]
+    path = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(path, 'events.parquet')}/*.parquet')"
+    )
+    for name in ("events_rolling_7d_active_users", "events_dau_mau_stickiness"):
+        spec = load_all()[name]
+        sdf = spec.fn(spark, path)
+        srows = [tuple(r) for r in sdf.collect()]
+        # day -1 must appear (floor, not truncate-to-0)
+        assert min(r[0] for r in srows) == -1, name
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        assert table_hash(list(sdf.columns), srows) == table_hash(
+            ocols, res.fetchall()
+        ), name
