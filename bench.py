@@ -126,6 +126,7 @@ HEADLINE = (
     "customer_rfm_segments",
     "events_session_paths",
     "events_cohort_ltv",
+    "events_decayed_engagement",
     "orders_priority_scd2",
     "events_trailing_hour_stats",
     "events_seasonal_backtest",

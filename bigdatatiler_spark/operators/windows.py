@@ -1545,3 +1545,59 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("mau"),
         F.expr("(dau * 1000) div n_distinct").alias("stickiness_e3"),
     )
+
+
+#: recency half-life for decayed engagement (7 days in ms)
+_DECAY_HALF_LIFE_MS = 604_800_000
+
+
+@register(
+    "events_decayed_engagement",
+    oracle=f"""
+    WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(pow(2.0,
+                 -CAST(ref_ms - epoch_ms(ts) AS DOUBLE)
+                   / {_DECAY_HALF_LIFE_MS}.0) * 1000000) AS BIGINT))
+             AS BIGINT) AS decayed_score_e6,
+           max(epoch_ms(ts)) AS last_seen_ms
+    FROM events, ref
+    GROUP BY user_id
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: every event
+    contributes 2^(−age/half-life) with a 7-day half-life, anchored at
+    the corpus max timestamp — the standard time-decay ranking signal
+    (Reddit/HN-style hotness, churn-risk scoring) that a plain count
+    can't express.
+
+    Determinism follows the TF-IDF micro-floor precedent: each event's
+    irrational weight is floored onto the ⌊·e6⌋ integer grid BEFORE
+    summation (a cross-libm pow() ulp cannot move a value across a grid
+    1e-6 wide, and integer sums are order-independent — a raw float sum
+    would differ between Spark's parallel partials and any single-
+    threaded oracle). The reference timestamp is a 1-row broadcast
+    (whitelisted BNLJ class); the rest is one user-keyed aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", ms("ts").alias("t")
+    )
+    ref = F.broadcast(ev.agg(F.max("t").alias("ref_ms")))
+    weight_e6 = F.floor(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("ref_ms") - F.col("t")).cast("double")
+            / F.lit(float(_DECAY_HALF_LIFE_MS)),
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        ev.crossJoin(ref)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(weight_e6).cast("long").alias("decayed_score_e6"),
+            F.max("t").alias("last_seen_ms"),
+        )
+    )

@@ -133,3 +133,34 @@ def test_day_bucketing_pre_1970_matches_oracle(spark, tmp_path):
         assert table_hash(list(sdf.columns), srows) == table_hash(
             ocols, res.fetchall()
         ), name
+
+
+def test_decayed_engagement_weight_semantics(spark, tmp_path):
+    """Half-life semantics on constructed ages: weight e6 of an event
+    exactly one half-life old is 500000; the newest event weighs
+    1000000; two-half-life events weigh 250000 — and the per-user sum
+    is the integer sum of floored weights."""
+    import datetime as dt
+    import os
+
+    from bigdatatiler_spark.registry import load_all
+
+    t0 = dt.datetime(2025, 1, 15)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),                          # ref, w=1e6
+        (2, t0 - dt.timedelta(days=7), 1, "view", 1.0, "{}"),   # w=5e5
+        (3, t0 - dt.timedelta(days=14), 2, "view", 1.0, "{}"),  # w=25e4
+    ]
+    path = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        r.user_id: r.decayed_score_e6
+        for r in load_all()["events_decayed_engagement"].fn(spark, path).collect()
+    }
+    assert got == {1: 1500000, 2: 250000}

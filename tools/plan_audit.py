@@ -39,6 +39,7 @@ BNLJ_BY_DESIGN = {
     "doc_length_rank_deciles",  # 1-row corpus-count broadcast
     "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
     "events_zorder_key",  # 1-row min/max-bounds broadcast
+    "events_decayed_engagement",  # 1-row reference-timestamp broadcast
     "orders_constraint_audit",  # audit() cross-joins 1-row check frames
     "lineitem_constraint_audit",  # same 1-row audit() combination
     "ann_pq_adc_topk",  # 1-row codebook crossJoin (×2) + 5-row query ADC tables
