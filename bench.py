@@ -138,6 +138,7 @@ HEADLINE = (
     "sketch_countmin_tokens",
     "sketch_kmv_join_estimate",
     "customer_revenue_equidepth",
+    "orders_selectivity_report",
     "events_value_mad_outliers",
     "events_iqm_udaf",
     "events_zscore_grouped",

@@ -548,3 +548,140 @@ def customer_revenue_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rev").alias("hi_cents"),
         )
     )
+
+
+# ── selectivity estimation off the equi-depth histogram ───────────────────
+
+#: fixed range predicates (cents) the report estimates — data-independent
+#: constants so fixture regeneration cannot shift the query's meaning
+SEL_PREDICATES = (
+    (1, 10_000_00, 50_000_00),      # mid-range customers
+    (2, 0, 20_000_00),              # low tail
+    (3, 40_000_00, 200_000_00),     # high tail
+)
+
+
+def _sel_hist_sql() -> str:
+    return f"""
+      SELECT bucket, count(*) AS n_rows,
+             min(rev) AS lo, max(rev) AS hi
+      FROM (
+        SELECT rev,
+               ntile({HIST_BUCKETS}) OVER (ORDER BY rev, o_custkey) AS bucket
+        FROM (
+          SELECT o_custkey,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1
+        )
+      ) GROUP BY bucket
+    """
+
+
+@register(
+    "orders_selectivity_report",
+    oracle=f"""
+    WITH hist AS ({_sel_hist_sql()}),
+    preds(pred_id, p_lo, p_hi) AS (VALUES {
+        ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in SEL_PREDICATES)
+    }),
+    est AS (
+      SELECT p.pred_id, p.p_lo, p.p_hi,
+             CAST(sum(CASE
+               WHEN h.hi < p.p_lo OR h.lo > p.p_hi THEN 0
+               WHEN h.hi = h.lo THEN
+                 CASE WHEN h.lo BETWEEN p.p_lo AND p.p_hi
+                      THEN h.n_rows ELSE 0 END
+               ELSE (h.n_rows * (least(h.hi, p.p_hi) - greatest(h.lo, p.p_lo)))
+                    // (h.hi - h.lo)
+             END) AS BIGINT) AS est_rows
+      FROM preds p, hist h
+      GROUP BY 1, 2, 3
+    ),
+    act AS (
+      SELECT p.pred_id, count(*) AS actual_rows
+      FROM preds p
+      JOIN (
+        SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+      ) c ON c.rev BETWEEN p.p_lo AND p.p_hi
+      GROUP BY 1
+    )
+    SELECT e.pred_id, e.p_lo, e.p_hi, e.est_rows,
+           CAST(coalesce(a.actual_rows, 0) AS BIGINT) AS actual_rows
+    FROM est e LEFT JOIN act a USING (pred_id)
+    """,
+)
+def orders_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimation step of CBO stats: three fixed revenue-range
+    predicates priced off the equi-depth histogram (full buckets count
+    whole; partially-overlapped buckets contribute
+    ⌊n·overlap/width⌋ by uniform-within-bucket interpolation — the
+    textbook histogram-selectivity rule) beside the exact counts. With
+    customer_revenue_equidepth (the statistic) and
+    sketch_kmv_join_estimate (join cardinality) this completes the CBO
+    input set; everything stays in floor-div integers, so both engines
+    replay the identical estimate.
+
+    Plan: the histogram build (one fact shuffle + one dimension-sized
+    window) + a 3×{HIST_BUCKETS} broadcast estimate fold + one exact
+    pass for the truth columns — a real planner keeps only the
+    histogram and skips the exact pass."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    hist = (
+        cust.select("rev", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("rev").alias("lo"),
+            F.max("rev").alias("hi"),
+        )
+    )
+    preds = F.broadcast(
+        spark.createDataFrame(
+            list(SEL_PREDICATES), "pred_id long, p_lo long, p_hi long"
+        )
+    )
+    contrib = (
+        F.when((F.col("hi") < F.col("p_lo")) | (F.col("lo") > F.col("p_hi")), 0)
+        .when(
+            F.col("hi") == F.col("lo"),
+            F.when(
+                F.col("lo").between(F.col("p_lo"), F.col("p_hi")),
+                F.col("n_rows"),
+            ).otherwise(0),
+        )
+        .otherwise(
+            F.expr(
+                "(n_rows * (least(hi, p_hi) - greatest(lo, p_lo)))"
+                " div (hi - lo)"
+            )
+        )
+    )
+    est = (
+        hist.crossJoin(preds)
+        .groupBy("pred_id", "p_lo", "p_hi")
+        .agg(F.sum(contrib).cast("long").alias("est_rows"))
+    )
+    act = (
+        cust.crossJoin(preds)
+        .where(F.col("rev").between(F.col("p_lo"), F.col("p_hi")))
+        .groupBy("pred_id")
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return est.join(act, "pred_id", "left").select(
+        "pred_id",
+        "p_lo",
+        "p_hi",
+        "est_rows",
+        F.coalesce(F.col("actual_rows"), F.lit(0)).cast("long").alias(
+            "actual_rows"
+        ),
+    )

@@ -255,3 +255,24 @@ def test_equidepth_histogram_depth_and_order(spark):
         table(spark, sf, "orders").select("o_custkey").distinct().count()
     )
     assert sum(sizes) == n_cust
+
+
+def test_selectivity_estimate_within_histogram_error(spark):
+    """On the real fixture each estimate must land within the
+    equi-depth error envelope: a range predicate's true count differs
+    from the interpolated estimate by at most ~2 boundary buckets plus
+    interpolation slack (generous bound: 3 bucket depths + 10%)."""
+    from bigdatatiler_spark.operators.sketches import HIST_BUCKETS
+    from bigdatatiler_spark.registry import load_all
+    from bigdatatiler_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    rows = load_all()["orders_selectivity_report"].fn(spark, sf).collect()
+    n_cust = table(spark, sf, "orders").select("o_custkey").distinct().count()
+    depth = n_cust / HIST_BUCKETS
+    assert len(rows) == 3
+    for r in rows:
+        bound = 3 * depth + 0.1 * max(r.actual_rows, 1)
+        assert abs(r.est_rows - r.actual_rows) <= bound, (
+            r.pred_id, r.est_rows, r.actual_rows, bound,
+        )

@@ -33,6 +33,7 @@ BNLJ_BY_DESIGN = {
     "tpch_q11_important_parts",  # 1-row scalar threshold broadcast
     "sketch_frequent_tokens",  # 1-row grand-total broadcast
     "sketch_kmv_join_estimate",  # 1-row estimate × 1-row exact crossJoin
+    "orders_selectivity_report",  # 3-row predicate-list crossJoin (×2)
     "hybrid_search_rrf",  # 5-row query block broadcast on both sides
     "doc_unigram_logprob",  # 1-row corpus-total + vocab broadcast
     "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
