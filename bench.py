@@ -1,8 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints per-query detail as a JSON line first, then — as the FINAL stdout
+line — a compact JSON summary:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {<r1-subset name>: sec, ...}, "sf": <sf>, ...}
+
+The final line is deliberately bounded: the round-4 driver recorded
+``parsed: null`` because the single 127-entry headline line overflowed its
+tail capture, so the last line now carries totals plus only the round-1
+query subset (the apples-to-apples trend set, the size that parsed in
+round 1); the full per-query detail rides the earlier line.
 
 Each query executes to completion via the noop sink (full computation, no
 driver-side materialization cost polluting the numbers). First a warmup
@@ -208,28 +215,43 @@ def main() -> None:
             rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
     # Apples-to-apples trend line: the headline set GROWS every round
-    # (47 → 96 entries), so the grand total is not comparable across
-    # rounds. Also report the total over the round-1 query set, so
-    # "within 2x of the recorded baseline" reads against the same work.
+    # (47 → 127+ entries), so the grand total is not comparable across
+    # rounds. The round-1 query subset reads "within 2x of the recorded
+    # baseline" against the same work.
+    r1_queries: set[str] = set()
     r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     try:
         with open(r1_path) as f:
             r1_queries = set(json.load(f)["parsed"]["queries"])
-        out["r1_subset_sec"] = round(
-            sum(v for k, v in timings.items() if k in r1_queries), 3
-        )
-        out["r1_subset_n"] = sum(1 for k in timings if k in r1_queries)
     except (OSError, KeyError, ValueError):
         pass
+    r1_timings = {k: v for k, v in timings.items() if k in r1_queries}
+
+    # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    # Compact, bounded summary as the FINAL stdout line (driver-parseable).
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": r1_timings or timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    if r1_timings:
+        out["r1_subset_sec"] = round(sum(r1_timings.values()), 3)
+        out["r1_subset_n"] = len(r1_timings)
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -152,7 +152,8 @@ DUP_SPAN_FLAG = 0.5  # doc flagged when more than half its spans are shared
     )
     SELECT doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS n_dup_spans,
+           CAST(sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_spans,
            CAST((sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) * 1000)
                   // count(*) AS BIGINT) AS dup_span_permille,
            CAST(2 * sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) > count(*)
@@ -232,10 +233,10 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       t.doc_id,
       count(*) AS n_tokens,
-      sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
-        AS sum_logp_micro,
-      sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
-        // count(*) AS avg_logp_micro
+      CAST(sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
+        AS BIGINT) AS sum_logp_micro,
+      CAST(sum(CAST(round((ln(f.cnt) - ln(tot.total)) * 1000000) AS BIGINT))
+        // count(*) AS BIGINT) AS avg_logp_micro
     FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -299,9 +300,12 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            b.p01 AS p01_cents,
            b.p99 AS p99_cents,
-           sum(CASE WHEN e.cents < b.p01 THEN 1 ELSE 0 END) AS n_clipped_low,
-           sum(CASE WHEN e.cents > b.p99 THEN 1 ELSE 0 END) AS n_clipped_high,
-           sum(least(greatest(e.cents, b.p01), b.p99)) AS winsorized_sum_cents
+           CAST(sum(CASE WHEN e.cents < b.p01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN e.cents > b.p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(sum(least(greatest(e.cents, b.p01), b.p99))
+                AS BIGINT) AS winsorized_sum_cents
     FROM e JOIN b USING (event_type)
     GROUP BY e.event_type, b.p01, b.p99
     """,

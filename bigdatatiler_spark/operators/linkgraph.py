@@ -161,7 +161,9 @@ def _pagerank_oracle() -> str:
         iter_ctes.append(f"""
     r{i} AS (
       SELECT e.dst AS node,
-             {PR_TELEPORT} + ({DAMP_NUM} * sum(r.r // d.deg)) // {DAMP_DEN} AS r
+             CAST({PR_TELEPORT}
+                  + ({DAMP_NUM} * sum(r.r // d.deg)) // {DAMP_DEN}
+                  AS BIGINT) AS r
       FROM sym e
       JOIN {prev} r ON e.src = r.node
       JOIN deg d ON d.src = e.src

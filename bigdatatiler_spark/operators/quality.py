@@ -223,11 +223,11 @@ def diverging_buckets(a: DataFrame, b: DataFrame) -> list[int]:
     SELECT
       event_id % {N_CK_BUCKETS} AS bucket,
       count(*) AS n_rows,
-      sum(('0x' || substr(md5(
+      CAST(sum(('0x' || substr(md5(
         concat_ws('|', event_id, user_id, event_type,
                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
                   epoch_ms(ts))
-      ), 1, 8))::UBIGINT) AS sig_sum
+      ), 1, 8))::UBIGINT) AS BIGINT) AS sig_sum
     FROM events
     GROUP BY 1
     """,

@@ -590,7 +590,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r, f, m,
            count(*) AS n_customers,
-           sum(monetary_cents) AS segment_cents
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
     FROM scored GROUP BY 1, 2, 3
     """,
 )

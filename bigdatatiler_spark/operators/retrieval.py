@@ -203,11 +203,11 @@ dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
 qterms AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < {{nq}}),
 scored AS (
   SELECT q.query_id, c.doc_id,
-         sum(CAST(floor(
+         CAST(sum(CAST(floor(
            ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
              * (c.tf * {_K1P1})
              / (c.tf + {BM25_K1} * ({_B1M} + {BM25_B} * d.dl / s.avgdl))
-             * {_BM25_QUANT}) AS BIGINT)) AS bm25_micro
+             * {_BM25_QUANT}) AS BIGINT)) AS BIGINT) AS bm25_micro
   FROM qterms q
   JOIN tf c ON c.tok = q.tok AND c.doc_id <> q.query_id
   JOIN dfreq f ON f.tok = q.tok

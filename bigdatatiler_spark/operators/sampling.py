@@ -51,7 +51,7 @@ def split_column(col: Column, train: int = 80, valid: int = 90) -> Column:
            WHEN {_SQL_BUCKET} < 90 THEN 'valid'
            ELSE 'test' END AS split,
       count(*) AS n_docs,
-      sum(n_chars) AS total_chars,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
       count(DISTINCT lang) AS n_langs
     FROM documents
     GROUP BY 1
@@ -84,8 +84,10 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS corpus_docs,
-           sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS sample_docs,
-           sum(CASE WHEN bucket < 10 THEN n_chars ELSE 0 END) AS sample_chars
+           CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS sample_docs,
+           CAST(sum(CASE WHEN bucket < 10 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sample_chars
     FROM s GROUP BY lang
     """,
 )
@@ -126,20 +128,20 @@ _SQL_BUCKET_1000 = (
     "sample_domain_mixture",
     oracle=f"""
     WITH strata AS (
-      SELECT lang, source, sum(n_chars) AS stratum_chars
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS stratum_chars
       FROM documents GROUP BY lang, source
     ),
     rates AS (
       SELECT lang, source, stratum_chars,
-             (min(stratum_chars) OVER () * {_MIX_PERMILLE}) // stratum_chars
-               AS accept_permille
+             CAST((min(stratum_chars) OVER () * {_MIX_PERMILLE})
+                  // stratum_chars AS BIGINT) AS accept_permille
       FROM strata
     )
     SELECT d.lang, d.source,
            r.stratum_chars,
            r.accept_permille,
            count(*) AS sampled_docs,
-           sum(d.n_chars) AS sampled_chars
+           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars
     FROM documents d
     JOIN rates r ON d.lang = r.lang AND d.source = r.source
     WHERE {_SQL_BUCKET_1000} < r.accept_permille
@@ -202,7 +204,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_temperature_mixture",
     oracle=f"""
     WITH strata AS (
-      SELECT lang, source, sum(n_chars) AS stratum_chars
+      SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS stratum_chars
       FROM documents GROUP BY lang, source
     ),
     rates AS (
@@ -216,7 +218,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.stratum_chars,
            r.accept_permille,
            count(*) AS sampled_docs,
-           sum(d.n_chars) AS sampled_chars
+           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars
     FROM documents d
     JOIN rates r ON d.lang = r.lang AND d.source = r.source
     WHERE {_SQL_BUCKET_1000} < r.accept_permille

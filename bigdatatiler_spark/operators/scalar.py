@@ -175,7 +175,7 @@ def part_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       p_partkey,
       len(words) AS n_words,
       array_to_string(list_sort(words), '|') AS sorted_words,
-      list_contains(words, 'widget') AS has_widget,
+      CAST(list_contains(words, 'widget') AS INTEGER) AS has_widget,
       words[1] AS first_word,
       words[len(words)] AS last_word,
       array_to_string(list_transform(words, w -> upper(w)), ' ') AS upper_name,
@@ -195,7 +195,7 @@ def part_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.size("words").cast("bigint").alias("n_words"),
         F.array_join(F.array_sort("words"), "|").alias("sorted_words"),
-        F.array_contains("words", "widget").alias("has_widget"),
+        F.array_contains("words", "widget").cast("int").alias("has_widget"),
         F.element_at("words", 1).alias("first_word"),
         F.element_at("words", -1).alias("last_word"),
         F.array_join(F.transform("words", lambda w: F.upper(w)), " ").alias(

@@ -583,7 +583,10 @@ def _sel_hist_sql() -> str:
     oracle=f"""
     WITH hist AS ({_sel_hist_sql()}),
     preds(pred_id, p_lo, p_hi) AS (VALUES {
-        ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in SEL_PREDICATES)
+        ", ".join(
+            f"(CAST({i} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))"
+            for i, lo, hi in SEL_PREDICATES
+        )
     }),
     est AS (
       SELECT p.pred_id, p.p_lo, p.p_hi,

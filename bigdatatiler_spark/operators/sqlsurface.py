@@ -33,7 +33,8 @@ PAGE = 3  # 0-based → rows [150, 200) of the total order
       event_type,
       count(*) AS n_events,
       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
-      sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
+        AS BIGINT) AS sum_k,
       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
     FROM events
@@ -280,6 +281,8 @@ _PROFILE_COLS = (
 @register(
     "orders_profile",
     oracle="""
+    SELECT col, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct
+    FROM (
     SELECT 'o_orderkey' AS col, count(*) AS n_rows,
            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct FROM orders
@@ -303,6 +306,7 @@ _PROFILE_COLS = (
     SELECT 'o_orderpriority', count(*),
            sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
            count(DISTINCT o_orderpriority) FROM orders
+    )
     """,
 )
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,8 +39,8 @@ def _norm_col():
       doc_id, lang, source, n_chars,
       len(toks) AS n_tokens,
       len(list_distinct(toks)) AS n_distinct_tokens,
-      (list_sum([length(x) for x in toks]) * 10000) // len(toks)
-        AS avg_token_len_e4,
+      CAST((list_sum([length(x) for x in toks]) * 10000) // len(toks)
+        AS BIGINT) AS avg_token_len_e4,
       (len(list_distinct(toks)) * 10000) // len(toks)
         AS ttr_e4,
       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
@@ -167,7 +167,7 @@ def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
       lang,
       source,
       count(*) AS n_docs,
-      sum(n_chars) AS total_chars,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
       CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_e4,
       min(n_chars) AS min_chars,
       max(n_chars) AS max_chars
@@ -359,7 +359,7 @@ PACK_SHARDS = 32
       FROM t
     )
     SELECT doc_id, shard, n_tokens,
-           cum_tokens - n_tokens AS start_offset,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
            CAST((cum_tokens - n_tokens) // {PACK_CTX} AS BIGINT) AS first_chunk,
            CAST((cum_tokens - 1) // {PACK_CTX} AS BIGINT) AS last_chunk
     FROM c
@@ -534,7 +534,8 @@ VOCAB_SIZE = 16
     )
     SELECT t.lang,
            count(*) AS total_tokens,
-           sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+           CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
            CAST((sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 10000)
                   // count(*) AS BIGINT) AS oov_rate_e4
     FROM toks t LEFT JOIN vocab v USING (tok)
@@ -872,14 +873,22 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks_arr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
     norm = docs.select("doc_id", toks_arr.alias("toks"))
-    bg = norm.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # Guard the bigram expansion: Spark's sequence(1, 0) DESCENDS ([1, 0],
+    # default step -1) while DuckDB's generate_series(1, 0) is empty — a
+    # 0/1-token document would emit two null-padded bigrams here and
+    # silently inflate the denominator. size >= 2 keeps both engines empty.
+    bg = (
+        norm.where(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     uni = norm.select(F.explode("toks").alias("w"))
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("c"))

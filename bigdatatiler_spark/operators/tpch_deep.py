@@ -163,10 +163,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_year,
-      (CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+      CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_5'
                      THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END)
               * 10000 AS HUGEINT) * 1000000)
-        // CAST(sum(volume) * 10000 AS BIGINT) AS mkt_share_e6
+        // CAST(sum(volume) * 10000 AS BIGINT) AS BIGINT) AS mkt_share_e6
     FROM all_nations
     GROUP BY o_year
     """,
@@ -319,10 +319,10 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_revenue",
     oracle=f"""
     SELECT
-      (CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+      CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
                      ELSE CAST(0 AS DECIMAL(10,2)) END) * 10000 AS HUGEINT)
          * 100000000)
-        // CAST(sum({_DISC_SQL}) * 10000 AS BIGINT) AS promo_pct_e6
+        // CAST(sum({_DISC_SQL}) * 10000 AS BIGINT) AS BIGINT) AS promo_pct_e6
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -653,10 +653,10 @@ def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN floor(epoch_ms(l_shipdate) / 86400000)
               - floor(epoch_ms(o_orderdate) / 86400000) > 90
            THEN 'late' ELSE 'on-time' END AS ship_bucket,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -642,8 +642,8 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           sum(next_ms - t_ms) AS observed_ms,
-           sum(cents * (next_ms - t_ms)) AS weighted_cents_ms,
+           CAST(sum(next_ms - t_ms) AS BIGINT) AS observed_ms,
+           CAST(sum(cents * (next_ms - t_ms)) AS BIGINT) AS weighted_cents_ms,
            CAST(sum(cents * (next_ms - t_ms)) // sum(next_ms - t_ms) AS BIGINT)
              AS twa_cents
     FROM seq WHERE next_ms IS NOT NULL
@@ -779,11 +779,11 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT epoch_ms(cw) AS cohort_week_ms,
            week_offset,
-           cents AS week_cents,
-           sum(cents) OVER (
+           CAST(cents AS BIGINT) AS week_cents,
+           CAST(sum(cents) OVER (
              PARTITION BY cw ORDER BY week_offset
              ROWS UNBOUNDED PRECEDING
-           ) AS cum_cents
+           ) AS BIGINT) AS cum_cents
     FROM wk
     """,
 )
@@ -920,8 +920,8 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_trailing,
-           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
-             AS trailing_cents
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+             AS BIGINT) AS trailing_cents
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_ms(ts)
@@ -976,8 +976,8 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_hours,
-           sum(abs(cents - fc)) // count(*) AS mae_cents,
-           sum(cents - fc) // count(*) AS bias_cents
+           CAST(sum(abs(cents - fc)) // count(*) AS BIGINT) AS mae_cents,
+           CAST(sum(cents - fc) // count(*) AS BIGINT) AS bias_cents
     FROM forecast WHERE fc IS NOT NULL
     GROUP BY event_type
     """,
@@ -1030,7 +1030,8 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
       (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
       count(*) AS n_events,
-      sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2
     """,

@@ -171,7 +171,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # pytest-pinned; still local-oracle-checked. In: the weighted
     # sampler — a new kernel class, priority sampling.)
     "sample_weighted_priority",
-    "sketch_quantile_gk",
+    # (sketch_quantile_gk rotated out for round 5: r4 driver-green, the
+    # sketch family keeps sketch_kmv_distinct in-window and GK accuracy
+    # is pytest-pinned. In: Q8 market share — an ex-HUGEINT oracle
+    # (decimal-ratio // path) so round 5's driver run certifies the
+    # CAST-to-BIGINT fix class on a fresh name.)
+    "tpch_q8_market_share",
     "sample_train_test_split",
     # — new round-2 queries append here (slots up to #50) —
     # (order_date_functions rotated out: round-1 driver-green, and the
@@ -211,9 +216,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pack_token_budget",
     "hybrid_search_rrf",
     # (doc_quality_score rotated out: r2 driver-green map-only heuristic;
-    # the text family keeps five in-window entries. In: the gapfill/locf
-    # hypertable surface from windows.py.)
-    "events_gapfill_locf",
+    # the text family keeps five in-window entries. In round 4: the
+    # gapfill/locf hypertable surface. Round 5: events_gapfill_locf
+    # rotated out in turn (r4 driver-green; windows.py keeps
+    # events_session_windows + order_price_percentiles in-window and
+    # gapfill stays local-oracle-checked) for the cohort-LTV running
+    # total — an ex-HUGEINT window-cumsum oracle, certifying the
+    # CAST-to-BIGINT fix class on the windowed-aggregate shape.)
+    "events_cohort_ltv",
     # (doc_repetition_stats rotated out for the round-3 rollup family:
     # r2 driver-green, and the text family keeps six in-window entries
     # (token_stats, lang_id, fingerprint, corpus_profile, quality, pack);

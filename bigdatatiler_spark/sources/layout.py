@@ -229,10 +229,10 @@ def _zorder_oracle() -> str:
       FROM bounds
     )
     SELECT event_id, u8, t8,
-           list_sum([((u8 >> i) & 1) << (2*i)
+           CAST(list_sum([((u8 >> i) & 1) << (2*i)
                      FOR i IN generate_series(0, {b - 1})])
          + list_sum([((t8 >> i) & 1) << (2*i+1)
-                     FOR i IN generate_series(0, {b - 1})]) AS zkey
+                     FOR i IN generate_series(0, {b - 1})]) AS BIGINT) AS zkey
     FROM dims
     """
 

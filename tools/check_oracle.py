@@ -45,6 +45,21 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
+def pandas_hash(pdf) -> str:
+    """Hash a pandas materialization the way the driver's harness does:
+    raw str() of every cell, no type normalization.  This is the surface
+    where DuckDB HUGEINT -> float64 coercion diverges ("10.0" vs "10")
+    even though fetchall() Python ints hash identically — the round-4
+    driver-red mechanism.  Comparing the pandas hash of both engines
+    catches that class locally."""
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x1f".join(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
@@ -74,6 +89,7 @@ def main() -> int:
             ores = con.execute(spec.oracle)
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
+            opdf = con.execute(spec.oracle).df()
         except Exception as e:  # oracle itself broken
             failures.append((name, f"oracle error: {e}"))
             print(f"  ✗ {name}: ORACLE ERROR {e}")
@@ -81,15 +97,36 @@ def main() -> int:
         checked += 1
         sn, sh = table_hash(scols, srows)
         on, oh = table_hash(ocols, orows)
-        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
+        # Driver-style pandas/Arrow materialization hash (see pandas_hash):
+        # catches HUGEINT->float64-class representation divergence that
+        # fetchall() Python ints mask.
+        import pandas as pd
+
+        sph = pandas_hash(pd.DataFrame(srows, columns=scols))
+        oph = pandas_hash(opdf)
+        ok = (
+            sorted(scols) == sorted(ocols)
+            and sn == on
+            and sh == oh
+            and sph == oph
+        )
         status = "✓" if ok else "✗"
         print(f"  {status} {name}: spark {sn} rows / oracle {on} rows, "
-              f"hash {'match' if sh == oh else f'{sh} != {oh}'} ({time.time()-t0:.1f}s)")
+              f"hash {'match' if sh == oh else f'{sh} != {oh}'}, "
+              f"pdhash {'match' if sph == oph else f'{sph} != {oph}'} "
+              f"({time.time()-t0:.1f}s)")
         if not ok:
             if sorted(scols) != sorted(ocols):
                 failures.append((name, f"cols spark={sorted(scols)} oracle={sorted(ocols)}"))
             elif sn != on:
                 failures.append((name, f"rowcount {sn} != {on}"))
+            elif sh == oh and sph != oph:
+                dtypes = {c: str(t) for c, t in opdf.dtypes.items()}
+                failures.append((
+                    name,
+                    "pandas-materialization hash diverges (values equal via "
+                    f"fetchall) — representation coupling; oracle dtypes: {dtypes}",
+                ))
             else:
                 # show first differing row pair to debug
                 so = sorted(
