@@ -156,7 +156,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_language_profile",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",
-    "multimodal_payload_stats",
+    # (multimodal_payload_stats rotated out for round 5: r4 driver-green;
+    # its byte-accounting surface is a strict subset of what the PNG
+    # round trip certifies, and it stays local-oracle-checked. In: real-
+    # bytes decode — encode→decode PNG through media/png.py inside
+    # mapInPandas, pixel stats vs the oracle's closed-form — the first
+    # driver row where the multimodal decode slot runs on actual image
+    # bytes rather than fake-mode plumbing.)
+    "multimodal_png_decode_stats",
     "skew_salted_user_activity",
     "events_props_json",
     "nation_grouping_sets",

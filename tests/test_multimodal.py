@@ -36,8 +36,14 @@ def test_decode_stub_fake(spark, docs):
     assert rows[1]["width"] == ord("h") + 1  # deterministic fake dims
 
 
-def test_decode_stub_real_raises(spark, docs):
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+def test_decode_stub_real_rejects_non_image_bytes(spark, docs):
+    """fake=False is the real decoder; utf8 text payloads are not PNG and
+    (without PIL) must hit the documented NotImplementedError boundary.
+    With PIL present they fail as undecodable images instead — either way
+    the real path refuses to fabricate metadata from non-image bytes."""
+    with pytest.raises(
+        Exception, match="NotImplementedError|only PNG|cannot identify"
+    ):
         decode_stub(with_payload(docs), fake=False).collect()
 
 
