@@ -161,6 +161,9 @@ HEADLINE = (
     "dedup_shingle_containment",
     "doc_tfidf_keywords",
     "corpus_pmi_collocations",
+    # round-5 additions
+    "multimodal_png_decode_stats",
+    "events_streaming_hourly_parity",
 )
 
 

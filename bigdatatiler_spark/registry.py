@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "bigdatatiler_spark.operators.sampling",
     "bigdatatiler_spark.operators.quality",
     "bigdatatiler_spark.operators.udaf",
+    "bigdatatiler_spark.streaming.parity",
     "bigdatatiler_spark.sources.layout",
     "bigdatatiler_spark.sources.rollup",
 )
@@ -218,7 +219,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # BM25 — the corpus-statistics lexical scorer, a new kernel class
     # beside hybrid_search_rrf's Jaccard side.)
     "bm25_topk",
-    "decontaminate_ngram_overlap",
+    # (decontaminate_ngram_overlap rotated out for round 5: r2+ driver-
+    # green, its n-gram candidate-join kernel keeps in-window relatives
+    # in dedup_prefix_filter_jaccard and dedup_minhash_lsh; still local-
+    # oracle-checked. In: the first STREAMING driver row — the hourly
+    # rollup executed by the micro-batch engine (readStream → watermark →
+    # windowed agg → memory sink) and hashed against the batch oracle.)
+    "events_streaming_hourly_parity",
     "embedding_kmeans_cells",
     "pack_token_budget",
     "hybrid_search_rrf",
