@@ -192,14 +192,13 @@ def main() -> None:
     # one-time k-means training is measured as its own line and the
     # ann_ivf_* / embedding_kmeans_cells timings below report the query
     # path against the built index (process-wide memo in similarity.py).
-    from bigdatatiler_spark.operators.similarity import kmeans_centroids, norm
+    from bigdatatiler_spark.operators.similarity import kmeans_centroids, nz_base
     from bigdatatiler_spark.tables import table as _table
-    from pyspark.sql import functions as F
 
     t0 = time.time()
-    _ivf_base = _table(spark, SF_DIR, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
+    # nz_base (zero-norm exclusion) must match the ANN queries' training
+    # input exactly — the centroid memo is shared via cache_key.
+    _ivf_base = nz_base(_table(spark, SF_DIR, "embeddings"))
     kmeans_centroids(_ivf_base, cache_key=("ivf", SF_DIR))
     timings["ann_ivf_index_build"] = round(time.time() - t0, 3)
     spark.catalog.clearCache()

@@ -72,9 +72,9 @@ def est_bpe_token_count(text: Column) -> Column:
     SELECT
       doc_id, source,
       len(toks) AS n_pre_tokens,
-      CAST(len(toks) + list_sum(
+      CAST(len(toks) + coalesce(list_sum(
         [CASE WHEN length(x) > 8 THEN CAST((length(x) + 7) // 8 AS BIGINT) - 1
-              ELSE 0 END for x in toks]) AS BIGINT) AS est_bpe_tokens,
+              ELSE 0 END for x in toks]), 0) AS BIGINT) AS est_bpe_tokens,
       len(list_distinct(toks)) AS n_unique_pre_tokens
     FROM t
     """,

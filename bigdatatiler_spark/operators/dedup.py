@@ -590,8 +590,8 @@ _NORM_B = (
       a.vec_id AS vec_id_1,
       b.vec_id AS vec_id_2,
       round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) a
+    JOIN (SELECT * FROM embeddings WHERE list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) b ON a.vec_id < b.vec_id
     WHERE round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) >= {COSINE_THRESHOLD}
     """,
 )
@@ -624,9 +624,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # zero-norm vectors excluded: cosine undefined (similarity.nz_base)
     withnorm = e.select(
         "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
-    )
+    ).where(F.col("nrm") > 0)
     a = withnorm.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
@@ -648,12 +649,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_blocked_oracle() -> str:
-    from .similarity import _lsh_bucket_sql
+    from .similarity import _EMB_NZ, _lsh_bucket_sql
 
     return f"""
     WITH bucketed AS (
       SELECT e.vec_id, e.embedding, {_lsh_bucket_sql('e')} AS bucket
-      FROM embeddings e
+      FROM {_EMB_NZ} e
     )
     SELECT
       a.vec_id AS vec_id_1,
@@ -688,12 +689,13 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # both sides of the self-join read this frame — persist so the 8
     # hyperplane projections per vector run once
+    # zero-norm vectors excluded: cosine undefined (similarity.nz_base)
     bucketed = e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
-    ).persist()
+    ).where(F.col("nrm") > 0).persist()
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..registry import register
 from ..tables import table
 from .dedup import _SHINGLED_SQL, _shingled
-from .similarity import N_QUERIES, _DOT_QC, _self_norm, dot, norm
+from .similarity import N_QUERIES, _DOT_QC, _EMB_NZ, _self_norm, dot, norm, nz_base
 from .text import _NORM_SQL, _norm_col
 
 LEX_K = 10  # lexical candidates per query
@@ -58,8 +58,8 @@ FUSED_K = 5  # fused results per query
                  ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) DESC,
                           c.vec_id ASC
                ) AS emb_rank
-        FROM embeddings q
-        JOIN embeddings c ON c.vec_id <> q.vec_id
+        FROM {_EMB_NZ} q
+        JOIN {_EMB_NZ} c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {N_QUERIES}
       ) WHERE emb_rank <= {EMB_K}
     ),
@@ -99,7 +99,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the fusion."""
     # dense side — exact cosine kernel, rank ≤ EMB_K
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    base = nz_base(e)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

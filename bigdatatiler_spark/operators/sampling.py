@@ -130,6 +130,7 @@ _SQL_BUCKET_1000 = (
     WITH strata AS (
       SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS stratum_chars
       FROM documents GROUP BY lang, source
+      HAVING sum(n_chars) > 0
     ),
     rates AS (
       SELECT lang, source, stratum_chars,
@@ -163,9 +164,10 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the final per-stratum aggregate. Adding data only lowers
     rates; it never flips which docs a fixed rate accepts."""
     docs = table(spark, sf_dir, "documents")
+    # zero-char strata excluded: no volume to level against (oracle HAVING)
     strata = docs.groupBy("lang", "source").agg(
         F.sum("n_chars").alias("stratum_chars")
-    )
+    ).where(F.col("stratum_chars") > 0)
     rates = strata.select(
         "lang",
         "source",
@@ -206,6 +208,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH strata AS (
       SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS stratum_chars
       FROM documents GROUP BY lang, source
+      HAVING sum(n_chars) > 0
     ),
     rates AS (
       SELECT lang, source, stratum_chars,
@@ -234,9 +237,10 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, broadcast back, projection-level deterministic hash
     acceptance, corpus read once."""
     docs = table(spark, sf_dir, "documents")
+    # zero-char strata excluded: no volume to level against (oracle HAVING)
     strata = docs.groupBy("lang", "source").agg(
         F.sum("n_chars").alias("stratum_chars")
-    )
+    ).where(F.col("stratum_chars") > 0)
     rates = strata.select(
         "lang",
         "source",

@@ -26,7 +26,8 @@ from ._util import dec, ms, ts_lit
              THEN event_type ELSE 'NoTrigger' END,
         CAST(epoch_ms(ts) AS VARCHAR)
       ) AS doc_id,
-      CAST(props->>'$.k' AS BIGINT) AS prop_k,
+      CASE WHEN json_valid(props)
+           THEN CAST(props->>'$.k' AS BIGINT) END AS prop_k,
       epoch_ms(ts) AS ts_ms
     FROM events
     WHERE user_id <= 20

@@ -70,6 +70,29 @@ def _self_norm(alias: str) -> str:
     )
 
 
+#: Zero-norm (all-zero) embeddings have UNDEFINED cosine — real corpora
+#: contain them (failed encoder rows), and under ANSI mode the division
+#: raises DIVIDE_BY_ZERO (found by the hostile-fixture differential,
+#: round 5). Every cosine-scoring query therefore operates on the
+#: nonzero-norm subset, with the SAME exclusion on both engines: Spark
+#: filters ``nrm > 0`` on the norm frame (``nz_base``); DuckDB oracles
+#: scan this subquery instead of the raw table. Pure lookup joins that
+#: only fetch vectors for already-filtered ids may keep the raw table.
+_EMB_NZ = (
+    "(SELECT * FROM embeddings WHERE list_reduce("
+    "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y) > 0)"
+)
+
+
+def nz_base(e: "DataFrame") -> "DataFrame":
+    """(vec_id, embedding, nrm) frame with zero-norm vectors excluded —
+    the canonical input of every cosine-scoring ANN query (see _EMB_NZ)."""
+    return e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).where(F.col("nrm") > 0)
+
+
 @register(
     "knn_bruteforce_cosine",
     oracle=f"""
@@ -83,8 +106,8 @@ def _self_norm(alias: str) -> str:
           ORDER BY round({_DOT_QC} / ({_self_norm('q')} * {_self_norm('c')}), 6) DESC,
                    c.vec_id ASC
         ) AS rank
-      FROM embeddings q
-      JOIN embeddings c ON c.vec_id <> q.vec_id
+      FROM {_EMB_NZ} q
+      JOIN {_EMB_NZ} c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
     WHERE rank <= {TOP_K}
@@ -96,7 +119,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score with vec_id tiebreak gives a total order, so top-k is
     deterministic. At scale this kernel runs per-LSH-bucket, not globally."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    base = nz_base(e)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -221,7 +244,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_topk_oracle() -> str:
     per_table = "\n      UNION ALL\n      ".join(
         f"SELECT {t} AS ht, vec_id, {_lsh_bucket_sql('e', hash_table=t)} AS bucket "
-        "FROM embeddings e"
+        f"FROM {_EMB_NZ} e"
         for t in range(LSH_TABLES)
     )
     return f"""
@@ -264,9 +287,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow hashing + one equi-join + the per-candidate kernel — no
     all-pairs anywhere."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    ).persist()
+    base = nz_base(e).persist()
     per_table = [
         base.select(
             F.lit(t).alias("ht"),
@@ -372,7 +393,7 @@ def _tsample_sql() -> str:
         SELECT vec_id, embedding,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                  AS rnk
-        FROM embeddings
+        FROM {_EMB_NZ}
       ) WHERE rnk <= {TRAIN_CAP}
     """
 
@@ -390,7 +411,7 @@ def _asg_sql(
     cent_cte: str,
     src_filter: str = "",
     n_probe: int = 1,
-    src_table: str = "embeddings",
+    src_table: str = _EMB_NZ,
 ) -> str:
     """Nearest-centroid assignment of ``src_table`` against ``cent_cte``."""
     cos = f"round({_cent_dot('e', 'c')} / ({_self_norm('e')} * {_cent_norm('c')}), 6)"
@@ -629,9 +650,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     off via nprobe (join against the n nearest cells instead of 1) and
     is pinned vs the brute-force kernel in tests/test_ann_recall.py."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    ).persist()
+    base = nz_base(e).persist()
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
@@ -701,9 +720,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1 plus one more row per query in the probe table; candidates
     from both probes rank in a single window."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    ).persist()
+    base = nz_base(e).persist()
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     qprobes = nearest_cells(
         base.where(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE
@@ -756,7 +773,7 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast assignment + one k-group aggregate; with the index memo
     warm this touches the corpus exactly once."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    base = nz_base(e)
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     return (
         nearest_cells(base, cents)
@@ -783,10 +800,10 @@ EMB_DECONTAM_THRESHOLD = 0.35  # flag corpus vectors this close to any benchmark
     "decontaminate_embedding_cosine",
     oracle=f"""
     WITH bench AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {EMB_BENCH_MOD} = 0
+      SELECT vec_id, embedding FROM {_EMB_NZ} WHERE vec_id % {EMB_BENCH_MOD} = 0
     ),
     corpus AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {EMB_BENCH_MOD} <> 0
+      SELECT vec_id, embedding FROM {_EMB_NZ} WHERE vec_id % {EMB_BENCH_MOD} <> 0
     ),
     scored AS (
       SELECT c.vec_id,
@@ -822,7 +839,7 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     larger benchmark sizes the LSH/IVF bucketing kernels above replace
     the dense scan, same as the ANN query path."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    base = nz_base(e)
     is_bench = F.col("vec_id") % EMB_BENCH_MOD == 0
     bench_row = F.broadcast(
         base.where(is_bench).agg(
@@ -905,7 +922,7 @@ def _bq_oracle() -> str:
     return f"""
     WITH codes AS (
       SELECT vec_id, {_bq_word_sql('e', 0)} AS w0, {_bq_word_sql('e', 1)} AS w1
-      FROM embeddings e
+      FROM {_EMB_NZ} e
     ),
     short AS (
       SELECT query_id, neighbor_id, hamming FROM (
@@ -947,7 +964,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks, so both stages are totally ordered and deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
-    codes = e.select(
+    codes = nz_base(e).select(
         "vec_id",
         bq_word(F.col("embedding"), 0).alias("w0"),
         bq_word(F.col("embedding"), 1).alias("w1"),
@@ -977,7 +994,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hrank") <= BQ_SHORTLIST)
         .drop("hrank")
     )
-    vecs = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    vecs = nz_base(e)
     qv = vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

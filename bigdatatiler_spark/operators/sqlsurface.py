@@ -32,11 +32,11 @@ PAGE = 3  # 0-based → rows [150, 200) of the total order
     SELECT
       event_type,
       count(*) AS n_events,
-      count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
-      CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
+      count(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS n_with_k,
+      CAST(sum(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END)
         AS BIGINT) AS sum_k,
-      min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-      max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+      min(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS min_k,
+      max(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS max_k
     FROM events
     GROUP BY event_type
     """,

@@ -212,10 +212,10 @@ LEN_SAT = 50.0  # token count at which the length term saturates
     , terms AS (
       SELECT doc_id, source,
         ({_stopword_hits_sql()} * 10000) // len(toks) AS stopword_ratio_e4,
-        (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000) // n_chars
-          AS alpha_ratio_e4,
-        (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 10000) // n_chars
-          AS punct_ratio_e4,
+        (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000)
+          // greatest(n_chars, 1) AS alpha_ratio_e4,
+        (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 10000)
+          // greatest(n_chars, 1) AS punct_ratio_e4,
         least(({_stopword_hits_sql()} * 20 * 10000) // len(toks), 10000)
           AS stop_term_e4,
         least(len(toks) * 200, 10000) AS len_term_e4
@@ -260,8 +260,9 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         int_ratio(hits, n_tok, 4, "stopword_ratio_e4"),
-        int_ratio(alpha, F.col("n_chars"), 4, "alpha_ratio_e4"),
-        int_ratio(punct, F.col("n_chars"), 4, "punct_ratio_e4"),
+        # greatest(n_chars, 1): empty documents score 0, never divide by 0
+        int_ratio(alpha, F.greatest("n_chars", F.lit(1)), 4, "alpha_ratio_e4"),
+        int_ratio(punct, F.greatest("n_chars", F.lit(1)), 4, "punct_ratio_e4"),
         F.least(int_ratio(hits * 20, n_tok, 4, "_"), F.lit(10000)).alias(
             "stop_term_e4"
         ),
@@ -444,12 +445,12 @@ REP_DUP_BIGRAM_MAX = 0.05
            s.n_tokens,
            top.top_token,
            (top.top_cnt * 10000) // s.n_tokens AS top_token_frac_e4,
-           ((s.n_bigrams - s.n_distinct_bigrams) * 10000) // s.n_bigrams
-             AS dup_bigram_frac_e4,
+           ((s.n_bigrams - s.n_distinct_bigrams) * 10000)
+             // greatest(s.n_bigrams, 1) AS dup_bigram_frac_e4,
            CAST(
              (top.top_cnt * 10000) // s.n_tokens > {int(REP_TOP_TOKEN_MAX * 10000)}
-             OR ((s.n_bigrams - s.n_distinct_bigrams) * 10000) // s.n_bigrams
-               > {int(REP_DUP_BIGRAM_MAX * 10000)}
+             OR ((s.n_bigrams - s.n_distinct_bigrams) * 10000)
+               // greatest(s.n_bigrams, 1) > {int(REP_DUP_BIGRAM_MAX * 10000)}
            AS INT) AS flagged
     FROM stats s JOIN top USING (doc_id)
     """,
@@ -496,9 +497,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-integer fractions (see doc_token_stats: the round(double)
     # midpoint-tie class); thresholds compare on the same e4 grid
     top_frac = int_ratio(F.col("top_cnt"), F.col("n_tokens"), 4, "top_token_frac_e4")
+    # greatest(n_bigrams, 1): 0/1-token docs have no bigrams — frac 0
     dup_frac = int_ratio(
         F.col("n_bigrams") - F.col("n_distinct_bigrams"),
-        F.col("n_bigrams"),
+        F.greatest("n_bigrams", F.lit(1)),
         4,
         "dup_bigram_frac_e4",
     )

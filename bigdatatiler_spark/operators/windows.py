@@ -197,7 +197,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -219,9 +219,11 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — F.session_window
-    in batch; the oracle derives identical sessions via gaps-and-islands
-    (new session when the gap is >= the timeout, matching Spark's
-    half-open [start, last+gap) semantics)."""
+    in batch; the oracle derives identical sessions via gaps-and-islands.
+    Boundary semantics (pinned by the hostile-fixture differential): an
+    event at EXACTLY last+gap MERGES into the session — Spark's session
+    combiner joins on start <= prev_close inclusive — so the oracle's
+    new-session test is strictly ``gap > timeout``, not ``>=``."""
     from ..tables import table as _table
 
     return session_windows(_table(spark, sf_dir, "events"), gap="30 minutes")
@@ -295,13 +297,15 @@ def _funnel_chain(evs, step_ms: int | None = None):
     """Left-to-right funnel fold shared by the unbounded and timed
     funnels (the timed one is this fold with a per-step window; keeping
     ONE copy of the state machine means a semantics fix cannot leave the
-    two silently disagreeing). The not-reached sentinel is -1, not 0 —
-    epoch-0 events are valid timestamps and must count (the oracle's
-    min() form has no sentinel to collide with)."""
+    two silently disagreeing). The not-reached sentinel is NULL — no
+    integer sentinel is safe (round 4 used 0 and collided with epoch-0;
+    its -1 replacement collided with PRE-1970 timestamps, caught by the
+    hostile-fixture differential in round 5 — the oracle's min() form
+    has no sentinel at all, so only NULL matches it on every input)."""
     per_user = evs.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("t", "ty"))).alias("seq")
     )
-    none = F.lit(-1).cast("bigint")
+    none = F.lit(None).cast("bigint")
     init = F.struct(
         none.alias("t1"), none.alias("t2"), none.alias("t3"), none.alias("t4")
     )
@@ -309,15 +313,15 @@ def _funnel_chain(evs, step_ms: int | None = None):
 
     def step(acc, e):
         t, ty = e["t"], e["ty"]
-        t1 = F.when((acc["t1"] < 0) & (ty == _FUNNEL_STEPS[0]), t).otherwise(
+        t1 = F.when(acc["t1"].isNull() & (ty == _FUNNEL_STEPS[0]), t).otherwise(
             acc["t1"]
         )
 
         def advance(prev, slot, want):
             cond = (
-                (acc[slot] < 0)
+                acc[slot].isNull()
                 & (ty == want)
-                & (acc[prev] >= 0)
+                & acc[prev].isNotNull()
                 & (t > acc[prev])
             )
             if d is not None:
@@ -335,7 +339,7 @@ def _funnel_chain(evs, step_ms: int | None = None):
 
 
 def _funnel_report(chain):
-    reached = lambda k: F.sum((F.col(f"c.t{k}") >= 0).cast("bigint"))
+    reached = lambda k: F.sum(F.col(f"c.t{k}").isNotNull().cast("bigint"))
     return chain.agg(
         reached(1).alias("n_signup"),
         reached(2).alias("n_view"),
@@ -475,7 +479,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical at 100 TB.
     """
     ev = table(spark, sf_dir, "events")
-    hour_ms = (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h")
+    hour_ms = (F.unix_millis(F.date_trunc("hour", F.col("ts")))).alias("h")
     spine = (
         ev.select(hour_ms)
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
@@ -536,7 +540,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents end-to-end.
     """
     ev = table(spark, sf_dir, "events")
-    hour_ms = (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h")
+    hour_ms = (F.unix_millis(F.date_trunc("hour", F.col("ts")))).alias("h")
     spine = (
         ev.select(hour_ms)
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
@@ -695,7 +699,7 @@ PATH_LEN = 5  #: leading events kept per session path
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
@@ -736,7 +740,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(
             F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) >= 30 * 60 * 1_000_000_000),
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
             1,
         )
         .otherwise(0)
@@ -997,7 +1001,7 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "event_type",
-            (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("h_ms"),
+            (F.unix_millis(F.date_trunc("hour", F.col("ts")))).alias("h_ms"),
             (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         )
         .groupBy("event_type", "h_ms")

@@ -62,7 +62,7 @@ def hourly_rollup(events: DataFrame, with_users_hll: bool = False) -> DataFrame:
     rollup instead of a 100 TB re-scan of raw events.
     """
     base = events.select(
-        (F.unix_millis("ts") - F.unix_millis("ts") % 3_600_000).alias("bucket_ms"),
+        (F.unix_millis(F.date_trunc("hour", F.col("ts")))).alias("bucket_ms"),
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         "user_id",

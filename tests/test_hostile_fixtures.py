@@ -1,0 +1,92 @@
+"""Differential regression on hostile fixture content.
+
+Round 5's content fuzzer (tools/hostile_fixtures.py) found six real
+divergence/crash classes on plausible real-corpus content:
+
+- zero-norm embeddings -> ANSI DIVIDE_BY_ZERO in every cosine kernel
+  (fixed: nonzero-norm universe on both engines, similarity.nz_base);
+- empty documents / empty strata -> zero denominators (fixed:
+  greatest(den, 1) / HAVING > 0 on both engines);
+- malformed JSON -> DuckDB oracle parse error where Spark returns NULL
+  (fixed: json_valid guards);
+- pre-1970 timestamps -> trunc-vs-floor hour bucketing divergence
+  (fixed: calendar date_trunc on the Spark side);
+- funnel not-reached sentinel -1 colliding with negative epochs
+  (fixed: NULL sentinel);
+- session boundary: Spark merges an event at EXACTLY last+gap, the
+  gaps-and-islands oracle with >= split it (fixed: strict >);
+- DuckDB list_sum([]) is NULL where Spark's fold is 0 (fixed: coalesce).
+
+This test rebuilds the hostile variant deterministically in tmp and
+re-runs the once-red queries through BOTH engines, hash-comparing like
+the harness — so none of these classes can silently return.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from bigdatatiler_spark.registry import load_all
+from bigdatatiler_spark.tables import TABLES
+from tools.check_oracle import pandas_hash, table_hash
+from tools.hostile_fixtures import build
+
+#: the queries that were red on hostile content before the round-5 fixes,
+#: one per divergence class (plus the class's in-family siblings)
+HOSTILE_PINNED = (
+    "knn_bruteforce_cosine",        # zero-norm embeddings
+    "dedup_embedding_lsh_blocked",  # zero-norm, bucketed path
+    "doc_quality_score",            # empty doc, n_chars = 0
+    "doc_repetition_stats",         # 0/1-token doc, n_bigrams = 0
+    "doc_bpe_token_counts",         # list_sum([]) NULL vs 0
+    "sample_domain_mixture",        # zero-char stratum
+    "events_props_json",            # malformed JSON
+    "event_id_generation",          # malformed JSON
+    "events_hourly_rollup",         # pre-1970 hour bucketing
+    "events_session_windows",       # exact-gap session boundary
+    "events_funnel_windowed",       # negative-epoch sentinel
+    "corpus_pmi_collocations",      # 0/1-token bigram expansion guard
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("hostile"))
+    build("/root/testdata/sf0.001", dest)
+    return dest
+
+
+@pytest.fixture(scope="module")
+def oracle_con(hostile_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(hostile_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", HOSTILE_PINNED)
+def test_hostile_differential(name, spark, hostile_dir, oracle_con):
+    import pandas as pd
+
+    spec = load_all()[name]
+    sdf = spec.fn(spark, hostile_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    opdf = oracle_con.execute(spec.oracle).df()
+
+    assert sorted(scols) == sorted(ocols)
+    sn, sh = table_hash(scols, srows)
+    on, oh = table_hash(ocols, orows)
+    assert sn == on, f"{name}: rowcount {sn} != {on}"
+    assert sh == oh, f"{name}: value hash diverges on hostile content"
+    assert pandas_hash(pd.DataFrame(srows, columns=scols)) == pandas_hash(opdf), (
+        f"{name}: pandas-materialization hash diverges on hostile content"
+    )

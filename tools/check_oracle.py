@@ -78,9 +78,15 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = spec.fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # engine-side crash: record, keep sweeping
+            msg = str(e).splitlines()[0][:200]
+            failures.append((name, f"spark error: {msg}"))
+            print(f"  ✗ {name}: SPARK ERROR {msg}")
+            continue
         if spec.oracle is None:
             rows_only += 1
             print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")

@@ -1,0 +1,155 @@
+"""Content-robustness fuzzer: hostile variants of the driver fixtures.
+
+The driver regenerates the parquet fixtures between rounds and has
+already changed encodings twice (tables.py header). This tool is the
+defense-in-depth for the CONTENT axis: it derives a deterministic
+hostile variant of a fixture directory — NULL dimension keys, unicode
+and non-ASCII whitespace text, empty/1-token documents, epoch-0 and
+pre-1970 timestamps, malformed/NULL JSON props, zero-norm and duplicate
+embeddings, degenerate min==max value ranges — and the differential
+harness (tools/check_oracle.py) then runs Spark AND DuckDB over the
+SAME hostile files, so any divergence is an engine-semantics bug, not a
+fixture artifact.
+
+Usage:
+  python tools/hostile_fixtures.py [src_sf_dir] [dest_dir]
+  python tools/check_oracle.py <dest_dir>
+
+Everything is seeded/deterministic: same input -> same hostile bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+#: non-ASCII whitespace + multibyte content mixed into document text
+_UNICODE_SNIPPETS = (
+    "café naïve — em–dash",
+    "日本語のテキスト mixed with ascii",
+    "emoji \U0001f600 \U0001f680 payload",
+    "nbsp separated tokens",
+    "line separator and para separator",
+    "zero​width​joined",
+)
+
+
+def _mutate_documents(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["doc_id"])
+    for i in range(n):
+        k = i % 17
+        if k == 0:
+            d["lang"][i] = None
+        elif k == 1:
+            d["source"][i] = None
+        elif k == 2:
+            d["text"][i] = ""  # empty document
+        elif k == 3:
+            d["text"][i] = "solo"  # 1-token doc (bigram/shingle edge)
+        elif k == 4:
+            d["text"][i] = _UNICODE_SNIPPETS[i % len(_UNICODE_SNIPPETS)]
+        elif k == 5:
+            d["text"][i] = "x" * 300  # one giant token
+        elif k == 6:
+            d["text"][i] = "  leading and   multiple   spaces  "
+        elif k == 7 and i + 1 < n:
+            d["text"][i] = d["text"][i + 1]  # exact duplicate pair
+        # keep n_chars consistent with the mutated text
+        d["n_chars"][i] = len(d["text"][i])
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_events(tbl: pa.Table) -> pa.Table:
+    import datetime as dt
+
+    d = tbl.to_pydict()
+    n = len(d["event_id"])
+    epoch0 = dt.datetime(1970, 1, 1)
+    pre1970 = dt.datetime(1969, 12, 31, 23, 30, 0)
+    for i in range(n):
+        k = i % 19
+        if k == 0:
+            d["ts"][i] = epoch0
+        elif k == 1:
+            d["ts"][i] = pre1970
+        elif k == 2:
+            d["props"][i] = None
+        elif k == 3:
+            d["props"][i] = "not json at all"
+        elif k == 4:
+            d["props"][i] = "{}"
+        elif k == 5:
+            d["props"][i] = '{"k": null}'
+        elif k == 6:
+            d["value"][i] = 0.0
+        elif k == 7:
+            d["value"][i] = 0.005  # half-cent rounding edge
+        elif k == 8 and i > 0:
+            d["ts"][i] = d["ts"][i - 1]  # exact ts tie (ordering edge)
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["vec_id"])
+    for i in range(n):
+        k = i % 23
+        if k == 0:
+            d["embedding"][i] = [0.0] * len(d["embedding"][i])  # zero norm
+        elif k == 1 and i > 0:
+            d["embedding"][i] = list(d["embedding"][i - 1])  # exact dup
+        elif k == 2:
+            d["embedding"][i] = [1.0] + [0.0] * (len(d["embedding"][i]) - 1)
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_orders(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["o_orderkey"])
+    for i in range(n):
+        k = i % 13
+        if k == 0 and i > 0:
+            d["o_orderdate"][i] = d["o_orderdate"][i - 1]  # date tie
+        elif k == 1:
+            d["o_totalprice"][i] = 0.0
+        elif k == 2 and i > 0:
+            d["o_totalprice"][i] = d["o_totalprice"][i - 1]  # exact tie
+    return pa.table(d, schema=tbl.schema)
+
+
+_MUTATORS = {
+    "documents": _mutate_documents,
+    "events": _mutate_events,
+    "embeddings": _mutate_embeddings,
+    "orders": _mutate_orders,
+}
+
+
+def build(src: str, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        name = fname[: -len(".parquet")]
+        src_path = os.path.join(src, fname)
+        dst_path = os.path.join(dest, fname)
+        mut = _MUTATORS.get(name)
+        if mut is None:
+            shutil.copyfile(src_path, dst_path)
+            continue
+        tbl = pq.read_table(src_path)
+        pq.write_table(mut(tbl), dst_path)
+        print(f"mutated {name}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_sf0.001"
+    build(src, dest)
+    print(f"hostile fixtures at {dest}; now run: "
+          f"python tools/check_oracle.py {dest}")
