@@ -164,6 +164,9 @@ HEADLINE = (
     # round-5 additions
     "multimodal_png_decode_stats",
     "events_streaming_hourly_parity",
+    "events_type_drift_psi",
+    "events_cusum_changepoint",
+    "doc_phrase_proximity",
 )
 
 

@@ -345,3 +345,176 @@ def tpch_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e, ct, ck, pt, pk in _FK_EDGES
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# --- distribution-drift monitoring (PSI) ----------------------------------
+# Population Stability Index between the first and second half of the
+# corpus's time range: the standard production monitor for "did the
+# event mix shift?", run before trusting a new data drop or retraining.
+# PSI = Σ_types (p - q)·ln(p/q). Determinism discipline (the PMI/bm25
+# pattern): counts are Laplace-smoothed (+1 — a type absent from one
+# half must not blow up ln), each type's term is ONE identically-
+# parenthesized double expression (every IEEE op correctly rounded ⇒
+# same bits on both engines), and the term is micro-floored onto the e6
+# integer grid BEFORE any cross-type aggregation, so summation order
+# can never matter. The time midpoint is integer epoch-ms arithmetic
+# derived from the data (no literals to go stale when fixtures
+# regenerate).
+#
+# Scale: two corpus passes collapse to ONE scan with conditional
+# aggregation (the CASE WHEN inside the agg); the per-type frame is
+# |event types| rows — the drift math is free at any corpus size.
+
+
+@register(
+    "events_type_drift_psi",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(1 + sum(CASE WHEN epoch_ms(ts) < b.mid THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(1 + sum(CASE WHEN epoch_ms(ts) >= b.mid THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+      FROM events CROSS JOIN bounds b
+      GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      FROM counts
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(floor(
+             (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb))
+               * 1000000) AS BIGINT) AS psi_term_e6
+    FROM counts CROSS JOIN tot
+    """,
+)
+def events_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI terms between the first and second half of the
+    time range (see block comment; total PSI = sum of terms, left to the
+    consumer so the hashed frame stays per-type)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("t"), "event_type"
+    )
+    bounds = ev.agg(
+        F.expr("(min(t) + max(t)) div 2").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            (1 + F.sum(F.when(F.col("t") < F.col("mid"), 1).otherwise(0)))
+            .cast("bigint")
+            .alias("n_a"),
+            (1 + F.sum(F.when(F.col("t") >= F.col("mid"), 1).otherwise(0)))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.floor((pa - pb) * F.log(pa / pb) * 1_000_000)
+        .cast("bigint")
+        .alias("psi_term_e6"),
+    )
+
+
+# --- change-point detection (CUSUM) ---------------------------------------
+# Classic CUSUM over the hourly revenue series, per event type: the
+# cumulative sum of deviations from the series mean peaks (in absolute
+# value) at the most likely single change point. ALL-INTEGER: hourly
+# cents are exact, the mean is the floored integer mean, deviations and
+# their running sum are BIGINT — nothing float touches the hash. The
+# window runs over the hours×types aggregate (never raw events), the
+# same cost argument as the gapfill/backtest family.
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('hour', ts)) AS h_ms,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+             count(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT h.event_type, h.h_ms, s.n_hours,
+             CAST(sum(h.cents - s.mean_cents) OVER (
+               PARTITION BY h.event_type ORDER BY h.h_ms
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS c
+      FROM hourly h JOIN stats s USING (event_type)
+    )
+    SELECT event_type, n_hours,
+           CAST(max(abs(c)) AS BIGINT) AS max_abs_cusum_cents,
+           CAST(min(CASE WHEN abs(c) = mx THEN h_ms END) AS BIGINT)
+             AS changepoint_ms
+    FROM (SELECT *, max(abs(c)) OVER (PARTITION BY event_type) AS mx
+          FROM cusum)
+    GROUP BY event_type, n_hours
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point estimate per event type: the hour where the
+    CUSUM of (hourly cents − integer mean) peaks in absolute value;
+    earliest such hour on ties (min over the argmax set — a total
+    order). Emits the peak magnitude as the change evidence."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("h_ms"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "h_ms")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").cast("bigint").alias("mean_cents"),
+        F.count("*").alias("n_hours"),
+    )
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("h_ms")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "c",
+            F.sum(F.col("cents") - F.col("mean_cents")).over(wcum).cast("bigint"),
+        )
+        .withColumn(
+            "mx", F.max(F.abs("c")).over(W.partitionBy("event_type"))
+        )
+    )
+    return cusum.groupBy("event_type", "n_hours").agg(
+        F.max(F.abs("c")).cast("bigint").alias("max_abs_cusum_cents"),
+        F.min(F.when(F.abs("c") == F.col("mx"), F.col("h_ms")))
+        .cast("bigint")
+        .alias("changepoint_ms"),
+    )

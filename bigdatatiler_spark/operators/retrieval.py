@@ -407,3 +407,86 @@ def trigram_search(docs: DataFrame, patterns, n_rare: int = TRIGRAM_N_RARE):
         .where(F.contains("text", F.col("pattern")))
         .select("pattern", "doc_id")
     )
+
+
+# --- positional proximity search ------------------------------------------
+# The positional-index retrieval primitive (phrase/NEAR queries): an
+# inverted index that keeps token POSITIONS, so "t1 NEAR/k t2" resolves
+# as a per-document join between the two tokens' position lists with a
+# min-|Δpos| aggregate — never a rescan of text. The query pair here is
+# derived from the corpus itself (the two most frequent tokens, ranked
+# by (count DESC, token ASC) — deterministic and regeneration-proof);
+# a real deployment parameterizes it.
+#
+# Scale shape: the positional postings frame is (doc_id, tok, pos) —
+# built map-side by posexplode in the same pass as any other index; the
+# query selects TWO postings lists (token-pruned immediately after the
+# explode), so the per-doc join is bounded by those tokens' occurrence
+# counts, not document length. At 100 TB the postings persist
+# token-bucketed (co-located equi-join per query term); the vocab-sized
+# frequency window below is an index-build cost, not a query cost.
+
+NEAR_WINDOW = 3  #: max |Δpos| for the within-window flag
+
+
+@register(
+    "doc_phrase_proximity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS p
+      FROM t
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+    q AS (
+      SELECT tok, rn FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+        FROM freq
+      ) WHERE rn <= 2
+    ),
+    p1 AS (SELECT doc_id, p FROM pos JOIN q USING (tok) WHERE q.rn = 1),
+    p2 AS (SELECT doc_id, p FROM pos JOIN q USING (tok) WHERE q.rn = 2)
+    SELECT p1.doc_id,
+           CAST(count(DISTINCT p1.p) AS BIGINT) AS n_t1,
+           CAST(count(DISTINCT p2.p) AS BIGINT) AS n_t2,
+           CAST(min(abs(p1.p - p2.p)) AS BIGINT) AS min_dist,
+           CAST(min(abs(p1.p - p2.p)) <= {NEAR_WINDOW} AS INT) AS within_window
+    FROM p1 JOIN p2 USING (doc_id)
+    GROUP BY p1.doc_id
+    """,
+)
+def doc_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/{NEAR_WINDOW} proximity over the positional index for the
+    corpus's two most frequent tokens: per document containing both,
+    their occurrence counts, the minimum position distance, and the
+    within-window flag (see block comment for the scale shape)."""
+    docs = table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+        .select("doc_id", "tok", (F.col("p0") + 1).alias("p"))
+    )
+    freq = pos.groupBy("tok").agg(F.count("*").alias("c"))
+    wq = Window.orderBy(F.desc("c"), F.asc("tok"))
+    q = (
+        freq.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 2)
+        .select("tok", "rn")
+    )
+    hits = pos.join(F.broadcast(q), "tok")
+    p1 = hits.where(F.col("rn") == 1).select("doc_id", F.col("p").alias("p1"))
+    p2 = hits.where(F.col("rn") == 2).select("doc_id", F.col("p").alias("p2"))
+    dist = F.abs(F.col("p1") - F.col("p2"))
+    return (
+        p1.join(p2, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("p1").cast("bigint").alias("n_t1"),
+            F.count_distinct("p2").cast("bigint").alias("n_t2"),
+            F.min(dist).cast("bigint").alias("min_dist"),
+            (F.min(dist) <= NEAR_WINDOW).cast("int").alias("within_window"),
+        )
+    )
