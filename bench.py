@@ -167,6 +167,7 @@ HEADLINE = (
     "events_type_drift_psi",
     "events_cusum_changepoint",
     "doc_phrase_proximity",
+    "multimodal_image_ahash_near_dup",
 )
 
 

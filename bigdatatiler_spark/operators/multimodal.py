@@ -10,10 +10,13 @@ video decode remains environment-bound (no ffmpeg) and raises
 NotImplementedError at the documented boundary; its plumbing — schema,
 batch iteration, 1→N frame fan-out — is tested in fake mode.
 
-Two oracle-checked queries: ``multimodal_payload_stats`` (byte
-accounting / hashing of the binary column) and
-``multimodal_png_decode_stats`` (encode→decode PNG round trip on real
-bytes, pixel stats cross-checked against the oracle's closed-form).
+Oracle-checked queries: ``multimodal_payload_stats`` (byte accounting /
+hashing of the binary column), ``multimodal_phash_near_dup``
+(character-code aHash banding), ``multimodal_png_decode_stats``
+(encode→decode PNG round trip on real bytes, pixel stats vs the
+oracle's closed form), and ``multimodal_image_ahash_near_dup`` (the
+near-dup pipeline on DECODED PIXELS — codec + pixel hash in the scored
+loop).
 """
 
 from __future__ import annotations
@@ -505,3 +508,129 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_roundtrip, out_schema)
+
+
+# --- real-pixel aHash near-duplicates -------------------------------------
+# Round 5, second real-bytes stage: the aHash near-dup pipeline running
+# on DECODED PIXELS instead of character codes. Each document gets a
+# synthetic 16x16 grayscale image whose content the oracle can recompute
+# in closed form: documents sharing a pattern group (doc_id mod 50) are
+# near-duplicates of each other (same base pattern, a few +noise pixels
+# differ), documents in different groups are far apart. The Spark side
+# goes formula → encode_png → decode_image → ahash64 → 8x8-bit bands
+# inside ONE Arrow-batched mapInPandas stage (the real codec and the
+# real pixel hash in the scored loop); candidates then come from the
+# banded equi-join + exact Hamming verify — the standard pigeonhole
+# blocking (identical to the character-code aHash above), never
+# all-pairs. The oracle replays pixels, block means, bits, bands, and
+# the join in pure SQL — a hash match certifies the full decode+hash
+# pipeline bit-exactly.
+
+AHASH_PX_THRESH = 8  #: max Hamming distance (of 64) for a near-dup pair
+
+#: closed-form pixel i of doc d — base pattern keyed by group (d mod 50)
+#: through the STEP SIZE (3 + group), so different groups alias to
+#: structurally different patterns (aHash is brightness-shift invariant,
+#: so a group key that only added a constant offset would not separate);
+#: sparse noise at (i + d) mod 29 == 0 positions; all values < 204, no
+#: mod-256 wraparound (keeps same-group images comparable)
+_PIX_SQL = (
+    "(i * (3 + doc_id % 50)) % 197"
+    " + CASE WHEN (i + doc_id) % 29 = 0 THEN (doc_id * 13) % 7 ELSE 0 END"
+)
+
+_AHASH_PX_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         [{_PIX_SQL} for i in generate_series(0, 255)] AS p
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, list_sum(p) AS tot,
+         [ p[(2*(b//8))*16 + 2*(b%8) + 1] + p[(2*(b//8))*16 + 2*(b%8) + 2]
+         + p[(2*(b//8)+1)*16 + 2*(b%8) + 1] + p[(2*(b//8)+1)*16 + 2*(b%8) + 2]
+           for b in generate_series(0, 63)] AS bs
+  FROM px
+),
+bands AS (
+  SELECT doc_id,
+         [ list_sum([CASE WHEN bs[8*k + j + 1] * 64 > tot
+                          THEN (1 << j) ELSE 0 END
+                     for j in generate_series(0, 7)])
+           for k in generate_series(0, 7)] AS bands
+  FROM blocks
+),
+eb AS (
+  SELECT doc_id, unnest(generate_series(0, 7)) AS k, unnest(bands) AS v
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM eb x JOIN eb y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(list_sum([bit_count(xor(ba.bands[i], bb.bands[i]))
+                        for i in generate_series(1, 8)]) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b
+)
+WHERE hamming <= {AHASH_PX_THRESH}
+"""
+
+_BANDS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bands", ArrayType(IntegerType())),
+    ]
+)
+
+
+@register("multimodal_image_ahash_near_dup", oracle=_AHASH_PX_ORACLE)
+def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by pixel aHash (Hamming ≤
+    {AHASH_PX_THRESH} of 64) — the decode → hash → band-block → verify
+    pipeline on real PNG bytes (see block comment)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _hash(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.png import ahash64, decode_image, encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pixels = bytes(
+                    (i * (3 + d % 50)) % 197
+                    + ((d * 13) % 7 if (i + d) % 29 == 0 else 0)
+                    for i in range(256)
+                )
+                w, h, ch, decoded = decode_image(encode_png(16, 16, 1, pixels))
+                code = ahash64(w, h, ch, decoded)
+                rows.append((d, [(code >> (8 * k)) & 255 for k in range(8)]))
+            yield pd.DataFrame(rows, columns=["doc_id", "bands"])
+
+    bands = docs.mapInPandas(_hash, _BANDS_SCHEMA).persist()
+    e = bands.select("doc_id", "bands", F.posexplode("bands").alias("k", "v"))
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"), "k", "v"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"), "k", "v"
+    )
+    cand = (
+        a.join(b, ["k", "v"])
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b", "ba", "bb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= AHASH_PX_THRESH)
+    )
