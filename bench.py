@@ -168,6 +168,7 @@ HEADLINE = (
     "events_cusum_changepoint",
     "doc_phrase_proximity",
     "multimodal_image_ahash_near_dup",
+    "multimodal_wav_decode_stats",
 )
 
 

@@ -4,11 +4,13 @@ Design (BASELINE.json north star): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched Pandas UDFs over
 ``mapInPandas``. Since round 5 the decode and resize stages are REAL for
-images: PIL when importable, else the dependency-free PNG codec in
-``media/png.py`` (decode, nearest-neighbor resize, pixel aHash). Audio/
-video decode remains environment-bound (no ffmpeg) and raises
-NotImplementedError at the documented boundary; its plumbing — schema,
-batch iteration, 1→N frame fan-out — is tested in fake mode.
+images (PIL when importable, else the dependency-free PNG codec in
+``media/png.py`` — decode, nearest-neighbor resize, pixel aHash) and for
+audio (RIFF/PCM WAV via ``media/wav.py`` — struct-only parsing).
+Video decode remains environment-bound (compressed codecs need ffmpeg)
+and raises NotImplementedError at the documented boundary; its
+plumbing — schema, batch iteration, 1→N frame fan-out — is tested in
+fake mode.
 
 Oracle-checked queries: ``multimodal_payload_stats`` (byte accounting /
 hashing of the binary column), ``multimodal_phash_near_dup``
@@ -634,3 +636,92 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= AHASH_PX_THRESH)
     )
+
+
+# --- real-bytes audio decode: WAV/PCM round trip --------------------------
+# Round 5: audio joins image on the real side of the decode boundary.
+# WAV's canonical PCM form is pure header parsing (media/wav.py — struct
+# only), so the audio decode slot runs on real bytes: per document a
+# closed-form int16 waveform, encoded to a real RIFF/WAVE container and
+# decoded back inside mapInPandas, reporting integer-exact features
+# (sum|s|, peak, zero crossings, duration) that the oracle recomputes
+# from the generator formula. Video remains the honest
+# NotImplementedError boundary (compressed codecs need ffmpeg).
+
+WAV_N = 256  #: samples per synthetic waveform
+WAV_RATE = 8000
+
+#: closed-form sample j of doc d: int16-safe sawtooth-ish pattern
+_SAMPLE_SQL = "((doc_id * 7 + {j} * 13) % 4096) - 2048"
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             [{_SAMPLE_SQL.format(j="j")} for j in generate_series(0, {WAV_N - 1})]
+               AS smp
+      FROM documents
+    )
+    SELECT doc_id,
+           {WAV_RATE} AS sample_rate,
+           {WAV_N} AS n_samples,
+           CAST({WAV_N} * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(list_sum([abs(x) for x in smp]) AS BIGINT) AS sum_abs,
+           CAST(list_max([abs(x) for x in smp]) AS BIGINT) AS peak_abs,
+           CAST(list_sum(
+             [CASE WHEN ({_SAMPLE_SQL.format(j="(j-1)")} < 0)
+                     <> ({_SAMPLE_SQL.format(j="j")} < 0)
+                   THEN 1 ELSE 0 END
+              for j in generate_series(1, {WAV_N - 1})]) AS BIGINT)
+             AS zero_crossings
+    FROM s
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode WAV round trip on real RIFF/PCM bytes, per document,
+    with integer-exact audio features cross-checked against the oracle's
+    closed form (see block comment)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("sum_abs", LongType()),
+            StructField("peak_abs", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.wav import audio_stats, decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                rate, ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
+                sum_abs, peak, zc = audio_stats(decoded)
+                rows.append(
+                    (
+                        d, rate, len(decoded) // ch,
+                        (len(decoded) // ch) * 1000 // rate,
+                        sum_abs, peak, zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "sum_abs", "peak_abs", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(_roundtrip, out_schema)

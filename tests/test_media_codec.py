@@ -154,3 +154,52 @@ def test_png_decode_stats_query_runs(spark):
     assert row["px_min"] == min(expect)
     assert row["px_max"] == max(expect)
     assert (row["width"], row["height"], row["channels"]) == (PNG_W, PNG_H, 1)
+
+
+# --- WAV codec ------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_stats():
+    from bigdatatiler_spark.media.wav import audio_stats, decode_wav, encode_wav
+
+    samples = [((7 + j * 13) % 4096) - 2048 for j in range(300)]
+    blob = encode_wav(16000, 2, samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, ch, out = decode_wav(blob)
+    assert (rate, ch) == (16000, 2)
+    assert out == samples
+    sum_abs, peak, zc = audio_stats([0, 5, -3, -1, 2])
+    assert sum_abs == 11 and peak == 5
+    assert zc == 2  # 5->-3 and -1->2 (0 counts as non-negative)
+
+
+def test_wav_rejects_malformed_and_unsupported():
+    from bigdatatiler_spark.media.wav import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"definitely not audio")
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(8000, 1, [99999])
+    # 8-bit depth is outside the subset: patch the fmt chunk's bit field
+    blob = bytearray(encode_wav(8000, 1, [1, 2, 3, 4]))
+    bits_off = 12 + 8 + 14  # RIFF/WAVE + fmt hdr + through block_align
+    blob[bits_off : bits_off + 2] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_wav(bytes(blob))
+
+
+def test_wav_decode_stats_query_runs(spark):
+    from bigdatatiler_spark.operators.multimodal import (
+        WAV_N,
+        WAV_RATE,
+        multimodal_wav_decode_stats,
+    )
+
+    out = multimodal_wav_decode_stats(spark, "/root/testdata/sf0.001")
+    row = out.orderBy("doc_id").first()
+    d = row["doc_id"]
+    expect = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+    assert row["sum_abs"] == sum(abs(s) for s in expect)
+    assert row["peak_abs"] == max(abs(s) for s in expect)
+    assert row["sample_rate"] == WAV_RATE
+    assert row["n_samples"] == WAV_N
