@@ -169,6 +169,10 @@ HEADLINE = (
     "doc_phrase_proximity",
     "multimodal_image_ahash_near_dup",
     "multimodal_wav_decode_stats",
+    "orders_benford_audit",
+    "user_type_entropy",
+    "events_first_touch_attribution",
+    "events_ab_test_readout",
 )
 
 

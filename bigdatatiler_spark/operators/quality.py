@@ -518,3 +518,115 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("changepoint_ms"),
     )
+
+
+# --- Benford first-digit audit --------------------------------------------
+# The classic forensic data-quality check: organically-generated money
+# amounts follow Benford's law (P(d) = log10(1 + 1/d)); fabricated or
+# system-glitched batches don't. Per first significant digit of
+# o_totalprice: observed count, expected count under Benford, and the
+# chi-square contribution — each expectation/contribution micro-floored
+# onto the integer grid as ONE identically-parenthesized double
+# expression (the PMI discipline), so the frame hashes engine-exact.
+# One scan, 9-row output; at 100 TB the digit extraction rides any
+# existing pass over the column.
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, count(*) AS observed FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c)
+    SELECT digit, observed,
+           CAST(floor(n * log10(1.0 + 1.0 / digit)) AS BIGINT)
+             AS expected_floor,
+           CAST(floor(
+             (observed - n * log10(1.0 + 1.0 / digit))
+               * (observed - n * log10(1.0 + 1.0 / digit))
+               / (n * log10(1.0 + 1.0 / digit)) * 1000000) AS BIGINT)
+             AS chi2_term_e6
+    FROM c CROSS JOIN t
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law, with per-digit chi-square contributions (see block comment).
+    The first digit comes from the exact integer cents string — no float
+    log extraction, so digit assignment is engine-exact."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("observed")
+    )
+    t = c.agg(F.sum("observed").cast("bigint").alias("n"))
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "observed",
+        F.floor(exp).cast("bigint").alias("expected_floor"),
+        F.floor(
+            (F.col("observed") - exp) * (F.col("observed") - exp) / exp * 1_000_000
+        )
+        .cast("bigint")
+        .alias("chi2_term_e6"),
+    )
+
+
+# --- behavioral-diversity entropy -----------------------------------------
+# Shannon entropy of each user's event-type distribution — the standard
+# behavioral-diversity feature (bot/spam accounts cluster at 0; the
+# uniform mixer caps at ln|types|). Same micro-floor discipline: each
+# -p·ln p term is one double expression floored to e6 per (user, type)
+# row BEFORE the per-user sum, so the aggregate is an order-independent
+# integer sum. Two user-keyed aggs; nothing corpus-wide but |types|.
+
+
+@register(
+    "user_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS k
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(max(n.n) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           CAST(sum(CAST(floor(
+             -(CAST(k AS DOUBLE) / n.n) * ln(CAST(k AS DOUBLE) / n.n)
+               * 1000000) AS BIGINT)) AS BIGINT) AS entropy_e6
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats, e6-scaled) of the event-type mix,
+    with event and distinct-type counts (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").cast("bigint").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    term = F.floor(-p * F.log(p) * 1_000_000).cast("bigint")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum(term).cast("bigint").alias("entropy_e6"),
+        )
+    )

@@ -381,3 +381,61 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
     return picked.withColumn("pick_rank", F.row_number().over(w))
+
+
+# --- A/B experiment analysis ----------------------------------------------
+# The experimentation read-out on deterministic hash assignment: users
+# split 50/50 into variants by the same stable md5 bucket the sampling
+# family uses (assignment is a pure projection — reproducible across
+# runs, engines, and cluster sizes, the property sampleBy lacks), then
+# per variant: exposed users, converters (>= 1 purchase), and the
+# conversion rate as floor-scaled per-mille. All integers — the z-score
+# / CI is one downstream double expression consumers derive from these
+# exact counts. One user-keyed agg + a 2-row rollup.
+
+_SQL_USER_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT"
+    f" % {_BUCKETS} AS BIGINT)"
+)
+
+
+@register(
+    "events_ab_test_readout",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {_SQL_USER_BUCKET} < 50 THEN 'A' ELSE 'B' END AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS converted,
+             count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT variant,
+           count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST((sum(converted) * 1000) // count(*) AS BIGINT)
+             AS conv_permille
+    FROM u GROUP BY variant
+    """,
+)
+def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant exposure/conversion counts for a deterministic 50/50
+    user split (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    variant = F.when(_bucket(F.col("user_id")) < 50, "A").otherwise("B")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("converted"),
+        F.count("*").alias("n_events"),
+    ).select(variant.alias("variant"), "converted", "n_events")
+    return u.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.expr("(sum(converted) * 1000) div count(*)")
+        .cast("bigint")
+        .alias("conv_permille"),
+    )

@@ -1606,3 +1606,93 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t").alias("last_seen_ms"),
         )
     )
+
+
+# --- first-touch session attribution --------------------------------------
+# Marketing-attribution classic: every purchase's revenue is credited to
+# the TYPE OF THE FIRST EVENT of its session (30-min inactivity gap —
+# the engine-wide session kernel, including the strict-> boundary the
+# hostile differential pinned). Sessionization is the gaps-and-islands
+# fold on (ts_ns, event_id) total order; the first-touch type is the
+# array-sorted head per session; revenue is exact integer cents. Two
+# user-keyed window passes + one small agg — the session_paths cost
+# argument; output is |types| rows.
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sess_id,
+             (list(event_type ORDER BY epoch_ns(ts), event_id))[1]
+               AS first_touch,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                           ELSE 0 END) AS BIGINT) AS purchase_cents,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_purchases
+      FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT first_touch,
+           count(*) AS n_sessions,
+           CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(sum(purchase_cents) AS BIGINT) AS attributed_cents
+    FROM sess GROUP BY first_touch
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attributed to each session's first event type (see block
+    comment). Shares the session kernel and boundary semantics with
+    events_session_windows / events_session_paths."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    sess = (
+        numbered.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+            )[0]["event_type"].alias("first_touch"),
+            F.sum(F.when(is_purchase, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("purchase_cents"),
+            F.sum(is_purchase.cast("bigint")).cast("bigint").alias("n_purchases"),
+        )
+    )
+    return sess.groupBy("first_touch").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+        F.sum("purchase_cents").cast("bigint").alias("attributed_cents"),
+    )

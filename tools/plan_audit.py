@@ -49,6 +49,7 @@ BNLJ_BY_DESIGN = {
     "doc_tfidf_keywords",  # 1-row corpus-count crossJoin for the idf term
     "corpus_pmi_collocations",  # 1-row (T, B) totals crossJoin for the PMI term
     "events_type_drift_psi",  # 1-row midpoint + 1-row totals crossJoins
+    "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
 }
 
 
