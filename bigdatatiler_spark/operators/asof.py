@@ -70,8 +70,10 @@ def asof_join(
       epoch_ms(p.ts) AS purchase_ts_ms,
       c.event_id AS click_event_id,
       epoch_ms(c.ts) AS click_ts_ms
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    ASOF LEFT JOIN (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -80,12 +82,16 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent click at-or-before it. Ordering on the raw int64 nanos column
     (total order, no precision loss)."""
     ev = table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts_ns", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_ns", "ts"
-    )
+    # NULL-user rows excluded both engines: a window PARTITION BY groups
+    # all NULL keys into one pseudo-user (cross-attributing anonymous
+    # events) while the oracle's equality ASOF drops them — neither is
+    # the intended attribution semantics (hostile-fixture finding).
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts_ns", "ts")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts_ns", "ts")
     joined = asof_join(
         purchases, clicks, on="user_id", time_col="ts_ns", payload_cols=("event_id", "ts")
     )

@@ -242,7 +242,9 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_xml_inspection",
     oracle="""
-    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+    SELECT event_id, user_id,
+           coalesce(event_type, '') AS event_type,
+           epoch_ms(ts) AS ts_ms
     FROM events
     WHERE user_id <= 50
     """,
@@ -261,7 +263,10 @@ def events_xml_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<log><user>"),
         F.col("user_id"),
         F.lit("</user><type>"),
-        F.col("event_type"),
+        # NULL type would null the whole concat; a missing field is an
+        # EMPTY ELEMENT, which from_xml parses back as '' — the oracle
+        # coalesces to '' to mirror the round trip
+        F.coalesce(F.col("event_type"), F.lit("")),
         F.lit("</type><ts>"),
         F.unix_millis("ts"),
         F.lit("</ts></log>"),

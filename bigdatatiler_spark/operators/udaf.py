@@ -146,6 +146,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH c AS (
       SELECT event_id, event_type, {_CENTS} AS cents FROM events
+      WHERE event_type IS NOT NULL
     ),
     stats AS (
       SELECT event_type,
@@ -172,7 +173,7 @@ def events_zscore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     division with an exact < 2^53 numerator (see module docstring); a
     boundary tie at the 2500 threshold would need z exactly 2.5, which
     the irrational denominator rules out for nonzero numerators."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return (
         e.select("event_id", "event_type", cents.alias("cents"))

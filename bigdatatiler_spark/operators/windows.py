@@ -354,6 +354,7 @@ def _funnel_report(chain):
     oracle="""
     WITH e AS (
       SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+      WHERE user_id IS NOT NULL
     ),
     s1 AS (SELECT user_id, min(t) AS t1 FROM e
            WHERE event_type = 'signup' GROUP BY user_id),
@@ -386,8 +387,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     gather-and-merge."""
     from ..tables import table as _table
 
-    evs = _table(spark, sf_dir, "events").select(
-        "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
+    # anonymous events (NULL user_id) cannot funnel — excluded both
+    # engines (the oracle's USING join would drop them asymmetrically)
+    evs = (
+        _table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", ms("ts").alias("t"), F.col("event_type").alias("ty"))
     )
     return _funnel_report(_funnel_chain(evs))
 
@@ -713,7 +718,7 @@ PATH_LEN = 5  #: leading events kept per session path
     paths AS (
       SELECT user_id, sess_id,
              array_to_string(
-               (list(event_type ORDER BY epoch_ns(ts), event_id))[1:{PATH_LEN}],
+               (list(coalesce(event_type, '') ORDER BY epoch_ns(ts), event_id))[1:{PATH_LEN}],
                '>') AS path
       FROM numbered GROUP BY 1, 2
     )
@@ -759,7 +764,11 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.array_join(
-                F.slice(F.expr("transform(seq, s -> s.event_type)"), 1, PATH_LEN),
+                F.slice(
+                    F.expr("transform(seq, s -> coalesce(s.event_type, ''))"),
+                    1,
+                    PATH_LEN,
+                ),
                 ">",
             ).alias("path")
         )
@@ -1466,6 +1475,7 @@ _FUNNEL_STEP_MS = 86_400_000
     oracle=f"""
     WITH e AS (
       SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+      WHERE user_id IS NOT NULL
     ),
     s1 AS (SELECT user_id, min(t) AS t1 FROM e
            WHERE event_type = 'signup' GROUP BY user_id),
@@ -1502,8 +1512,12 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent cross-check."""
     from ..tables import table as _table
 
-    evs = _table(spark, sf_dir, "events").select(
-        "user_id", ms("ts").alias("t"), F.col("event_type").alias("ty")
+    # anonymous events (NULL user_id) cannot funnel — excluded both
+    # engines (the oracle's USING join would drop them asymmetrically)
+    evs = (
+        _table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", ms("ts").alias("t"), F.col("event_type").alias("ty"))
     )
     return _funnel_report(_funnel_chain(evs, step_ms=_FUNNEL_STEP_MS))
 

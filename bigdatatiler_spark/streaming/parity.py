@@ -104,3 +104,53 @@ def events_streaming_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination()
     q.stop()
     return spark.table(_SINK)
+
+
+_SINK2 = "streaming_parity_sliding"
+
+
+@register(
+    "events_streaming_sliding_parity",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 3)) AS k)
+    SELECT
+      epoch_ms(time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes') AS window_start_ms,
+      event_type,
+      count(*) AS n_events
+    FROM events CROSS JOIN g
+    GROUP BY 1, 2
+    """,
+)
+def events_streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute windows executed BY THE STREAMING ENGINE
+    (same memory-sink/AvailableNow harness as the hourly parity query):
+    each event expands into size/slide = 4 overlapping windows map-side,
+    then one keyed stateful aggregation. The oracle derives the same 4
+    epoch-aligned windows per event via a generate_series cross join —
+    a hash match certifies the streaming expansion + state path equals
+    the batch formulation."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK2)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(_SINK2)

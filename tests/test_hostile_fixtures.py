@@ -49,6 +49,12 @@ HOSTILE_PINNED = (
     "events_session_windows",       # exact-gap session boundary
     "events_funnel_windowed",       # negative-epoch sentinel
     "corpus_pmi_collocations",      # 0/1-token bigram expansion guard
+    # fuzz round 2: NULL event_type / NULL user_id key classes
+    "events_funnel_conversion",     # NULL user: fold-group vs USING-join
+    "asof_purchase_to_click",       # NULL user: window pseudo-group vs ASOF
+    "events_zscore_grouped",        # NULL type: pandas group vs USING-join
+    "events_session_paths",         # NULL type path elements
+    "events_xml_inspection",        # NULL type nulls the XML concat
 )
 
 

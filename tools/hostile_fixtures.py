@@ -59,6 +59,10 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["text"][i] = "  leading and   multiple   spaces  "
         elif k == 7 and i + 1 < n:
             d["text"][i] = d["text"][i + 1]  # exact duplicate pair
+        elif k == 8:
+            d["lang"][i] = ""  # empty string is NOT NULL (distinct group)
+        elif k == 9:
+            d["text"][i] = "   "  # whitespace-only document
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i])
     return pa.table(d, schema=tbl.schema)
@@ -91,6 +95,10 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["value"][i] = 0.005  # half-cent rounding edge
         elif k == 8 and i > 0:
             d["ts"][i] = d["ts"][i - 1]  # exact ts tie (ordering edge)
+        elif k == 9:
+            d["event_type"][i] = None  # NULL group-by / funnel key
+        elif k == 10:
+            d["user_id"][i] = None  # NULL partition/session/join key
     return pa.table(d, schema=tbl.schema)
 
 
