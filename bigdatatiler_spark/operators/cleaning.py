@@ -281,8 +281,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
+      WHERE isfinite(value)
     ),
     r AS (
       SELECT event_type, cents,
@@ -325,10 +326,13 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     repair pass itself never materializes a sorted corpus."""
     from pyspark.sql import Window
 
+    # non-finite values are NULL cents after the loader's canonicalization
+    # and must leave the order-statistics universe (NULL ranks differently
+    # than it aggregates) — mirrors the oracle's isfinite() filter
     e = table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     wr = Window.partitionBy("event_type").orderBy("cents")
     wc = Window.partitionBy("event_type")
     r = e.select(

@@ -590,8 +590,8 @@ _NORM_B = (
       a.vec_id AS vec_id_1,
       b.vec_id AS vec_id_2,
       round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
-    FROM (SELECT * FROM embeddings WHERE list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) a
-    JOIN (SELECT * FROM embeddings WHERE list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) a
+    JOIN (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) b ON a.vec_id < b.vec_id
     WHERE round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) >= {COSINE_THRESHOLD}
     """,
 )
@@ -627,7 +627,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-norm vectors excluded: cosine undefined (similarity.nz_base)
     withnorm = e.select(
         "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
-    ).where(F.col("nrm") > 0)
+    ).where(~F.isnan("nrm") & (F.col("nrm") > 0))
     a = withnorm.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
@@ -695,7 +695,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
-    ).where(F.col("nrm") > 0).persist()
+    ).where(~F.isnan("nrm") & (F.col("nrm") > 0)).persist()
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),

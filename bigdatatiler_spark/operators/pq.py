@@ -138,7 +138,7 @@ def _oracle() -> str:
     ).format(off="cb.sub * 16")
     return f"""
     WITH quant AS (
-      SELECT vec_id, {qemb} AS q FROM embeddings
+      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)))
     ),
     ranked AS (
       SELECT vec_id, q,
@@ -215,7 +215,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not queries×corpus. Both distances are exact BIGINT sums —
     nothing float-ordered reaches the hash."""
     e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", "embedding")
+    # finite-vector universe: PQ quantization floors each component, so a
+    # NaN/Inf component is undecodable (DuckDB cannot even cast NaN to
+    # BIGINT); zero vectors are FINE for L2 codes, so this is isfinite,
+    # not the cosine family's nonzero-norm filter. Probe = component sum.
+    _comp_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, v: a + v.cast("double")
+    )
+    base = e.select("vec_id", "embedding", _comp_sum.alias("_cs")).where(
+        ~F.isnan("_cs") & (F.abs("_cs") != float("inf"))
+    ).select("vec_id", "embedding")
     codes = encode_pq(base)
     cb = _codebook_row(base)
     # per-query ADC lookup table: map (sub*KSUB + code) → exact distance

@@ -537,9 +537,9 @@ HIST_BIN_CENTS = 5000  #: 50-currency-unit equi-width bins
     "events_value_histogram",
     oracle=f"""
     SELECT event_type,
-           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // {HIST_BIN_CENTS} AS BIGINT) AS bin,
-           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // {HIST_BIN_CENTS} AS BIGINT) * {HIST_BIN_CENTS} AS bin_lo_cents,
            count(*) AS n
     FROM events

@@ -78,8 +78,13 @@ def _self_norm(alias: str) -> str:
 #: filters ``nrm > 0`` on the norm frame (``nz_base``); DuckDB oracles
 #: scan this subquery instead of the raw table. Pure lookup joins that
 #: only fetch vectors for already-filtered ids may keep the raw table.
+#: NaN guard: DuckDB orders NaN GREATER than everything (NaN > 0 is
+#: TRUE) while Spark comparisons on NaN are false — isfinite() makes the
+#: two universes identical when a corpus carries NaN embeddings.
 _EMB_NZ = (
-    "(SELECT * FROM embeddings WHERE list_reduce("
+    "(SELECT * FROM embeddings WHERE isfinite(list_reduce("
+    "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce("
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
     " for i in generate_series(1, 64)], (x, y) -> x + y) > 0)"
 )
@@ -88,9 +93,10 @@ _EMB_NZ = (
 def nz_base(e: "DataFrame") -> "DataFrame":
     """(vec_id, embedding, nrm) frame with zero-norm vectors excluded —
     the canonical input of every cosine-scoring ANN query (see _EMB_NZ)."""
-    return e.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    ).where(F.col("nrm") > 0)
+    return (
+        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .where(~F.isnan("nrm") & (F.col("nrm") > 0))
+    )
 
 
 @register(

@@ -38,15 +38,16 @@ from pyspark.sql.types import LongType
 from ..registry import register
 from ..tables import table
 
-_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS = "CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
 @pandas_udf(LongType())
 def _n_rows(cents: pd.Series) -> int:
     """Group size as a pandas UDAF: Spark disallows mixing GROUPED_AGG
     pandas UDFs with JVM aggregates in one agg(), so the count rides the
-    same Arrow batch."""
-    return len(cents)
+    same Arrow batch. NULL cents (non-finite source values) are not part
+    of the statistic — mirrors the oracle's isfinite() filter."""
+    return len(cents.dropna())
 
 
 @pandas_udf(LongType())
@@ -56,7 +57,7 @@ def _iqm_cents(cents: pd.Series) -> int:
     truncates toward zero while Python's floors — sign-normalizing here
     keeps negative-sum bands engine-exact). Falls back to the plain mean
     when the band is empty (n ≤ 4 boundary cases)."""
-    xs = sorted(int(v) for v in cents)
+    xs = sorted(int(v) for v in cents.dropna())
     n = len(xs)
     lo = -(-n // 4) + 1  # ceil(n/4) + 1
     hi = (3 * n) // 4
@@ -77,6 +78,7 @@ def _iqm_cents(cents: pd.Series) -> int:
              ) AS rk,
              count(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      WHERE isfinite(value)
     ),
     banded AS (
       SELECT event_type, n, cents,
@@ -127,6 +129,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group classical z-score in exact arithmetic: every sum is an
     arbitrary-precision Python int; z = (n·x − S)/√(n·Q − S²) touches
     float exactly twice (one sqrt, one division with < 2^53 numerator)."""
+    pdf = pdf[pdf["cents"].notna()]
     xs = [int(v) for v in pdf["cents"]]
     n = len(xs)
     s = sum(xs)
@@ -146,7 +149,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH c AS (
       SELECT event_id, event_type, {_CENTS} AS cents FROM events
-      WHERE event_type IS NOT NULL
+      WHERE event_type IS NOT NULL AND isfinite(value)
     ),
     stats AS (
       SELECT event_type,

@@ -177,7 +177,7 @@ from ..streaming.ingest import session_windows, tumbling_counts  # noqa: E402
       epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
       event_type,
       count(*) AS n_events,
-      round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      round(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -516,7 +516,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1
     ),
     joined AS (
@@ -642,7 +642,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              epoch_ms(ts) AS t_ms,
              lead(epoch_ms(ts)) OVER (
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
@@ -786,7 +786,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk AS (
       SELECT f.cw, (epoch_ms(date_trunc('week', e.ts)) - epoch_ms(f.cw))
                // 604800000 AS week_offset,
-             sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+             sum(CAST(CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events e JOIN f USING (user_id)
       GROUP BY 1, 2
     )
@@ -933,7 +933,7 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_trailing,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+           CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
              AS BIGINT) AS trailing_cents
     FROM events
     WINDOW w AS (
@@ -977,7 +977,7 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type,
              epoch_ms(date_trunc('hour', ts)) AS h_ms,
-             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+             sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2
     ),
     forecast AS (
@@ -1043,7 +1043,7 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
       (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
       count(*) AS n_events,
-      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
         AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2
@@ -1079,8 +1079,9 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
+      WHERE isfinite(value)
     ),
     r1 AS (
       SELECT event_type, cents,
@@ -1130,10 +1131,13 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·MAD flagging pass is embarrassingly parallel either way. The
     window form is the exact-oracle-checkable statement of the
     semantics."""
+    # non-finite values are NULL cents after the loader's canonicalization
+    # and must leave the order-statistics universe (NULL ranks differently
+    # than it aggregates) — mirrors the oracle's isfinite() filter
     e = table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     wr = Window.partitionBy("event_type").orderBy("cents")
     wc = Window.partitionBy("event_type")
     r1 = e.select(
@@ -1638,7 +1642,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess

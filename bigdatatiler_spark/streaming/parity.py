@@ -52,8 +52,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = schema["ts"].dataType
     if isinstance(dt, LongType):  # legacy int64-nanos encoding
-        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # same non-finite-value canonicalization as tables.table
+    return src.withColumn(
+        "value",
+        F.when(
+            ~F.isnan("value")
+            & ~F.col("value").isin(float("inf"), float("-inf")),
+            F.col("value"),
+        ),
+    )
 
 
 @register(
@@ -62,7 +72,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2

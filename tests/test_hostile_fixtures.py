@@ -55,6 +55,12 @@ HOSTILE_PINNED = (
     "events_zscore_grouped",        # NULL type: pandas group vs USING-join
     "events_session_paths",         # NULL type path elements
     "events_xml_inspection",        # NULL type nulls the XML concat
+    # fuzz round 3: NaN/Inf metric values and NaN embedding components
+    "events_iqm_udaf",              # NaN cents reach the pandas UDAF
+    "events_value_mad_outliers",    # NULL cents in the rank universe
+    "events_map_functions",         # DuckDB NaN >= 50 is TRUE
+    "ann_pq_adc_topk",              # NaN component kills quantization cast
+    "events_hourly_rollup",         # cents idiom with non-finite values
 )
 
 

@@ -99,6 +99,10 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["event_type"][i] = None  # NULL group-by / funnel key
         elif k == 10:
             d["user_id"][i] = None  # NULL partition/session/join key
+        elif k == 11:
+            d["value"][i] = float("nan")  # non-finite metric
+        elif k == 12:
+            d["value"][i] = float("inf")
     return pa.table(d, schema=tbl.schema)
 
 
@@ -113,6 +117,10 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
             d["embedding"][i] = list(d["embedding"][i - 1])  # exact dup
         elif k == 2:
             d["embedding"][i] = [1.0] + [0.0] * (len(d["embedding"][i]) - 1)
+        elif k == 3:
+            v = list(d["embedding"][i])
+            v[0] = float("nan")  # NaN component (failed encoder row)
+            d["embedding"][i] = v
     return pa.table(d, schema=tbl.schema)
 
 
