@@ -173,6 +173,14 @@ HEADLINE = (
     "user_type_entropy",
     "events_first_touch_attribution",
     "events_ab_test_readout",
+    "events_streaming_session_parity",
+    "events_interval_coverage",
+    "events_linear_attribution",
+    "events_k_anonymity",
+    "events_hazard_curve",
+    "embedding_dimension_stats",
+    "events_chi2_independence",
+    "events_ewma_hourly",
 )
 
 

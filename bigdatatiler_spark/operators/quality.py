@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import table
+from ._util import ms
 
 
 def violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -629,4 +630,286 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_types"),
             F.sum(term).cast("bigint").alias("entropy_e6"),
         )
+    )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+# Privacy primitive for training-data release: group the corpus by its
+# quasi-identifier tuple (here: event type x ISO day-of-week x hour-of-
+# day — the re-identification surface of a usage log) and measure each
+# equivalence class's DISTINCT-USER size. A class smaller than k is a
+# re-identification risk: publishing it narrows an individual to fewer
+# than k candidates. The audit emits every class with its size and a
+# 0/1 k-anonymity flag so a release gate can suppress or generalize the
+# violating classes. Day-of-week alignment: Spark weekday() (Mon=0)+1
+# equals DuckDB isodow() (Mon=1) — dayofweek() disagrees between the
+# engines (Sun=1 vs Sun=0) and is avoided.
+
+K_ANON_K = 5
+
+
+@register(
+    "events_k_anonymity",
+    oracle=f"""
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_rows,
+           CAST(CASE WHEN count(DISTINCT user_id) >= {K_ANON_K}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_k_anon
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k={K}) over the (event_type, iso-dow, hour)
+    quasi-identifier (see block comment). NULL users never count toward
+    a class's protection (count DISTINCT skips NULL on both engines) —
+    an anonymous row cannot anonymize an identified one.
+
+    Plan: one groupBy on the QI tuple — the distinct-count is Spark's
+    partial-aggregating HashAggregate pair, output is |types|x7x24 rows;
+    linear at any scale, no window, no join."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.when(F.count_distinct("user_id") >= K_ANON_K, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_k_anon"),
+    )
+
+
+# --- discrete hazard curve ---------------------------------------------------
+# Survival analysis over user lifetimes: tenure = weeks between a user's
+# first and last active Monday-aligned week. Users observed for exactly
+# t weeks "churn at t"; the at-risk set at t is everyone whose tenure
+# reached t (a reverse cumulative sum over the tenure histogram — no
+# per-user second pass). The discrete hazard h(t) = churned(t)/at_risk(t)
+# is emitted per-mille as an exact non-negative integer floor-division
+# (truncation == floor for non-negatives, identical in both engines).
+# The cumulative window runs over the TENURE HISTOGRAM (≤ corpus span in
+# weeks — dimension-sized), not over users.
+
+
+@register(
+    "events_hazard_curve",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             (epoch_ms(date_trunc('week', max(ts)))
+              - epoch_ms(date_trunc('week', min(ts)))) // 604800000
+               AS tenure_weeks
+      FROM events GROUP BY user_id
+    ),
+    churn AS (
+      SELECT tenure_weeks, count(*) AS n_churned FROM life GROUP BY 1
+    )
+    SELECT tenure_weeks,
+           CAST(sum(n_churned) OVER rev AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST((n_churned * 1000) // (sum(n_churned) OVER rev)
+                AS BIGINT) AS hazard_permille
+    FROM churn
+    WINDOW rev AS (ORDER BY tenure_weeks DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete hazard curve of user churn by tenure week (see block
+    comment): per tenure t, the at-risk population, the churn count and
+    the per-mille hazard rate — the life-table a retention model fits.
+
+    Plan: one user-keyed aggregate (lifespans), one tiny histogram
+    aggregate, then an unpartitioned window over the ≤|weeks|-row
+    histogram — dimension-sized by construction (a year of data is 52
+    rows), the documented exception to the no-global-window rule."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    life = ev.groupBy("user_id").agg(
+        (
+            (
+                ms(F.date_trunc("week", F.max("ts")))
+                - ms(F.date_trunc("week", F.min("ts")))
+            )
+            / F.lit(604800000)
+        )
+        .cast("bigint")
+        .alias("tenure_weeks")
+    )
+    churn = life.groupBy("tenure_weeks").agg(F.count(F.lit(1)).alias("n_churned"))
+    rev = Window.orderBy(F.desc("tenure_weeks")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.sum("n_churned").over(rev)
+    return churn.select(
+        "tenure_weeks",
+        at_risk.cast("bigint").alias("n_at_risk"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.expr("n_churned * 1000").cast("bigint").alias("_num"),
+    ).select(
+        "tenure_weeks",
+        "n_at_risk",
+        "n_churned",
+        F.expr("_num div n_at_risk").cast("bigint").alias("hazard_permille"),
+    )
+
+
+# --- chi-square independence audit -------------------------------------------
+# Is event type independent of day-of-week? The chi-square contingency
+# statistic, per cell, in EXACT integer arithmetic: the textbook term
+# (O-E)²/E with E = R·C/N is algebraically (O·N - R·C)² / (R·C·N), which
+# needs no rational intermediate — numerator and denominator are exact
+# integers (the numerator squares to ~1e24 at sf1, so it rides
+# DECIMAL(38,0)/HUGEINT before the truncating integral division lands it
+# back in BIGINT; non-negative, so truncation == floor in both engines).
+# A drift monitor compares the summed statistic against the chi-square
+# critical value for (|types|-1)(7-1) degrees of freedom.
+
+
+@register(
+    "events_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells)
+    SELECT cells.event_type, cells.dow, o AS observed,
+           CAST((CAST(rt AS HUGEINT) * ct * 100) // nt AS BIGINT)
+             AS expected_e2,
+           CAST(((CAST(o AS HUGEINT) * nt - CAST(rt AS HUGEINT) * ct)
+                 * (CAST(o AS HUGEINT) * nt - CAST(rt AS HUGEINT) * ct)
+                 * 1000000)
+                // (CAST(rt AS HUGEINT) * ct * nt) AS BIGINT) AS term_e6
+    FROM cells
+    JOIN r USING (event_type)
+    JOIN c USING (dow)
+    CROSS JOIN n
+    """,
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contribution for the event-type × iso-dow
+    contingency table (see block comment); Σ term_e6 is the statistic.
+
+    Plan: ONE shuffle builds the contingency cells; the row totals are a
+    re-aggregation of the cells (|types| rows), the column totals 7
+    rows, the grand total 1 row — all three broadcast back onto the
+    cells (the 1-row side is the whitelisted BNLJ class). Nothing in
+    the plan touches the raw corpus twice."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.persist()
+    r = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("nt"))
+    joined = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    dec = "decimal(38,0)"
+    o, rt, ct, nt = (F.col(x).cast(dec) for x in ("o", "rt", "ct", "nt"))
+    diff = o * nt - rt * ct
+    return joined.select(
+        "event_type",
+        "dow",
+        F.col("o").alias("observed"),
+        (rt * ct * F.lit(100).cast(dec)).cast(dec).alias("_enum"),
+        (diff * diff).cast(dec).alias("_d2"),
+        (rt * ct * nt).cast(dec).alias("_den"),
+        nt.alias("_nt"),
+    ).select(
+        "event_type",
+        "dow",
+        "observed",
+        F.expr("CAST(_enum div _nt AS BIGINT)").alias("expected_e2"),
+        F.expr(
+            "CAST((_d2 * CAST(1000000 AS DECIMAL(38,0))) div _den AS BIGINT)"
+        ).alias("term_e6"),
+    )
+
+
+# --- integer EWMA (halving recurrence) ---------------------------------------
+# Exponentially-weighted smoothing of each event type's hourly volume
+# with α = 1/2: s_t = (x_t + s_{t-1}) div 2 — the halving recurrence is
+# EXACT integer arithmetic at every step, so a stateful fold that would
+# normally be float-ordering-hostile is bit-deterministic in both
+# engines. The fold runs over the hour-ordered per-type series (Spark:
+# aggregate() over the sorted collected array; DuckDB: list_reduce over
+# list(... ORDER BY h) — both seed with the first element). This is the
+# smallest correct form of the "custom stateful recurrence" operator
+# class (EWMA / Holt-Winters / CUSUM all share the shape; CUSUM has its
+# own registered query).
+
+
+@register(
+    "events_ewma_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      -- arg_max, not a max-hour self-join: an equality join would drop
+      -- NULL event_type groups that the Spark groupBy keeps (the fuzz
+      -- round-2 NULL-key class)
+      SELECT event_type,
+             count(*) AS n_buckets,
+             list(n ORDER BY h) AS xs,
+             CAST(arg_max(n, h) AS BIGINT) AS last_count
+      FROM hourly
+      GROUP BY event_type
+    )
+    SELECT event_type, n_buckets, last_count,
+           CAST(list_reduce(xs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+             AS ewma_half
+    FROM series
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (α=1/2) over each event type's hour-ordered volume
+    series (see block comment). Counts are non-negative so the truncating
+    `div`/`//` IS the mathematical floor in both engines.
+
+    Plan: one shuffle to hourly cells, one |types|-group collect of the
+    per-type series (arrays are |hours| long — bounded by corpus span,
+    not corpus size), then a zero-shuffle higher-order-function fold
+    inside the JVM. At 100 TB the hourly pre-aggregation is what keeps
+    the collected arrays small (8760 entries/year/type)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))), lambda s: s["n"]
+        ).alias("xs"),
+        F.max_by("n", "h").cast("bigint").alias("last_count"),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1).cast("bigint"),
+        # counts are non-negative → floor == the truncating // the oracle
+        # uses; (acc+x) stays < 2^53 so the double halving is exact
+        lambda acc, x: F.floor((acc + x) / F.lit(2)).cast("bigint"),
+    )
+    return series.select(
+        "event_type",
+        "n_buckets",
+        "last_count",
+        folded.cast("bigint").alias("ewma_half"),
     )

@@ -1024,3 +1024,107 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# --- per-dimension feature statistics ----------------------------------------
+# The feature-stats pass an embedding pipeline runs before training or
+# drift monitoring: per vector dimension, count / mean / variance / min /
+# max. De-float discipline for the moments: every element is floored
+# onto the 1e-6 grid FIRST (one correctly-rounded multiply, identical in
+# both engines), then all moments are EXACT integer arithmetic — the sum
+# of squares and the variance numerator n·Σx² − (Σx)² are computed in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and divided with truncating
+# integral division (non-negative by Cauchy-Schwarz, so truncation ==
+# floor in both engines), landing back in BIGINT. A raw float sum would
+# differ between Spark's parallel partials and any single-threaded
+# oracle; this never sums a float.
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH el AS (
+      SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS xf
+      FROM embeddings
+    ),
+    fin AS (
+      SELECT dim, CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS xe6
+      FROM el WHERE isfinite(xf)
+    ),
+    agg AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(xe6) AS BIGINT) AS s1,
+             sum(CAST(xe6 AS HUGEINT) * xe6) AS s2,
+             min(xe6) AS mn, max(xe6) AS mx
+      FROM fin GROUP BY dim
+    ),
+    v AS (
+      SELECT dim, n, s1, mn, mx,
+             CAST((n * s2 - CAST(s1 AS HUGEINT) * s1)
+                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
+      FROM agg
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(floor(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+           var_e12,
+           CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT) AS std_e6,
+           mn AS min_e6, mx AS max_e6
+    FROM v
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding corpus (see block comment)
+    — the drift-monitoring baseline and normalization input.
+
+    Plan: posexplode expands 64× map-side, then ONE partial-aggregating
+    HashAggregate pair onto 64 groups — each map task pre-reduces to 64
+    rows before the exchange, so the shuffle moves |partitions|·64 rows
+    regardless of corpus size. The low group cardinality is exactly the
+    case partial aggregation exists for; no window, no join, no skew
+    (every row fans to all 64 keys uniformly)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "xf")
+    )
+    x = F.col("xf").cast("double")
+    fin = emb.where(
+        ~F.isnan(x) & ~x.isin(float("inf"), float("-inf"))
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(x * F.lit(1_000_000.0)).cast("bigint").alias("xe6"),
+    )
+    agg = fin.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xe6").cast("bigint").alias("s1"),
+        F.sum(
+            (F.col("xe6").cast("decimal(38,0)") * F.col("xe6")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+        F.min("xe6").alias("mn"),
+        F.max("xe6").alias("mx"),
+    )
+    v = agg.select(
+        "dim",
+        "n",
+        "s1",
+        "mn",
+        "mx",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_e12"),
+    )
+    return v.select(
+        "dim",
+        "n",
+        F.floor(F.col("s1").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_e6"),
+        "var_e12",
+        F.floor(F.sqrt(F.col("var_e12").cast("double")))
+        .cast("bigint")
+        .alias("std_e6"),
+        F.col("mn").alias("min_e6"),
+        F.col("mx").alias("max_e6"),
+    )

@@ -1714,3 +1714,204 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_purchases").cast("bigint").alias("n_purchases"),
         F.sum("purchase_cents").cast("bigint").alias("attributed_cents"),
     )
+
+
+# --- interval-union coverage (sweep line) ----------------------------------
+# Each event opens a fixed activity interval [t, t+5min); per user the
+# engine reports the LENGTH OF THE UNION of those intervals (not the sum
+# — overlaps counted once), the number of merged blocks, and the idle
+# time inside the observed span. This is the classic sweep-line kernel
+# expressed relationally: order intervals by start, compare each start
+# to the running max of all PRIOR ends (ROWS ... 1 PRECEDING), and a
+# block break is a start strictly past that max (touching intervals —
+# start == prior end — merge, half-open semantics). Everything is exact
+# integer epoch-ms arithmetic; the (t, event_id) total order makes the
+# running max deterministic under ties.
+
+_COVERAGE_WINDOW_MS = 300_000  # 5 minutes
+
+
+@register(
+    "events_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS t,
+             epoch_ms(ts) + {_COVERAGE_WINDOW_MS} AS e
+      FROM events WHERE ts IS NOT NULL
+    ),
+    sw AS (
+      SELECT user_id, t, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS rmax
+      FROM iv
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(CASE WHEN rmax IS NULL OR t > rmax THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocks,
+           CAST(sum(greatest(e - greatest(t, coalesce(rmax, t)), 0))
+                AS BIGINT) AS covered_ms,
+           CAST(max(e) - min(t)
+                - sum(greatest(e - greatest(t, coalesce(rmax, t)), 0))
+                AS BIGINT) AS idle_ms
+    FROM sw GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union length of fixed 5-minute activity intervals (see
+    block comment): sweep-line via a running max over PRIOR interval
+    ends. Plan: ONE shuffle on user_id shared by the window and the
+    final aggregate (same-key window→groupBy reuses the exchange);
+    per-user state is a single running max — no self-join, no interval
+    explosion, linear at any corpus scale. NULL-ts rows are excluded on
+    both engines (Spark orders NULLS FIRST ascending, DuckDB NULLS
+    LAST — the one ordering divergence the kernel would otherwise
+    expose)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            ms("ts").alias("t"),
+            (ms("ts") + F.lit(_COVERAGE_WINDOW_MS)).alias("e"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    rmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    covered = F.greatest(
+        F.col("e") - F.greatest(F.col("t"), F.coalesce(rmax, F.col("t"))),
+        F.lit(0),
+    )
+    seg = ev.select(
+        "user_id",
+        "t",
+        "e",
+        F.when(rmax.isNull() | (F.col("t") > rmax), 1).otherwise(0).alias("nb"),
+        covered.alias("cov"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("nb").cast("bigint").alias("n_blocks"),
+        F.sum("cov").cast("bigint").alias("covered_ms"),
+        (F.max("e") - F.min("t") - F.sum("cov")).cast("bigint").alias("idle_ms"),
+    )
+
+
+# --- linear multi-touch attribution ----------------------------------------
+# The counterpart of events_first_touch_attribution: instead of crediting
+# a session's purchase revenue wholly to the first touch, LINEAR
+# attribution splits it equally across every touchpoint (event) in the
+# session. Determinism of the split: the per-touch credit is floored
+# onto the micro-cent grid BEFORE multiplication and summation —
+# floor(cents·1e6 / n) is an exact-integer-rational floor (int_ratio
+# argument: a rational p/q is never within a double ulp of an integer it
+# doesn't equal), and every downstream aggregate is integer. Anonymous
+# (NULL user_id) events are excluded on both engines: sessions are
+# per-user by definition and the join-vs-window NULL semantics differ
+# (the fuzz round-2 class).
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(CAST(CASE WHEN isfinite(value) THEN value END
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    typed AS (
+      SELECT user_id, sess_id, event_type,
+             count(*) AS n_touch,
+             coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+                                    THEN cents ELSE 0 END) AS BIGINT), 0)
+               AS pc_type
+      FROM numbered GROUP BY 1, 2, 3
+    ),
+    sess AS (
+      SELECT user_id, sess_id,
+             CAST(sum(n_touch) AS BIGINT) AS n_all,
+             CAST(sum(pc_type) AS BIGINT) AS pc
+      FROM typed GROUP BY 1, 2
+    ),
+    credited AS (
+      SELECT t.event_type, t.n_touch,
+             t.n_touch * CAST(floor(CAST(s.pc AS DOUBLE) * 1000000
+                                    / s.n_all) AS BIGINT) AS credit
+      FROM typed t JOIN sess s USING (user_id, sess_id)
+    )
+    SELECT event_type,
+           CAST(sum(n_touch) AS BIGINT) AS n_touches,
+           CAST(sum(credit) AS BIGINT) AS attributed_micro_cents
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution of session purchase
+    revenue across every event type in the session (see block comment).
+    Shares the 30-min session kernel with events_first_touch_attribution.
+
+    Plan: the session fold is ONE user-keyed window pass; typed/sess are
+    two aggregates on the same (user_id, sess_id) key — the second is a
+    partial re-aggregation of the first (no new shuffle key) — and the
+    credit join is co-partitioned on that same key, so the whole
+    pipeline rides a single user-keyed exchange lineage before the final
+    |types|-row rollup. Micro-cent credits stay < 2^63 through sf100
+    (total purchase cents × 1e6)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    typed = numbered.groupBy("user_id", "sess_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_touch"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                    0
+                )
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("pc_type"),
+    )
+    sess = typed.groupBy("user_id", "sess_id").agg(
+        F.sum("n_touch").cast("bigint").alias("n_all"),
+        F.sum("pc_type").cast("bigint").alias("pc"),
+    )
+    per_touch = F.floor(
+        F.col("pc").cast("double") * F.lit(1_000_000.0) / F.col("n_all")
+    ).cast("bigint")
+    credited = typed.join(sess, ["user_id", "sess_id"]).select(
+        "event_type", "n_touch", (F.col("n_touch") * per_touch).alias("credit")
+    )
+    return credited.groupBy("event_type").agg(
+        F.sum("n_touch").cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("attributed_micro_cents"),
+    )

@@ -153,7 +153,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "doc_token_stats",
     "doc_lang_id",
-    "doc_fingerprint_bottomk",
+    # (doc_fingerprint_bottomk rotated out for round 5's sweep-line
+    # kernel: r4 driver-green, the text family keeps five in-window
+    # entries and the Karp-Rabin bottom-k kernel is local-oracle-checked
+    # every round (doc_rolling_hash shares it). In: interval-union
+    # coverage — running-max sweep line, a new algorithmic class.)
+    "events_interval_coverage",
     "corpus_language_profile",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",
@@ -172,7 +177,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # r2 driver-green, sqlsurface keeps three in-window entries
     # (props_json, grouping_sets, page_keyset); local-oracle-checked.)
     "orders_constraint_audit",
-    "orders_page_keyset",
+    # (orders_page_keyset rotated out for round 5's streaming session
+    # parity: r4 driver-green, and the keyset-pagination kernel keeps
+    # events_page_keyset in-window (same half-open composite-key seek);
+    # still local-oracle-checked. In: the MERGING-state streaming shape —
+    # session windows executed by the micro-batch engine, beside the
+    # tumbling parity row.)
+    "events_streaming_session_parity",
     "sketch_kmv_distinct",
     # (sketch_frequent_tokens rotated out: r2 driver-green; the sketch
     # family keeps kmv + gk in-window and the heavy-hitter contract is

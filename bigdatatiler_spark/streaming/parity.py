@@ -164,3 +164,86 @@ def events_streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFra
     q.awaitTermination()
     q.stop()
     return spark.table(_SINK2)
+
+
+_SINK3 = "streaming_parity_session"
+
+
+@register(
+    "events_streaming_session_parity",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      epoch_ms(min(ts)) AS session_start_ms,
+      epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end_ms,
+      count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def events_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) executed BY THE STREAMING ENGINE —
+    the third streaming shape after tumbling and sliding, and the one
+    with MERGING state: unlike fixed windows, streaming session windows
+    must merge adjacent state entries when a new event bridges two
+    previously-separate sessions across micro-batches. A hash match
+    against the batch gaps-and-islands oracle (identical SQL to
+    events_session_windows — the boundary is strictly ``gap > timeout``,
+    an event at exactly last+gap merges; hostile-differential-pinned)
+    certifies the merge path end-to-end.
+
+    No watermark here, deliberately: unlike tumbling/sliding windows,
+    streaming session aggregation filters its INPUT against the current
+    watermark before merging — and the watermark initializes to epoch 0,
+    so any pre-1970 event is "late" at first sight and silently dropped
+    (found by the hostile-content differential: 14 pre-epoch sessions
+    vanished). Complete mode keeps all state, so the watermark is legal
+    to omit on a bounded fixture. A production append-mode deployment
+    adds ``withWatermark`` back for state eviction — live feeds have no
+    pre-epoch timestamps, so the hazard is fixture-class only.
+
+    Scale: state is one entry per OPEN session per user; with the
+    production watermark, sessions 30 min behind event time are closed
+    and evicted, so steady-state memory is bounded by concurrently-
+    active users, not history. Output mode is complete on the fixture so
+    every session is emitted at the final AvailableNow trigger
+    regardless of micro-batch split."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK3)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(_SINK3)

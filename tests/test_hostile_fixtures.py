@@ -61,6 +61,18 @@ HOSTILE_PINNED = (
     "events_map_functions",         # DuckDB NaN >= 50 is TRUE
     "ann_pq_adc_topk",              # NaN component kills quantization cast
     "events_hourly_rollup",         # cents idiom with non-finite values
+    # fuzz round 4 (this session): streaming session_window drops
+    # pre-epoch events against the initial watermark (fixed: no
+    # watermark in complete-mode parity), plus the new-op batch pinned
+    # on hostile content from day one
+    "events_streaming_session_parity",  # initial-watermark late filter
+    "events_interval_coverage",     # NULL-ts ordering exclusion
+    "events_linear_attribution",    # NULL-cents purchase sessions
+    "events_k_anonymity",           # NULL user/type QI classes
+    "events_hazard_curve",          # degenerate single-week tenures
+    "embedding_dimension_stats",    # NaN/zero-norm embedding components
+    "events_chi2_independence",     # NULL type/ts contingency cells
+    "events_ewma_hourly",           # NULL-type series (arg_max, not join)
 )
 
 

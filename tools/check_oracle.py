@@ -62,10 +62,27 @@ def pandas_hash(pdf) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    # Accept either a directory path or a bare "sfX" name under
+    # /root/testdata. A bare name that is neither would previously fall
+    # through SILENTLY into the query filter (so "check_oracle.py sf0.1 q"
+    # checked q at the DEFAULT sf0.01) — now it is an error.
+    sf_dir = "/root/testdata/sf0.01"
+    if args:
+        cand = args[0]
+        if os.path.isdir(cand):
+            sf_dir = args.pop(0)
+        elif os.path.isdir(os.path.join("/root/testdata", cand)):
+            sf_dir = os.path.join("/root/testdata", args.pop(0))
+        elif cand.startswith("sf") or os.sep in cand:
+            print(f"ERROR: '{cand}' is not a fixture directory")
+            return 2
     only = set(args)
 
     specs = load_all()
+    unknown = only - set(specs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:

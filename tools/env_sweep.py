@@ -122,7 +122,13 @@ def main() -> int:
         picked = args[1].split(",")
         variants = {k: VARIANTS[k] for k in picked}
         args = args[2:]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    sf_dir = "/root/testdata/sf0.01"
+    if args:
+        if os.path.isdir(args[0]):
+            sf_dir = args.pop(0)
+        elif os.path.isdir(os.path.join("/root/testdata", args[0])):
+            # bare "sf0.1"-style name → resolve under /root/testdata
+            sf_dir = os.path.join("/root/testdata", args.pop(0))
     only = set(args)
 
     specs = load_all()

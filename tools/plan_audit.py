@@ -50,6 +50,7 @@ BNLJ_BY_DESIGN = {
     "corpus_pmi_collocations",  # 1-row (T, B) totals crossJoin for the PMI term
     "events_type_drift_psi",  # 1-row midpoint + 1-row totals crossJoins
     "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
+    "events_chi2_independence",  # 1-row grand-total crossJoin onto cells
 }
 
 
