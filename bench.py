@@ -181,6 +181,8 @@ HEADLINE = (
     "embedding_dimension_stats",
     "events_chi2_independence",
     "events_ewma_hourly",
+    "orders_fullouter_recon",
+    "dedup_minhash_estimate_audit",
 )
 
 

@@ -54,7 +54,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_filtered_topk",
     oracle=f"""
     SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
-           CASE WHEN isfinite(value) THEN value END AS value
+           CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS value
     FROM events
     WHERE event_type = 'click'
       AND ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
@@ -73,7 +73,7 @@ def events_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_point_read",
     oracle="""
     SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
-           CASE WHEN isfinite(value) THEN value END AS value, props
+           CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS value, props
     FROM events
     WHERE user_id = 8 AND event_id = 0
     """,
@@ -162,7 +162,7 @@ def events_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       count(*) AS n_events,
-      round(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+      round(CAST(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
       epoch_ms(min(ts)) AS first_ts_ms,
       epoch_ms(max(ts)) AS last_ts_ms,
       count(DISTINCT event_type) AS n_types

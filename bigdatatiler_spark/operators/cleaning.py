@@ -281,9 +281,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
-      WHERE isfinite(value)
+      WHERE (isfinite(value) AND abs(value) < 1e16)
     ),
     r AS (
       SELECT event_type, cents,

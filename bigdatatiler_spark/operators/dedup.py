@@ -156,13 +156,11 @@ def minhash_bands_sql() -> str:
     )"""
 
 
-def minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) from a (doc_id, sh) shingle frame.
-
-    Shared candidate-generation kernel for dedup_minhash_lsh and the
-    connected-components clustering. The per-shingle md5s are computed
-    once into arrays, then every signature is a cheap substring-min over
-    those arrays — no repeated hashing across the K signatures."""
+def minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15) signature frame from a (doc_id, sh) shingle
+    frame — the per-shingle md5s are computed once into arrays, then
+    every signature is a cheap substring-min over those arrays (no
+    repeated hashing across the K signatures)."""
     hash_cols = [
         F.transform(
             "sh",
@@ -180,7 +178,15 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
         ).alias(f"s{k}")
         for k, g, j in _sig_indices()
     ]
-    sigs = hashed.select("doc_id", *sig_cols)
+    return hashed.select("doc_id", *sig_cols)
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) from a (doc_id, sh) shingle frame.
+
+    Shared candidate-generation kernel for dedup_minhash_lsh and the
+    connected-components clustering."""
+    sigs = minhash_sigs(sh)
     band_structs = F.array(
         *[
             F.struct(
@@ -676,7 +682,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy (corpus/2^bits per bucket in expectation), not
     corpus²; recall recovers via multi-probe or a second hash table, the
     same band trick as MinHash."""
-    from .similarity import lsh_bucket
+    from .similarity import lsh_bucket, nz_base
 
     e = table(spark, sf_dir, "embeddings")
 
@@ -688,14 +694,17 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # both sides of the self-join read this frame — persist so the 8
-    # hyperplane projections per vector run once
-    # zero-norm vectors excluded: cosine undefined (similarity.nz_base)
-    bucketed = e.select(
+    # hyperplane projections per vector run once. The universe is the
+    # SHARED nz_base (zero-norm, non-finite, huge-component vectors
+    # excluded) — an inline copy of the filter here silently drifted
+    # from the oracle's _EMB_NZ when fuzz round 4 added the
+    # huge-component bound (948 vs 233 rows on hostile content).
+    bucketed = nz_base(e).select(
         "vec_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        "nrm",
         lsh_bucket(F.col("embedding")).alias("bucket"),
-    ).where(~F.isnan("nrm") & (F.col("nrm") > 0)).persist()
+    ).persist()
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
@@ -1008,4 +1017,109 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             int_ratio(inter, F.least("n1", "n2"), 6, "containment_e6"),
         )
+    )
+
+
+# --- MinHash estimator-quality audit ----------------------------------------
+# The estimate-vs-truth pattern (cf. sketch_kmv_join_estimate) applied
+# to MinHash: for every LSH candidate pair, the SIGNATURE-estimated
+# Jaccard (matching components / K, permille) next to the EXACT shingle
+# Jaccard (permille) and the absolute error — the calibration readout
+# that tells an operator whether K=16 signatures are enough for the
+# corpus before trusting the banding recall at 100 TB. All integers;
+# candidates come from the same band equi-join as the dedup itself, so
+# the audit costs one extra signature join, never all-pairs.
+
+
+def _minhash_audit_oracle() -> str:
+    k = MINHASH_GROUPS * MINHASH_SLICES
+    match_sum = " + ".join(
+        f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_id_1,
+      c.doc_id_2,
+      CAST((({match_sum}) * 1000) // {k} AS BIGINT) AS est_permille,
+      CAST((len(list_intersect(p.sh, q.sh)) * 1000)
+           // len(list_distinct(list_concat(p.sh, q.sh))) AS BIGINT)
+        AS exact_permille,
+      CAST(abs((({match_sum}) * 1000) // {k}
+               - (len(list_intersect(p.sh, q.sh)) * 1000)
+                 // len(list_distinct(list_concat(p.sh, q.sh)))) AS BIGINT)
+        AS err_permille
+    FROM cand c
+    JOIN sigs x ON c.doc_id_1 = x.doc_id
+    JOIN sigs y ON c.doc_id_2 = y.doc_id
+    JOIN shingled p ON c.doc_id_1 = p.doc_id
+    JOIN shingled q ON c.doc_id_2 = q.doc_id
+    """
+
+
+@register("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimated vs exact Jaccard per LSH candidate pair (see
+    block comment). Plan: the shingle/signature frames are persisted and
+    feed the band self-join plus two equi-joins back — the same staged
+    shape as dedup_minhash_lsh with one extra broadcast-sized join."""
+    k = MINHASH_GROUPS * MINHASH_SLICES
+    sh = _shingled(spark, sf_dir).persist()
+    sigs = minhash_sigs(sh).persist()
+    bands = minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"s{i}").alias(f"x{i}") for i in range(k)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"s{i}").alias(f"y{i}") for i in range(k)],
+    )
+    p = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    q = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    joined = (
+        cand.join(x, "doc_id_1").join(y, "doc_id_2").join(p, "doc_id_1").join(
+            q, "doc_id_2"
+        )
+    )
+    matches = None
+    for i in range(k):
+        term = (F.col(f"x{i}") == F.col(f"y{i}")).cast("long")
+        matches = term if matches is None else matches + term
+    est = F.floor(matches * 1000 / F.lit(k)).cast("bigint")
+    exact = int_ratio(
+        F.size(F.array_intersect("sh1", "sh2")),
+        F.size(F.array_union("sh1", "sh2")),
+        3,
+        "exact_permille",
+    )
+    return joined.select(
+        "doc_id_1",
+        "doc_id_2",
+        est.alias("est_permille"),
+        exact,
+    ).withColumn(
+        "err_permille",
+        F.abs(F.col("est_permille") - F.col("exact_permille")).cast("bigint"),
     )

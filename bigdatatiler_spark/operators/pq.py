@@ -138,7 +138,7 @@ def _oracle() -> str:
     ).format(off="cb.sub * 16")
     return f"""
     WITH quant AS (
-      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)))
+      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, 64)]) < 1e12)
     ),
     ranked AS (
       SELECT vec_id, q,
@@ -222,8 +222,17 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _comp_sum = F.aggregate(
         "embedding", F.lit(0.0), lambda a, v: a + v.cast("double")
     )
-    base = e.select("vec_id", "embedding", _comp_sum.alias("_cs")).where(
-        ~F.isnan("_cs") & (F.abs("_cs") != float("inf"))
+    # fuzz round 4: a finite huge component (1e30) still overflows the
+    # floor(x·1024) BIGINT quantization — bound max |component| too
+    _max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    base = e.select(
+        "vec_id", "embedding", _comp_sum.alias("_cs"), _max_abs.alias("_ma")
+    ).where(
+        ~F.isnan("_cs")
+        & (F.abs("_cs") != float("inf"))
+        & (F.col("_ma") < F.lit(1e12))
     ).select("vec_id", "embedding")
     codes = encode_pq(base)
     cb = _codebook_row(base)

@@ -226,7 +226,7 @@ def diverging_buckets(a: DataFrame, b: DataFrame) -> list[int]:
       count(*) AS n_rows,
       CAST(sum(('0x' || substr(md5(
         concat_ws('|', event_id, user_id, event_type,
-                  CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT),
+                  CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT),
                   epoch_ms(ts))
       ), 1, 8))::UBIGINT) AS BIGINT) AS sig_sum
     FROM events
@@ -448,7 +448,7 @@ def events_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type,
              epoch_ms(date_trunc('hour', ts)) AS h_ms,
-             CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+             CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),

@@ -537,9 +537,9 @@ HIST_BIN_CENTS = 5000  #: 50-currency-unit equi-width bins
     "events_value_histogram",
     oracle=f"""
     SELECT event_type,
-           CAST(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // {HIST_BIN_CENTS} AS BIGINT) AS bin,
-           CAST(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
+           CAST(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // {HIST_BIN_CENTS} AS BIGINT) * {HIST_BIN_CENTS} AS bin_lo_cents,
            count(*) AS n
     FROM events
@@ -838,4 +838,84 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy(cls.alias("abc_class")).agg(
         F.count("*").alias("n_customers"),
         F.sum("rev").cast("long").alias("revenue_cents"),
+    )
+
+
+# --- FULL OUTER reconciliation ----------------------------------------------
+# The one join type the surface didn't yet exercise first-class: two
+# overlapping feeds of the same business object (here: the orders stream
+# and a simulated billing extract — deterministic subsets of the orders
+# table with injected penny mismatches) reconciled with a FULL OUTER
+# JOIN, every key classified matched / amount_mismatch / orders_only /
+# billing_only with exact-cents deltas. This is the ops query every
+# dual-write or migration runs nightly; at scale it is one key-equi
+# full-outer shuffle join, linear in both feeds.
+
+
+@register(
+    "orders_fullouter_recon",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS ca
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS cb
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    recon AS (
+      SELECT
+        CASE WHEN ca IS NULL THEN 'billing_only'
+             WHEN cb IS NULL THEN 'orders_only'
+             WHEN ca = cb THEN 'matched'
+             ELSE 'amount_mismatch' END AS recon_status,
+        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+        abs(coalesce(ca, 0) - coalesce(cb, 0)) AS delta
+      FROM a FULL OUTER JOIN b USING (o_orderkey)
+    )
+    SELECT recon_status,
+           count(*) AS n_keys,
+           CAST(sum(ca) AS BIGINT) AS cents_orders,
+           CAST(sum(cb) AS BIGINT) AS cents_billing,
+           CAST(sum(delta) AS BIGINT) AS abs_delta_cents
+    FROM recon GROUP BY recon_status
+    """,
+)
+def orders_fullouter_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN reconciliation of two order feeds (see block
+    comment). The feeds are deterministic subsets (keys ≡ 0 mod 2 vs mod
+    3) with a penny injected on keys ≡ 0 mod 7, so all four recon
+    classes are populated at every SF."""
+    o = table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    a = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("ca")
+    )
+    b = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)
+        ).alias("cb"),
+    )
+    recon = a.join(b, "o_orderkey", "full").select(
+        F.when(F.col("ca").isNull(), "billing_only")
+        .when(F.col("cb").isNull(), "orders_only")
+        .when(F.col("ca") == F.col("cb"), "matched")
+        .otherwise("amount_mismatch")
+        .alias("recon_status"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.abs(F.coalesce("ca", F.lit(0)) - F.coalesce("cb", F.lit(0))).alias(
+            "delta"
+        ),
+    )
+    return recon.groupBy("recon_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("ca").cast("bigint").alias("cents_orders"),
+        F.sum("cb").cast("bigint").alias("cents_billing"),
+        F.sum("delta").cast("bigint").alias("abs_delta_cents"),
     )

@@ -213,7 +213,7 @@ def part_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       count(*) AS n_events,
       map(['type', 'bucket'],
-          [event_type, CASE WHEN isfinite(value) AND value >= 50
+          [event_type, CASE WHEN (isfinite(value) AND abs(value) < 1e16) AND value >= 50
                   THEN 'high' ELSE 'low' END]
          )['bucket'][1] AS value_bucket
     FROM events

@@ -81,21 +81,33 @@ def _self_norm(alias: str) -> str:
 #: NaN guard: DuckDB orders NaN GREATER than everything (NaN > 0 is
 #: TRUE) while Spark comparisons on NaN are false — isfinite() makes the
 #: two universes identical when a corpus carries NaN embeddings.
+#: Fuzz round 4 added the HUGE-COMPONENT class: a finite 1e30 component
+#: passes every norm/finiteness probe but overflows the floor(x·1e6)
+#: BIGINT quantization the trainers use (DuckDB hard-errors, Spark
+#: wraps). The universe therefore also requires every |component| <
+#: 1e12 — max-abs < 1e12 ALONE excludes NaN/±Inf too (both engines rank
+#: NaN greatest), but the explicit norm probes stay for clarity.
 _EMB_NZ = (
     "(SELECT * FROM embeddings WHERE isfinite(list_reduce("
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
     " for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce("
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
-    " for i in generate_series(1, 64)], (x, y) -> x + y) > 0)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y) > 0"
+    " AND list_max([abs(CAST(embedding[i] AS DOUBLE))"
+    " for i in generate_series(1, 64)]) < 1e12)"
 )
 
 
 def nz_base(e: "DataFrame") -> "DataFrame":
-    """(vec_id, embedding, nrm) frame with zero-norm vectors excluded —
-    the canonical input of every cosine-scoring ANN query (see _EMB_NZ)."""
+    """(vec_id, embedding, nrm) frame with zero-norm, non-finite and
+    huge-component vectors excluded — the canonical input of every
+    cosine-scoring ANN query (see _EMB_NZ)."""
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
     return (
         e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .where(~F.isnan("nrm") & (F.col("nrm") > 0))
+        .where(~F.isnan("nrm") & (F.col("nrm") > 0) & (max_abs < F.lit(1e12)))
     )
 
 
@@ -1049,7 +1061,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fin AS (
       SELECT dim, CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS xe6
-      FROM el WHERE isfinite(xf)
+      FROM el WHERE isfinite(xf) AND abs(xf) < 1e12
     ),
     agg AS (
       SELECT dim, count(*) AS n,
@@ -1086,8 +1098,12 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "xf")
     )
     x = F.col("xf").cast("double")
+    # abs < 1e12 keeps the e6-grid square-sum inside DECIMAL(38,0); a
+    # finite 1e30 component would overflow even the BIGINT floor (fuzz 4)
     fin = emb.where(
-        ~F.isnan(x) & ~x.isin(float("inf"), float("-inf"))
+        ~F.isnan(x)
+        & ~x.isin(float("inf"), float("-inf"))
+        & (F.abs(x) < F.lit(1e12))
     ).select(
         F.col("dim").cast("bigint").alias("dim"),
         F.floor(x * F.lit(1_000_000.0)).cast("bigint").alias("xe6"),

@@ -216,11 +216,14 @@ def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, h.hour_ms, h.n,
-           round(CAST(h.n * st.k - st.s AS DOUBLE)
-                 / sqrt(CAST(st.k * st.ss - st.s * st.s AS DOUBLE)), 4) AS zscore,
-           CAST(abs(CAST(h.n * st.k - st.s AS DOUBLE)
+           CASE WHEN st.k * st.ss - st.s * st.s > 0
+                THEN round(CAST(h.n * st.k - st.s AS DOUBLE)
+                     / sqrt(CAST(st.k * st.ss - st.s * st.s AS DOUBLE)), 4)
+           END AS zscore,
+           CASE WHEN st.k * st.ss - st.s * st.s > 0
+                 AND abs(CAST(h.n * st.k - st.s AS DOUBLE)
                     / sqrt(CAST(st.k * st.ss - st.s * st.s AS DOUBLE))) > 3
-                AS INT) AS is_anomaly
+                THEN 1 ELSE 0 END AS is_anomaly
     FROM hourly h JOIN stats st USING (event_type)
     """,
 )
@@ -253,8 +256,11 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("ss"),
     )
     num = (F.col("n") * F.col("k") - F.col("s")).cast("double")
-    rad = (F.col("k") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-    z = num / F.sqrt(rad)
+    radi = F.col("k") * F.col("ss") - F.col("s") * F.col("s")
+    # zero-variance type (all hourly counts equal — hostile fuzz 4's
+    # single-bucket '' type): z undefined → NULL, never anomalous; an
+    # unguarded division errors under ANSI (Spark 4's default)
+    z = F.when(radi > 0, num / F.sqrt(radi.cast("double")))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .select(
@@ -262,7 +268,10 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_ms",
             "n",
             F.round(z, 4).alias("zscore"),
-            (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+            F.when((radi > 0) & (F.abs(z) > 3), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
         )
     )
 

@@ -38,7 +38,7 @@ from pyspark.sql.types import LongType
 from ..registry import register
 from ..tables import table
 
-_CENTS = "CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS = "CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
 @pandas_udf(LongType())
@@ -78,7 +78,7 @@ def _iqm_cents(cents: pd.Series) -> int:
              ) AS rk,
              count(*) OVER (PARTITION BY event_type) AS n
       FROM events
-      WHERE isfinite(value)
+      WHERE (isfinite(value) AND abs(value) < 1e16)
     ),
     banded AS (
       SELECT event_type, n, cents,
@@ -149,7 +149,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH c AS (
       SELECT event_id, event_type, {_CENTS} AS cents FROM events
-      WHERE event_type IS NOT NULL AND isfinite(value)
+      WHERE event_type IS NOT NULL AND (isfinite(value) AND abs(value) < 1e16)
     ),
     stats AS (
       SELECT event_type,

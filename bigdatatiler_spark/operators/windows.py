@@ -177,7 +177,7 @@ from ..streaming.ingest import session_windows, tumbling_counts  # noqa: E402
       epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
       event_type,
       count(*) AS n_events,
-      round(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      round(CAST(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -455,7 +455,9 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_gapfill",
     oracle="""
     WITH bounds AS (
-      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             least(max(date_trunc('hour', ts)),
+                   min(date_trunc('hour', ts)) + INTERVAL '9999 hours') AS hi
       FROM events
     ),
     spine AS (
@@ -488,9 +490,19 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = (
         ev.select(hour_ms)
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        # spine cap (10k buckets): one corrupt far-future timestamp must
+        # not explode the spine into millions of rows (fuzz round 4 —
+        # year-9999 event made this a 70M-row generate_series); the
+        # oracle mirrors with least(hi, lo + INTERVAL '9999 hours')
         .select(
             F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+                F.sequence(
+                    F.col("lo"),
+                    F.least(
+                        F.col("hi"), F.col("lo") + F.lit(9999 * 3_600_000)
+                    ),
+                    F.lit(3_600_000),
+                )
             ).alias("bucket_ms")
         )
     )
@@ -508,7 +520,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gapfill_locf",
     oracle="""
     WITH bounds AS (
-      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             least(max(date_trunc('hour', ts)),
+                   min(date_trunc('hour', ts)) + INTERVAL '9999 hours') AS hi
       FROM events
     ),
     spine AS (
@@ -516,7 +530,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1
     ),
     joined AS (
@@ -549,9 +563,19 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = (
         ev.select(hour_ms)
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        # spine cap (10k buckets): one corrupt far-future timestamp must
+        # not explode the spine into millions of rows (fuzz round 4 —
+        # year-9999 event made this a 70M-row generate_series); the
+        # oracle mirrors with least(hi, lo + INTERVAL '9999 hours')
         .select(
             F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+                F.sequence(
+                    F.col("lo"),
+                    F.least(
+                        F.col("hi"), F.col("lo") + F.lit(9999 * 3_600_000)
+                    ),
+                    F.lit(3_600_000),
+                )
             ).alias("bucket_ms")
         )
     )
@@ -580,7 +604,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
              ) AS next_type
       FROM events
     ),
@@ -642,10 +666,10 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id,
-             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              epoch_ms(ts) AS t_ms,
              lead(epoch_ms(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
              ) AS next_ms
       FROM events
     )
@@ -707,18 +731,18 @@ PATH_LEN = 5  #: leading events kept per session path
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),
     paths AS (
       SELECT user_id, sess_id,
              array_to_string(
-               (list(coalesce(event_type, '') ORDER BY epoch_ns(ts), event_id))[1:{PATH_LEN}],
+               (list(coalesce(event_type, '') ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id))[1:{PATH_LEN}],
                '>') AS path
       FROM numbered GROUP BY 1, 2
     )
@@ -786,7 +810,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk AS (
       SELECT f.cw, (epoch_ms(date_trunc('week', e.ts)) - epoch_ms(f.cw))
                // 604800000 AS week_offset,
-             sum(CAST(CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+             sum(CAST(TRY_CAST(CASE WHEN (isfinite(e.value) AND abs(e.value) < 1e16) THEN e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events e JOIN f USING (user_id)
       GROUP BY 1, 2
     )
@@ -933,7 +957,7 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_trailing,
-           CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
              AS BIGINT) AS trailing_cents
     FROM events
     WINDOW w AS (
@@ -977,7 +1001,7 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type,
              epoch_ms(date_trunc('hour', ts)) AS h_ms,
-             sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+             sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2
     ),
     forecast AS (
@@ -1043,7 +1067,7 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
       (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
       count(*) AS n_events,
-      CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+      CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
         AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2
@@ -1079,9 +1103,9 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
-      WHERE isfinite(value)
+      WHERE (isfinite(value) AND abs(value) < 1e16)
     ),
     r1 AS (
       SELECT event_type, cents,
@@ -1642,22 +1666,22 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),
     sess AS (
       SELECT user_id, sess_id,
-             (list(event_type ORDER BY epoch_ns(ts), event_id))[1]
+             (list(event_type ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id))[1]
                AS first_touch,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
                            ELSE 0 END) AS BIGINT) AS purchase_cents,
@@ -1818,17 +1842,17 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CAST(CAST(CASE WHEN isfinite(value) THEN value END
+             CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END
                        AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WHERE user_id IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),

@@ -158,9 +158,16 @@ def zorder_key(col_a: str, col_b: str, bits: int = ZORDER_BITS):
 
 def _scale_expr(col: str, lo: str, hi: str, bits: int) -> str:
     """(col-lo) rescaled onto [0, 2^bits-1] by integer division — order-
-    preserving, engine-exact."""
+    preserving, engine-exact. Runs in DECIMAL(38,0): with extreme key
+    ranges (fuzz round 4: user_id = -2^62) both (col-lo) and the ·top
+    product overflow BIGINT — Spark would wrap silently, DuckDB errors.
+    The numerator is non-negative (col ≥ lo), so the truncating `div`
+    matches the oracle's HUGEINT `//` exactly."""
     top = (1 << bits) - 1
-    return f"(({col} - {lo}) * {top}) div greatest({hi} - {lo}, 1)"
+    return (
+        f"CAST(((CAST({col} AS DECIMAL(38,0)) - {lo}) * {top})"
+        f" div greatest(CAST({hi} AS DECIMAL(38,0)) - {lo}, 1) AS BIGINT)"
+    )
 
 
 def write_zordered(
@@ -223,9 +230,12 @@ def _zorder_oracle() -> str:
       FROM raw
     ),
     dims AS (
+      -- HUGEINT: extreme ids (fuzz 4: -2^62) overflow the BIGINT product
       SELECT event_id,
-             ((u - u_lo) * {top}) // greatest(u_hi - u_lo, 1) AS u8,
-             ((hr - h_lo) * {top}) // greatest(h_hi - h_lo, 1) AS t8
+             CAST(((CAST(u AS HUGEINT) - u_lo) * {top})
+                  // greatest(CAST(u_hi AS HUGEINT) - u_lo, 1) AS BIGINT) AS u8,
+             CAST(((CAST(hr AS HUGEINT) - h_lo) * {top})
+                  // greatest(CAST(h_hi AS HUGEINT) - h_lo, 1) AS BIGINT) AS t8
       FROM bounds
     )
     SELECT event_id, u8, t8,

@@ -256,7 +256,7 @@ def _register_queries() -> None:
           epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
           event_type,
           count(*) AS n_events,
-          CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+          CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
             AS value_cents
         FROM events
         GROUP BY 1, 2

@@ -55,12 +55,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    # same non-finite-value canonicalization as tables.table
+    # same unusable-metric canonicalization as tables.table (non-finite
+    # OR |value| ≥ 1e16 — the DECIMAL(18,2) representability rule)
     return src.withColumn(
         "value",
         F.when(
             ~F.isnan("value")
-            & ~F.col("value").isin(float("inf"), float("-inf")),
+            & ~F.col("value").isin(float("inf"), float("-inf"))
+            & (F.abs(F.col("value")) < F.lit(1e16)),
             F.col("value"),
         ),
     )
@@ -72,7 +74,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
            count(*) AS n_events,
-           CAST(sum(CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2

@@ -156,19 +156,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ→LTZ under the UTC session tz is value-preserving, and
             # Catalyst unwraps the cast inside comparisons so range filters
             # on ts still reach the parquet scan (tests/test_plans.py).
+            # ts_ns SATURATES at 9e15 µs (year ~2255 — just under the
+            # int64-nanos ceiling, leaving days of headroom for window
+            # arithmetic like ts_ns + burst): a garbage far-future
+            # timestamp (year 9999 — fuzz round 4) would otherwise WRAP
+            # in Spark's non-ANSI multiply while DuckDB's epoch_ns()
+            # hard-errors. Saturation is monotone, so (ts_ns, event_id)
+            # stays a usable total order; oracles mirror with
+            # least(epoch_us(ts), 9000000000000000) * 1000.
             df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+                "ts_ns",
+                F.least(
+                    F.unix_micros(F.col("ts")), F.lit(9000000000000000)
+                )
+                * F.lit(1000),
             )
-        # Canonicalize non-finite metrics to NULL at load: NaN/Inf occur in
+        # Canonicalize unusable metrics to NULL at load: NaN/Inf occur in
         # real feeds, Spark's NaN→DECIMAL cast throws under ANSI mode, and
         # DuckDB cannot cast NaN to DECIMAL at all (hostile-fixture fuzz
-        # round 3) — every oracle mirrors this with an isfinite() guard.
+        # round 3). Fuzz round 4 added the HUGE-FINITE class: |value| ≥
+        # 1e16 overflows the DECIMAL(18,2) cents grid — Spark's non-ANSI
+        # cast yields NULL while DuckDB's CAST is a hard error, and ANSI
+        # Spark throws. One loader rule covers all of it; every oracle
+        # mirrors with `isfinite(value) AND abs(value) < 1e16`.
         df = df.withColumn(
             "value",
             F.when(
-                ~F.isnan("value") & ~F.col("value").isin(
-                    float("inf"), float("-inf")
-                ),
+                ~F.isnan("value")
+                & ~F.col("value").isin(float("inf"), float("-inf"))
+                & (F.abs(F.col("value")) < F.lit(1e16)),
                 F.col("value"),
             ),
         )

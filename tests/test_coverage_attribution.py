@@ -208,3 +208,43 @@ def test_ewma_halving_fold(spark, tmp_path, specs):
     r = out[0]
     assert r["n_buckets"] == 3 and r["last_count"] == 9
     assert r["ewma_half"] == 6
+
+
+def test_fullouter_recon_classes(spark, specs):
+    """On the sf0.001 fixture all four recon classes appear, matched keys
+    are ≡ 0 mod 6 (and not mod 7), and the mismatch delta is the
+    injected penny per key."""
+    out = {
+        r["recon_status"]: r.asDict()
+        for r in specs["orders_fullouter_recon"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(out) == {
+        "matched",
+        "amount_mismatch",
+        "orders_only",
+        "billing_only",
+    }
+    assert out["matched"]["abs_delta_cents"] == 0
+    assert out["amount_mismatch"]["abs_delta_cents"] == out[
+        "amount_mismatch"
+    ]["n_keys"]  # exactly one injected penny per mismatched key
+    assert out["orders_only"]["cents_billing"] == 0
+    assert out["billing_only"]["cents_orders"] == 0
+
+
+def test_minhash_estimate_bounded_error(spark, specs):
+    """Estimate and truth are both permille in [0, 1000]; the estimate
+    quantizes to multiples of 1000/16 = 62.5 floored."""
+    rows = (
+        specs["dedup_minhash_estimate_audit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows, "band join produced no candidate pairs at sf0.001"
+    for r in rows:
+        assert 0 <= r["est_permille"] <= 1000
+        assert 0 <= r["exact_permille"] <= 1000
+        assert r["err_permille"] == abs(r["est_permille"] - r["exact_permille"])
+        assert r["est_permille"] in {i * 1000 // 16 for i in range(17)}

@@ -73,6 +73,19 @@ HOSTILE_PINNED = (
     "embedding_dimension_stats",    # NaN/zero-norm embedding components
     "events_chi2_independence",     # NULL type/ts contingency cells
     "events_ewma_hourly",           # NULL-type series (arg_max, not join)
+    # fuzz round 4: huge-finite metrics (1e20), year-9999 timestamps,
+    # extreme negative keys (-2^62), huge embedding components (1e30),
+    # full-row duplicates, empty-string types
+    "events_cohort_ltv",            # 1e20 cents → TRY_CAST/loader clamp
+    "events_first_touch_attribution",  # year-9999 → saturated ts_ns
+    "events_hourly_gapfill",        # year-9999 → capped spine
+    "events_gapfill_locf",          # year-9999 → capped spine (LOCF)
+    "events_zorder_key",            # -2^62 key → DECIMAL(38,0) scaling
+    "events_hourly_anomaly",        # zero-variance type → guarded z
+    "ann_ivf_topk",                 # 1e30 component → nz_base max-abs
+    "dedup_embedding_lsh_blocked",  # shared nz_base (inline filter drift)
+    "orders_fullouter_recon",       # negative-price feed rows
+    "dedup_minhash_estimate_audit", # unicode/empty/dup document content
 )
 
 

@@ -63,6 +63,11 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["lang"][i] = ""  # empty string is NOT NULL (distinct group)
         elif k == 9:
             d["text"][i] = "   "  # whitespace-only document
+        # fuzz round 4 classes
+        elif k == 10:
+            d["text"][i] = "line1\nline2\ttabbed\rcarriage"  # control ws
+        elif k == 11:
+            d["text"][i] = "!!! ??? ... ;;; ---"  # punctuation-only
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i])
     return pa.table(d, schema=tbl.schema)
@@ -103,6 +108,18 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["value"][i] = float("nan")  # non-finite metric
         elif k == 12:
             d["value"][i] = float("inf")
+        # fuzz round 4 classes
+        elif k == 13:
+            d["value"][i] = 1.0e20  # finite but overflows DECIMAL(18,2)
+        elif k == 14 and i > 0:
+            for col in d:  # full-row duplicate (at-least-once delivery)
+                d[col][i] = d[col][i - 1]
+        elif k == 15:
+            d["ts"][i] = dt.datetime(9999, 12, 30, 12, 0, 0)
+        elif k == 16:
+            d["user_id"][i] = -(2**62)  # extreme negative key
+        elif k == 17:
+            d["event_type"][i] = ""  # empty string ≠ NULL group
     return pa.table(d, schema=tbl.schema)
 
 
@@ -121,6 +138,13 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
             v = list(d["embedding"][i])
             v[0] = float("nan")  # NaN component (failed encoder row)
             d["embedding"][i] = v
+        # fuzz round 4 classes
+        elif k == 4:
+            d["embedding"][i] = [float("nan")] * len(d["embedding"][i])
+        elif k == 5:
+            v = list(d["embedding"][i])
+            v[0] = 1.0e30  # huge finite component (scale-overflow probe)
+            d["embedding"][i] = v
     return pa.table(d, schema=tbl.schema)
 
 
@@ -135,6 +159,9 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_totalprice"][i] = 0.0
         elif k == 2 and i > 0:
             d["o_totalprice"][i] = d["o_totalprice"][i - 1]  # exact tie
+        # fuzz round 4 classes
+        elif k == 3:
+            d["o_totalprice"][i] = -123.45  # refund / chargeback row
     return pa.table(d, schema=tbl.schema)
 
 
