@@ -183,6 +183,8 @@ HEADLINE = (
     "events_ewma_hourly",
     "orders_fullouter_recon",
     "dedup_minhash_estimate_audit",
+    "events_streaming_join_parity",
+    "events_hourly_acf",
 )
 
 

@@ -913,3 +913,91 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_count",
         folded.cast("bigint").alias("ewma_half"),
     )
+
+
+# --- lag-1 autocorrelation (ACF) ---------------------------------------------
+# Time-series diagnostic beside CUSUM/PSI/z-score: per event type, the
+# Pearson correlation between the hourly-count series and itself shifted
+# one hour — the burstiness/persistence readout a forecaster checks
+# first. Exact-integer discipline (the lineitem_price_quantity_corr /
+# hourly-anomaly precedent): with pairs (x, y) = (n_t, n_{t+1}),
+# r = (kΣxy − ΣxΣy) / sqrt((kΣx² − (Σx)²)(kΣy² − (Σy)²)) — every
+# aggregate is an exact integer in DECIMAL(38,0)/HUGEINT, the only
+# float ops are two correctly-rounded steps (sqrt, divide). Degenerate
+# series (either side constant — fuzz class 14) → NULL, guarded on
+# both engines from day one.
+
+
+@register(
+    "events_hourly_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT event_type, n AS x,
+             lead(n) OVER (PARTITION BY event_type ORDER BY h) AS y
+      FROM hourly
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS k,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs WHERE y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_pairs,
+           CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+                THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                            * CAST(k * syy - sy * sy AS DOUBLE)), 4)
+           END AS acf1
+    FROM s
+    """,
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly volumes per event type (see block
+    comment). Plan: one (type, hour) aggregate, a type-keyed lead()
+    window on the hours-sized frame, then a |types|-row moment
+    aggregate — the corpus is touched once."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = hourly.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lead("n").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    dec = "decimal(38,0)"
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    acf = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+            4,
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_pairs"),
+        acf.alias("acf1"),
+    )

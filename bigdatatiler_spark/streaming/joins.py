@@ -54,7 +54,13 @@ def purchase_attribution_join(
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("c_ts"),
     )
-    if purchases.isStreaming:
+    # watermark=None skips watermarking (legal for INNER stream-stream
+    # joins — matches emit eagerly; state is simply never evicted). The
+    # bounded-fixture parity query uses this: the watermark initializes
+    # to epoch 0, so any pre-1970 event would be dropped as late on
+    # first sight (the streaming-session-parity class). Production
+    # deployments pass real watermarks for state cleanup.
+    if purchases.isStreaming and purchase_watermark is not None:
         p = p.withWatermark("p_ts", purchase_watermark)
         c = c.withWatermark("c_ts", click_watermark)
     return p.join(

@@ -249,3 +249,62 @@ def events_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFra
     q.awaitTermination()
     q.stop()
     return spark.table(_SINK3)
+
+
+_SINK4 = "streaming_parity_join"
+
+
+@register(
+    "events_streaming_join_parity",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id,
+           c.event_id AS click_event_id,
+           p.user_id,
+           epoch_ms(p.ts) AS p_ms,
+           epoch_ms(c.ts) AS c_ms
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL '1 hour'
+    """,
+)
+def events_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed by the micro-batch engine —
+    the fourth streaming shape (after tumbling/sliding/session
+    aggregation): purchases attributed to same-user clicks within a
+    1-hour window, both sides read as streams, matches emitted in APPEND
+    mode (inner interval joins emit eagerly on match, so the bounded
+    AvailableNow run produces the complete result without waiting on
+    watermark progression). A hash match against the plain batch SQL
+    join certifies the streaming state-buffer path end-to-end. No
+    watermark on the fixture (see purchase_attribution_join); production
+    adds both watermarks so join state evicts.
+
+    Scale: state is bounded by the attribution window per side (with
+    watermarks) — the streaming analog of operators/asof.py's range
+    join, sharing its join-condition shape."""
+    from .joins import purchase_attribution_join
+
+    events = stream_events(spark, sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase")
+    clicks = events.where(F.col("event_type") == "click")
+    joined = purchase_attribution_join(
+        purchases, clicks, attribution_window="1 hour", purchase_watermark=None
+    ).select(
+        "purchase_event_id",
+        "click_event_id",
+        "user_id",
+        F.unix_millis(F.col("p_ts")).alias("p_ms"),
+        F.unix_millis(F.col("c_ts")).alias("c_ms"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_SINK4)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(_SINK4)

@@ -248,3 +248,26 @@ def test_minhash_estimate_bounded_error(spark, specs):
         assert 0 <= r["exact_permille"] <= 1000
         assert r["err_permille"] == abs(r["est_permille"] - r["exact_permille"])
         assert r["est_permille"] in {i * 1000 // 16 for i in range(17)}
+
+
+def test_acf_alternating_series(spark, tmp_path, specs):
+    """A strictly alternating hourly series (2,6,2,6,...) has lag-1
+    autocorrelation -1; a constant series yields NULL (guarded)."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for hour in range(6):
+        for _ in range(2 if hour % 2 == 0 else 6):
+            eid += 1
+            rows.append((eid, _ts(hour * 60), 1, "alt", 1.0))
+    for hour in range(4):  # constant series → zero variance → NULL
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, _ts(hour * 60), 2, "flat", 1.0))
+    _write_events(spark, d, rows)
+    out = {
+        r["event_type"]: r.asDict()
+        for r in specs["events_hourly_acf"].fn(spark, d).collect()
+    }
+    assert out["alt"]["n_pairs"] == 5
+    assert out["alt"]["acf1"] == -1.0
+    assert out["flat"]["acf1"] is None

@@ -86,6 +86,8 @@ HOSTILE_PINNED = (
     "dedup_embedding_lsh_blocked",  # shared nz_base (inline filter drift)
     "orders_fullouter_recon",       # negative-price feed rows
     "dedup_minhash_estimate_audit", # unicode/empty/dup document content
+    "events_streaming_join_parity", # watermark-free inner interval join
+    "events_hourly_acf",            # zero-variance series → NULL acf
 )
 
 
