@@ -185,6 +185,7 @@ HEADLINE = (
     "dedup_minhash_estimate_audit",
     "events_streaming_join_parity",
     "events_hourly_acf",
+    "graph_degree_assortativity",
 )
 
 

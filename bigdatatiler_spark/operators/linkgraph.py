@@ -221,3 +221,105 @@ def graph_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_band_edges(spark, sf_dir)).select(
         F.col("node").alias("doc_id"), "tri_count"
     )
+
+
+# --- degree assortativity ------------------------------------------------
+# Does the near-dup graph link hubs to hubs (template clusters pile
+# up) or hubs to leaves? Newman's degree assortativity = the Pearson
+# correlation of endpoint degrees over every directed edge (each
+# undirected edge counted in both orientations — the standard
+# symmetrization). Moments run in HUGEINT/DECIMAL(38,0) exact integers
+# (the corr-kernel precedent: hourly ACF, price/quantity corr), the
+# only float ops one sqrt + one divide; a degree-regular graph (zero
+# variance) yields NULL, guarded identically on both engines.
+
+
+def _assortativity_oracle() -> str:
+    return f"""{_edges_sql_prefix()},
+    sym AS (
+      SELECT a AS src, b AS dst FROM cand
+      UNION ALL
+      SELECT b AS src, a AS dst FROM cand
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    pairs AS (
+      SELECT CAST(da.deg AS HUGEINT) AS x, CAST(db.deg AS HUGEINT) AS y
+      FROM sym e
+      JOIN deg da ON da.src = e.src
+      JOIN deg db ON db.src = e.dst
+    ),
+    s AS (
+      SELECT count(*) AS k,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT
+      (SELECT count(*) FROM deg) AS n_nodes,
+      (SELECT count(*) FROM cand) AS n_edges,
+      CAST(k AS BIGINT) AS n_endpoints,
+      CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+           THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                       * CAST(k * syy - sy * sy AS DOUBLE)), 4)
+      END AS assortativity
+    FROM s
+    """
+
+
+@register("graph_degree_assortativity", oracle=_assortativity_oracle())
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup candidate graph (see block
+    comment). Plan: the candidate edge list feeds FIVE branches (two
+    sym orientations, degrees, node/edge counts) — localCheckpoint it
+    once (the pagerank precedent) so the MinHash band self-join runs a
+    single time instead of replaying per branch (cold-plan audit read
+    46 exchanges before the cut, 5 after); degrees broadcast onto both
+    endpoints; the moment aggregate is a single row."""
+    edges = _band_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.selectExpr("a AS src", "b AS dst").unionAll(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dec = "decimal(38,0)"
+    pairs = (
+        sym.join(F.broadcast(deg.withColumnRenamed("src", "_a")), sym.src == F.col("_a"))
+        .withColumnRenamed("deg", "x")
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("src", "_b").withColumnRenamed("deg", "y")
+            ),
+            sym.dst == F.col("_b"),
+        )
+        .select(F.col("x").cast(dec).alias("x"), F.col("y").cast(dec).alias("y"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    n_edges = F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+            4,
+        ),
+    )
+    return (
+        s.crossJoin(n_nodes)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("k").cast("bigint").alias("n_endpoints"),
+            r.alias("assortativity"),
+        )
+    )

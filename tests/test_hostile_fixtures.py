@@ -88,6 +88,7 @@ HOSTILE_PINNED = (
     "dedup_minhash_estimate_audit", # unicode/empty/dup document content
     "events_streaming_join_parity", # watermark-free inner interval join
     "events_hourly_acf",            # zero-variance series → NULL acf
+    "graph_degree_assortativity",   # degenerate/empty candidate graphs
 )
 
 

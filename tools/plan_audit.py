@@ -51,6 +51,7 @@ BNLJ_BY_DESIGN = {
     "events_type_drift_psi",  # 1-row midpoint + 1-row totals crossJoins
     "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
     "events_chi2_independence",  # 1-row grand-total crossJoin onto cells
+    "graph_degree_assortativity",  # two 1-row count crossJoins
 }
 
 
