@@ -186,6 +186,7 @@ HEADLINE = (
     "events_streaming_join_parity",
     "events_hourly_acf",
     "graph_degree_assortativity",
+    "doc_rake_keyphrases",
 )
 
 

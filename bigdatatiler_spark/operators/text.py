@@ -926,3 +926,135 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
     ).limit(PMI_TOPK)
+
+
+# --- RAKE keyphrase extraction -----------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010), the classic
+# unsupervised keyphrase algorithm: candidate phrases are the maximal
+# runs of non-stopword tokens (function words delimit), each word is
+# scored degree/frequency over the document's phrases (degree = summed
+# length of every phrase containing the word, self included), and a
+# phrase scores the sum of its member-word scores. Everything is
+# per-document integer arithmetic: word score = (deg·1000) div freq
+# (non-negative → truncating div == floor in both engines), phrase
+# score an integer sum — no float anywhere. Top-2 phrases per doc with
+# a (score desc, phrase asc, phrase_id asc) total order.
+
+RAKE_TOPK = 2
+
+
+def _rake_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+    WITH toks AS (
+      -- zipped unnests (DuckDB has no WITH ORDINALITY)
+      SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+            FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id, w, pos,
+             sum(CASE WHEN w IN ({stop_list}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS pid,
+             w IN ({stop_list}) AS is_stop
+      FROM toks
+    ),
+    members AS (
+      SELECT doc_id, pid, w, pos FROM marked
+      WHERE NOT is_stop AND w <> ''
+    ),
+    plen AS (
+      SELECT doc_id, pid, count(*) AS plen FROM members GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT m.doc_id, m.w,
+             count(*) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM members m JOIN plen p ON m.doc_id = p.doc_id AND m.pid = p.pid
+      GROUP BY 1, 2
+    ),
+    wscore AS (
+      SELECT doc_id, w, (deg * 1000) // freq AS ws FROM wstat
+    ),
+    pscore AS (
+      SELECT m.doc_id, m.pid,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             CAST(sum(s.ws) AS BIGINT) AS score_permille
+      FROM members m JOIN wscore s ON m.doc_id = s.doc_id AND m.w = s.w
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, phrase, score_permille,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_permille DESC, phrase ASC,
+                                         pid ASC) AS rnk
+      FROM pscore
+    )
+    SELECT doc_id, phrase, score_permille, rnk
+    FROM ranked WHERE rnk <= {RAKE_TOPK}
+    """
+
+
+@register("doc_rake_keyphrases", oracle=_rake_oracle())
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} RAKE keyphrases per document (see block comment).
+
+    Plan: ONE doc-keyed window pass assigns phrase ids (running
+    stopword count), then three doc-keyed aggregates (phrase length,
+    word stats, phrase score) and a doc-keyed top-k window — every
+    shuffle keys on doc_id, the natural high-cardinality key, so the
+    shape is embarrassingly parallel at corpus scale; phrases and
+    scores never leave the document."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.posexplode(F.split(_norm_col(), " ")).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*_EN_STOPWORDS)
+    w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = t.select(
+        "doc_id",
+        "w",
+        "pos",
+        F.sum(is_stop.cast("int")).over(w_run).alias("pid"),
+        is_stop.alias("is_stop"),
+    )
+    members = marked.where(~F.col("is_stop") & (F.col("w") != "")).select(
+        "doc_id", "pid", "w", "pos"
+    )
+    plen = members.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "doc_id", "w", F.expr("(deg * 1000) div freq").alias("ws")
+    )
+    pscore = (
+        members.join(wscore, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.sum("ws").cast("bigint").alias("score_permille"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_permille"), F.asc("phrase"), F.asc("pid")
+    )
+    return (
+        pscore.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= RAKE_TOPK)
+        .select("doc_id", "phrase", "score_permille", "rnk")
+    )

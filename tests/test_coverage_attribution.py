@@ -271,3 +271,21 @@ def test_acf_alternating_series(spark, tmp_path, specs):
     assert out["alt"]["n_pairs"] == 5
     assert out["alt"]["acf1"] == -1.0
     assert out["flat"]["acf1"] is None
+
+
+def test_rake_hand_example(spark, tmp_path, specs):
+    """'the quick brown fox of red dog' → phrases [quick brown fox]
+    (word scores 3000 each → 9000) and [red dog] (2000 each → 4000)."""
+    d = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox of red dog", "en", "t", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = sorted(
+        (r["rnk"], r["phrase"], r["score_permille"])
+        for r in specs["doc_rake_keyphrases"].fn(spark, d).collect()
+    )
+    assert out == [(1, "quick brown fox", 9000), (2, "red dog", 4000)]

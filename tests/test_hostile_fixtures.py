@@ -89,6 +89,7 @@ HOSTILE_PINNED = (
     "events_streaming_join_parity", # watermark-free inner interval join
     "events_hourly_acf",            # zero-variance series → NULL acf
     "graph_degree_assortativity",   # degenerate/empty candidate graphs
+    "doc_rake_keyphrases",          # empty/1-token/unicode/ws-only docs
 )
 
 
