@@ -187,6 +187,7 @@ HEADLINE = (
     "events_hourly_acf",
     "graph_degree_assortativity",
     "doc_rake_keyphrases",
+    "events_jsonl_roundtrip",
 )
 
 

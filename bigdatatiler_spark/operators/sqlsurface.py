@@ -490,3 +490,73 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents + 500).alias("total_cents"),
     )
     return merge_upsert(base, chg, "o_orderkey", ("o_custkey", "status", "total_cents"))
+
+
+# --- JSONL source-format roundtrip -------------------------------------------
+# The text-source leg of the source/sink surface (SURVEY §2.1): the
+# events table is exported as JSON Lines (the interchange format every
+# ingest pipeline meets), read BACK through Spark's JSON source with an
+# explicit schema, and aggregated — a hash match against the oracle's
+# direct parquet aggregation certifies the export+parse loop end-to-end
+# (NULL fields dropped by the writer and re-materialized by the reader,
+# empty-string vs NULL kept distinct, unicode intact). Timestamps ride
+# as epoch-ms integers: Spark's JSON timestamp format is
+# millisecond-truncating, so the integer projection is the
+# precision-safe (and schema-stable) interchange choice.
+
+
+@register(
+    "events_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
+                         THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(sum(epoch_ms(ts) % 1000000) AS BIGINT) AS ts_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → JSONL → read back (explicit schema) → per-type rollup
+    (see block comment). The checksum column proves the timestamp
+    integers survived the text roundtrip bit-exactly.
+
+    Plan: export and re-read are distributed (one JSONL part per input
+    partition, no driver collect); the final aggregate localCheckpoints
+    so the returned frame outlives the temp export, which is removed."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    try:
+        ev.write.mode("overwrite").json(out_dir)
+        back = spark.read.schema(
+            "event_id long, ts_ms long, user_id long,"
+            " event_type string, cents long"
+        ).json(out_dir)
+        agg = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum("cents").cast("bigint").alias("cents"),
+                # % not pmod: DuckDB's % keeps the dividend's sign on
+                # pre-epoch (negative) millis, and so does Spark's %
+                F.sum(F.col("ts_ms") % F.lit(1_000_000))
+                .cast("bigint")
+                .alias("ts_checksum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return agg

@@ -90,6 +90,7 @@ HOSTILE_PINNED = (
     "events_hourly_acf",            # zero-variance series → NULL acf
     "graph_degree_assortativity",   # degenerate/empty candidate graphs
     "doc_rake_keyphrases",          # empty/1-token/unicode/ws-only docs
+    "events_jsonl_roundtrip",       # pre-epoch % sign, unicode via JSONL
 )
 
 
