@@ -188,6 +188,7 @@ HEADLINE = (
     "graph_degree_assortativity",
     "doc_rake_keyphrases",
     "events_jsonl_roundtrip",
+    "events_streaming_dedup_parity",
 )
 
 

@@ -79,8 +79,10 @@ def asof_join(
 )
 def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase matched to the user's most
-    recent click at-or-before it. Ordering on the raw int64 nanos column
-    (total order, no precision loss)."""
+    recent click at-or-before it. Ordering on unsaturated epoch-MICROS
+    (exact for every representable timestamp through year 294k — the
+    nanos column saturates at ~2255, which would merge far-future rows
+    the oracle's raw-timestamp comparison keeps distinct; fuzz 5)."""
     ev = table(spark, sf_dir, "events")
     # NULL-user rows excluded both engines: a window PARTITION BY groups
     # all NULL keys into one pseudo-user (cross-attributing anonymous
@@ -88,12 +90,12 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the intended attribution semantics (hostile-fixture finding).
     purchases = ev.where(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
-    ).select("event_id", "user_id", "ts_ns", "ts")
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     clicks = ev.where(
         (F.col("event_type") == "click") & F.col("user_id").isNotNull()
-    ).select("event_id", "user_id", "ts_ns", "ts")
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     joined = asof_join(
-        purchases, clicks, on="user_id", time_col="ts_ns", payload_cols=("event_id", "ts")
+        purchases, clicks, on="user_id", time_col="ts_us", payload_cols=("event_id", "ts")
     )
     return joined.select(
         F.col("event_id").alias("purchase_event_id"),
@@ -130,22 +132,22 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.where(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_event_id"),
         "user_id",
-        F.col("ts_ns").alias("s_ns"),
+        F.unix_micros("ts").alias("s_us"),
         F.col("ts").alias("s_ts"),
     )
     e = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_event_id"),
         F.col("user_id").alias("e_user_id"),
-        F.col("ts_ns").alias("e_ns"),
+        F.unix_micros("ts").alias("e_us"),
         F.col("ts").alias("e_ts"),
     )
-    day_ns = 24 * 3600 * 1_000_000_000
+    day_us = 24 * 3600 * 1_000_000
     return (
         s.join(
             e,
             (F.col("user_id") == F.col("e_user_id"))
-            & (F.col("e_ns") >= F.col("s_ns"))
-            & (F.col("e_ns") < F.col("s_ns") + F.lit(day_ns)),
+            & (F.col("e_us") >= F.col("s_us"))
+            & (F.col("e_us") < F.col("s_us") + F.lit(day_us)),
         )
         .select(
             "signup_event_id",

@@ -27,7 +27,7 @@ from ._util import dec, ms, ts_lit
         CAST(epoch_ms(ts) AS VARCHAR)
       ) AS doc_id,
       CASE WHEN json_valid(props)
-           THEN CAST(props->>'$.k' AS BIGINT) END AS prop_k,
+           THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS prop_k,
       epoch_ms(ts) AS ts_ms
     FROM events
     WHERE user_id <= 20
@@ -54,7 +54,9 @@ def event_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
             blank_safe,
             F.unix_millis("ts").cast("string"),
         ).alias("doc_id"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        # try_cast: a non-scalar $.k (nested object — fuzz 5) must be NULL,
+        # not an ANSI CAST_INVALID_INPUT (ANSI is the Spark 4 default)
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("prop_k"),
         F.unix_millis("ts").alias("ts_ms"),
     )
 

@@ -32,11 +32,11 @@ PAGE = 3  # 0-based → rows [150, 200) of the total order
     SELECT
       event_type,
       count(*) AS n_events,
-      count(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS n_with_k,
-      CAST(sum(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END)
+      count(CASE WHEN json_valid(props) THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) AS n_with_k,
+      CAST(sum(CASE WHEN json_valid(props) THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END)
         AS BIGINT) AS sum_k,
-      min(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS min_k,
-      max(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS max_k
+      min(CASE WHEN json_valid(props) THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) AS min_k,
+      max(CASE WHEN json_valid(props) THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -49,7 +49,8 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefer materializing hot JSON paths to typed columns at ingest, which
     is exactly this projection."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast: nested $.k objects → NULL, not an ANSI cast error (fuzz 5)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.count("k").alias("n_with_k"),

@@ -604,7 +604,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS next_type
       FROM events
     ),
@@ -632,10 +632,12 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user, so the state is user-local — the same key the funnel and
     retention queries shuffle on), then a tiny (|types|², ≤25-row)
     aggregate; the normalizing totals join is broadcast-sized. Ordering
-    inside a user is (ts_ns, event_id) — a total order, so ties cannot
+    inside a user is (ts_us, event_id) — a total order, so ties cannot
     reorder between engines."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     seq = ev.select(
         "user_id",
         "event_type",
@@ -669,7 +671,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              epoch_ms(ts) AS t_ms,
              lead(epoch_ms(ts)) OVER (
-               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS next_ms
       FROM events
     )
@@ -695,8 +697,10 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom at any realistic scale per user), the final division is
     integer floor — nothing float anywhere. One user-keyed window shuffle
     + one agg, the events_session_windows plan shape."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     seq = ev.select(
         "user_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
@@ -731,18 +735,18 @@ PATH_LEN = 5  #: leading events kept per session path
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),
     paths AS (
       SELECT user_id, sess_id,
              array_to_string(
-               (list(coalesce(event_type, '') ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id))[1:{PATH_LEN}],
+               (list(coalesce(event_type, '') ORDER BY epoch_us(ts), event_id))[1:{PATH_LEN}],
                '>') AS path
       FROM numbered GROUP BY 1, 2
     )
@@ -755,21 +759,23 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flow-analysis primitive behind "how do users actually move
     through the product". Sessionization is the gaps-and-islands kernel
     (lag + running sum — the same sessions events_session_windows
-    derives); within-session order is (ts_ns, event_id), a total order,
+    derives); within-session order is (ts_us, event_id), a total order,
     and the path materializes via array_sort over collected structs so
     collection order is irrelevant. Two user-keyed window passes + two
     aggs; path cardinality (≤ |types|^{PATH_LEN}) keeps the final agg
     broadcast-small."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     flagged = ev.select(
         "user_id",
-        "ts_ns",
+        "ts_us",
         "event_id",
         "event_type",
         F.when(
-            F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 30 * 60 * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -783,7 +789,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered.groupBy("user_id", "sess_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
             ).alias("seq")
         )
         .select(
@@ -1655,7 +1661,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the TYPE OF THE FIRST EVENT of its session (30-min inactivity gap —
 # the engine-wide session kernel, including the strict-> boundary the
 # hostile differential pinned). Sessionization is the gaps-and-islands
-# fold on (ts_ns, event_id) total order; the first-touch type is the
+# fold on (ts_us, event_id) total order; the first-touch type is the
 # array-sorted head per session; revenue is exact integer cents. Two
 # user-keyed window passes + one small agg — the session_paths cost
 # argument; output is |types| rows.
@@ -1671,17 +1677,17 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),
     sess AS (
       SELECT user_id, sess_id,
-             (list(event_type ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id))[1]
+             (list(event_type ORDER BY epoch_us(ts), event_id))[1]
                AS first_touch,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
                            ELSE 0 END) AS BIGINT) AS purchase_cents,
@@ -1700,17 +1706,19 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     """Revenue attributed to each session's first event type (see block
     comment). Shares the session kernel and boundary semantics with
     events_session_windows / events_session_paths."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     flagged = ev.select(
         "user_id",
-        "ts_ns",
+        "ts_us",
         "event_id",
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         F.when(
-            F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 30 * 60 * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -1725,7 +1733,7 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         numbered.groupBy("user_id", "sess_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
             )[0]["event_type"].alias("first_touch"),
             F.sum(F.when(is_purchase, F.col("cents")).otherwise(0))
             .cast("bigint")
@@ -1848,11 +1856,11 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WHERE user_id IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
       SELECT *, sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY (least(epoch_us(ts), 9000000000000000) * 1000), event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ),
@@ -1894,17 +1902,19 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline rides a single user-keyed exchange lineage before the final
     |types|-row rollup. Micro-cent credits stay < 2^63 through sf100
     (total purchase cents × 1e6)."""
-    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     flagged = ev.select(
         "user_id",
-        "ts_ns",
+        "ts_us",
         "event_id",
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         F.when(
-            F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > 30 * 60 * 1_000_000_000),
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 30 * 60 * 1_000_000),
             1,
         )
         .otherwise(0)

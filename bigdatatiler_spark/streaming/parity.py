@@ -308,3 +308,55 @@ def events_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.table(_SINK4)
+
+
+_SINK5 = "streaming_parity_dedup"
+
+
+@register(
+    "events_streaming_dedup_parity",
+    oracle="""
+    SELECT DISTINCT
+      event_id,
+      epoch_ms(ts) AS ts_ms,
+      user_id,
+      event_type,
+      CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
+                    THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def events_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING DEDUPLICATION — the fifth streaming shape: the
+    exactly-once ingest guarantee an at-least-once delivery pipeline
+    builds on. ``dropDuplicates`` over the full projected row runs as a
+    stateful operator in the micro-batch engine (state = one entry per
+    distinct row, first arrival wins) and emits in APPEND mode, so the
+    bounded AvailableNow run yields exactly the DISTINCT set — which is
+    the oracle, verbatim. Deduping on the full row (not just event_id)
+    makes the parity unconditional: replays in the at-least-once model
+    are byte-identical, and a first-arrival-wins key dedup would be
+    arrival-order-dependent for conflicting payloads.
+
+    Production shape: ``dropDuplicatesWithinWatermark([key])``
+    (streaming/ingest.py) bounds the state to the replay horizon; the
+    unwatermarked form here keeps all state on the bounded fixture for
+    the same initial-watermark reason as the session parity."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    dd = ev.dropDuplicates()
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(_SINK5)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(_SINK5)

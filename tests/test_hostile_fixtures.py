@@ -91,6 +91,19 @@ HOSTILE_PINNED = (
     "graph_degree_assortativity",   # degenerate/empty candidate graphs
     "doc_rake_keyphrases",          # empty/1-token/unicode/ws-only docs
     "events_jsonl_roundtrip",       # pre-epoch % sign, unicode via JSONL
+    "events_streaming_dedup_parity",# stateful dedup of full-row replays
+    # fuzz round 5: nested JSON $.k, +2^62 keys, -1e20 metrics,
+    # near-nanos-max (2262) timestamps, unicode event types, pre-1970 +
+    # year-9999 order/ship dates, 100% discounts, duplicate lineitem PKs
+    "events_props_json",            # nested $.k object → try_cast NULL
+    "event_id_generation",          # nested $.k under ANSI
+    "asof_purchase_to_click",       # 2262 ts: raw-µs vs saturated-ns
+    "range_join_event_windows",     # 2262 ts inside the range window
+    "events_session_paths",         # 2262 gap test on raw µs
+    "events_type_transitions",      # µs ordering of far-future rows
+    "events_time_weighted_value",   # µs ordering + raw-ms intervals
+    "lineitem_constraint_audit",    # duplicate composite PKs counted
+    "tpch_q1_pricing_summary",      # 100% discount / zero quantity rows
 )
 
 

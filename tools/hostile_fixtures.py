@@ -20,6 +20,7 @@ Everything is seeded/deterministic: same input -> same hostile bytes.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import sys
@@ -68,20 +69,22 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["text"][i] = "line1\nline2\ttabbed\rcarriage"  # control ws
         elif k == 11:
             d["text"][i] = "!!! ??? ... ;;; ---"  # punctuation-only
+        elif k == 12:
+            # hash-separator + JSON/XML metacharacters inside content
+            d["text"][i] = "unit\x1fsep \"quote\" <tag> \\backslash 'apos'"
+
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i])
     return pa.table(d, schema=tbl.schema)
 
 
 def _mutate_events(tbl: pa.Table) -> pa.Table:
-    import datetime as dt
-
     d = tbl.to_pydict()
     n = len(d["event_id"])
     epoch0 = dt.datetime(1970, 1, 1)
     pre1970 = dt.datetime(1969, 12, 31, 23, 30, 0)
     for i in range(n):
-        k = i % 19
+        k = i % 23
         if k == 0:
             d["ts"][i] = epoch0
         elif k == 1:
@@ -120,6 +123,17 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["user_id"][i] = -(2**62)  # extreme negative key
         elif k == 17:
             d["event_type"][i] = ""  # empty string ≠ NULL group
+        # fuzz round 5 classes
+        elif k == 18:
+            d["props"][i] = '{"k": {"nested": [1, 2]}, "s": "q\\"uote"}'
+        elif k == 19:
+            d["user_id"][i] = 2**62  # extreme POSITIVE key
+        elif k == 20:
+            d["value"][i] = -1.0e20  # huge NEGATIVE finite metric
+        elif k == 21:
+            d["ts"][i] = dt.datetime(2262, 4, 10)  # just under nanos max
+        elif k == 22:
+            d["event_type"][i] = "тип-événement-種類"  # unicode key
     return pa.table(d, schema=tbl.schema)
 
 
@@ -162,6 +176,31 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
         # fuzz round 4 classes
         elif k == 3:
             d["o_totalprice"][i] = -123.45  # refund / chargeback row
+        # fuzz round 5 classes
+        elif k == 4:
+            d["o_orderdate"][i] = dt.datetime(9999, 12, 30)
+        elif k == 5:
+            d["o_orderdate"][i] = dt.datetime(1969, 6, 1)
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["l_orderkey"])
+    for i in range(n):
+        k = i % 17
+        if k == 0:
+            d["l_shipdate"][i] = dt.datetime(1969, 6, 1)  # pre-1970 ship
+        elif k == 1:
+            d["l_quantity"][i] = 0.0
+        elif k == 2:
+            d["l_discount"][i] = 1.0  # 100% discount (zero revenue term)
+        elif k == 3 and i > 0:
+            # duplicate composite PK (l_orderkey, l_linenumber)
+            d["l_orderkey"][i] = d["l_orderkey"][i - 1]
+            d["l_linenumber"][i] = d["l_linenumber"][i - 1]
+        elif k == 4:
+            d["l_shipdate"][i] = dt.datetime(9999, 12, 30)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -170,6 +209,7 @@ _MUTATORS = {
     "events": _mutate_events,
     "embeddings": _mutate_embeddings,
     "orders": _mutate_orders,
+    "lineitem": _mutate_lineitem,
 }
 
 
