@@ -189,6 +189,7 @@ HEADLINE = (
     "doc_rake_keyphrases",
     "events_jsonl_roundtrip",
     "events_streaming_dedup_parity",
+    "events_csv_roundtrip",
 )
 
 

@@ -561,3 +561,79 @@ def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return agg
+
+
+@register(
+    "events_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
+                         THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(sum(epoch_ms(ts) % 1000000) AS BIGINT) AS ts_checksum,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anonymous
+    FROM events GROUP BY event_type
+    """,
+)
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV leg of the source-format surface, the sibling of
+    events_jsonl_roundtrip: export → read back with an explicit schema →
+    rollup hash-matched against the oracle's direct parquet aggregation.
+    CSV is the harsher text format — no types, no null literal by
+    default, quoting rules — so the writer keeps quoted-empty ('""')
+    and nullValue (\\N) distinct (CSV cannot otherwise tell '' from
+    NULL; event_type carries both after the hostile mutations) and timestamps
+    ride as epoch-ms integers (same precision rationale as JSONL).
+
+    Plan: distributed export/read (one CSV part per input partition),
+    localCheckpointed rollup so the frame outlives the temp export."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        (
+            # writer defaults quote empty strings as "" while nullValue
+            # marks NULL as \N — the pair that keeps '' and NULL distinct
+            # through the text roundtrip (explicit emptyValue="" would
+            # write empty UNQUOTED, which reads back as NULL)
+            ev.write.mode("overwrite")
+            .option("header", "true")
+            .option("nullValue", "\\N")
+            .csv(out_dir)
+        )
+        back = (
+            spark.read.schema(
+                "event_id long, ts_ms long, user_id long,"
+                " event_type string, cents long"
+            )
+            .option("header", "true")
+            .option("nullValue", "\\N")
+            .csv(out_dir)
+        )
+        agg = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.sum(F.col("ts_ms") % F.lit(1_000_000))
+                .cast("bigint")
+                .alias("ts_checksum"),
+                F.sum(F.col("user_id").isNull().cast("bigint"))
+                .cast("bigint")
+                .alias("n_anonymous"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return agg

@@ -104,6 +104,7 @@ HOSTILE_PINNED = (
     "events_time_weighted_value",   # µs ordering + raw-ms intervals
     "lineitem_constraint_audit",    # duplicate composite PKs counted
     "tpch_q1_pricing_summary",      # 100% discount / zero quantity rows
+    "events_csv_roundtrip",         # ''-vs-NULL through quoted CSV
 )
 
 
