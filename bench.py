@@ -271,7 +271,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": r1_timings or timings,
+        # bounded: only the r1 subset (empty if BENCH_r01 is absent) — the
+        # full map is on the preceding detail line; falling back to the
+        # full map here would reintroduce the tail-capture overflow.
+        "queries": r1_timings,
         "sf": sf_val,
         "n_queries": len(timings),
     }

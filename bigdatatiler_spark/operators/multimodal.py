@@ -591,8 +591,8 @@ _BANDS_SCHEMA = StructType(
 
 @register("multimodal_image_ahash_near_dup", oracle=_AHASH_PX_ORACLE)
 def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate image pairs by pixel aHash (Hamming ≤
-    {AHASH_PX_THRESH} of 64) — the decode → hash → band-block → verify
+    """Near-duplicate image pairs by pixel aHash (Hamming ≤ 8 of 64,
+    ``AHASH_PX_THRESH``) — the decode → hash → band-block → verify
     pipeline on real PNG bytes (see block comment)."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
 

@@ -663,7 +663,7 @@ K_ANON_K = 5
     """,
 )
 def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k={K}) over the (event_type, iso-dow, hour)
+    """k-anonymity audit (k=5, ``K_ANON_K``) over the (event_type, iso-dow, hour)
     quasi-identifier (see block comment). NULL users never count toward
     a class's protection (count DISTINCT skips NULL on both engines) —
     an anonymous row cannot anonymize an identified one.

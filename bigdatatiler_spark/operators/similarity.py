@@ -1061,18 +1061,18 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fin AS (
       SELECT dim, CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS xe6
-      FROM el WHERE isfinite(xf) AND abs(xf) < 1e12
+      FROM el WHERE isfinite(xf) AND abs(xf) < 1e9
     ),
     agg AS (
       SELECT dim, count(*) AS n,
-             CAST(sum(xe6) AS BIGINT) AS s1,
+             sum(CAST(xe6 AS HUGEINT)) AS s1,
              sum(CAST(xe6 AS HUGEINT) * xe6) AS s2,
              min(xe6) AS mn, max(xe6) AS mx
       FROM fin GROUP BY dim
     ),
     v AS (
       SELECT dim, n, s1, mn, mx,
-             CAST((n * s2 - CAST(s1 AS HUGEINT) * s1)
+             CAST((n * s2 - s1 * s1)
                   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
       FROM agg
     )
@@ -1098,19 +1098,23 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "xf")
     )
     x = F.col("xf").cast("double")
-    # abs < 1e12 keeps the e6-grid square-sum inside DECIMAL(38,0); a
-    # finite 1e30 component would overflow even the BIGINT floor (fuzz 4)
+    # |x| < 1e9 bounds |xe6| <= 1e15, so xe6^2 <= 1e30 and the
+    # DECIMAL(38,0)/HUGEINT moments keep >= 1e8 rows-per-dimension of
+    # headroom (ADVICE r5: 1e12 admitted xe6 ~ 1e18, whose square hits
+    # the 38-digit edge at ~100 elements). Remaining assumption,
+    # documented: per dimension, sum|xe6| < 1e19 (s1^2 < 1e38) — i.e.
+    # mean|x|*n < 1e13 — far beyond any real embedding corpus.
     fin = emb.where(
         ~F.isnan(x)
         & ~x.isin(float("inf"), float("-inf"))
-        & (F.abs(x) < F.lit(1e12))
+        & (F.abs(x) < F.lit(1e9))
     ).select(
         F.col("dim").cast("bigint").alias("dim"),
         F.floor(x * F.lit(1_000_000.0)).cast("bigint").alias("xe6"),
     )
     agg = fin.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xe6").cast("bigint").alias("s1"),
+        F.sum(F.col("xe6").cast("decimal(38,0)")).alias("s1"),
         F.sum(
             (F.col("xe6").cast("decimal(38,0)") * F.col("xe6")).cast(
                 "decimal(38,0)"
@@ -1126,8 +1130,7 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mn",
         "mx",
         F.expr(
-            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
-            " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1)"
             " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("var_e12"),
     )

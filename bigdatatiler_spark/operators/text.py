@@ -998,7 +998,7 @@ def _rake_oracle() -> str:
 
 @register("doc_rake_keyphrases", oracle=_rake_oracle())
 def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} RAKE keyphrases per document (see block comment).
+    """Top-2 (``RAKE_TOPK``) RAKE keyphrases per document (see block comment).
 
     Plan: ONE doc-keyed window pass assigns phrase ids (running
     stopword count), then three doc-keyed aggregates (phrase length,

@@ -60,7 +60,8 @@ HOSTILE_PINNED = (
     "events_value_mad_outliers",    # NULL cents in the rank universe
     "events_map_functions",         # DuckDB NaN >= 50 is TRUE
     "ann_pq_adc_topk",              # NaN component kills quantization cast
-    "events_hourly_rollup",         # cents idiom with non-finite values
+    # events_hourly_rollup also pinned the non-finite-cents idiom (fuzz 3)
+    # — listed once above for the pre-1970 hour-bucketing class.
     # fuzz round 4 (this session): streaming session_window drops
     # pre-epoch events against the initial watermark (fixed: no
     # watermark in complete-mode parity), plus the new-op batch pinned
@@ -83,7 +84,8 @@ HOSTILE_PINNED = (
     "events_zorder_key",            # -2^62 key → DECIMAL(38,0) scaling
     "events_hourly_anomaly",        # zero-variance type → guarded z
     "ann_ivf_topk",                 # 1e30 component → nz_base max-abs
-    "dedup_embedding_lsh_blocked",  # shared nz_base (inline filter drift)
+    # dedup_embedding_lsh_blocked also pinned the inline-filter drift
+    # (fuzz 4) — listed once above for the zero-norm bucketed class.
     "orders_fullouter_recon",       # negative-price feed rows
     "dedup_minhash_estimate_audit", # unicode/empty/dup document content
     "events_streaming_join_parity", # watermark-free inner interval join
@@ -95,17 +97,23 @@ HOSTILE_PINNED = (
     # fuzz round 5: nested JSON $.k, +2^62 keys, -1e20 metrics,
     # near-nanos-max (2262) timestamps, unicode event types, pre-1970 +
     # year-9999 order/ship dates, 100% discounts, duplicate lineitem PKs
-    "events_props_json",            # nested $.k object → try_cast NULL
-    "event_id_generation",          # nested $.k under ANSI
-    "asof_purchase_to_click",       # 2262 ts: raw-µs vs saturated-ns
+    # events_props_json also covers nested $.k -> try_cast NULL (fuzz 5)
+    # — listed once above for the malformed-JSON class.
+    # event_id_generation also covers nested $.k under ANSI (fuzz 5).
+    # asof_purchase_to_click also covers 2262 raw-us vs saturated-ns
+    # (fuzz 5) — listed once above for the NULL-user ASOF class.
     "range_join_event_windows",     # 2262 ts inside the range window
-    "events_session_paths",         # 2262 gap test on raw µs
+    # events_session_paths also covers the 2262 raw-us gap test (fuzz 5).
     "events_type_transitions",      # µs ordering of far-future rows
     "events_time_weighted_value",   # µs ordering + raw-ms intervals
     "lineitem_constraint_audit",    # duplicate composite PKs counted
     "tpch_q1_pricing_summary",      # 100% discount / zero quantity rows
     "events_csv_roundtrip",         # ''-vs-NULL through quoted CSV
 )
+
+# every class keeps exactly one pinned run; duplicates would re-run the
+# same differential under suffixed pytest IDs (ADVICE r5)
+assert len(set(HOSTILE_PINNED)) == len(HOSTILE_PINNED)
 
 
 @pytest.fixture(scope="module")

@@ -109,10 +109,20 @@ def main() -> int:
             print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            # ONE DuckDB execution per oracle: materialize to Arrow, then
+            # derive both representations — Python-value rows (exact hash)
+            # and a pandas frame (driver-style representation hash). For
+            # the gated-safe oracle types (test_oracle_types) Arrow
+            # to_pylist == fetchall and to_pandas == .df() — including the
+            # int64-with-NULLs -> float64 coercion the pandas hash exists
+            # to catch.
             ores = con.execute(spec.oracle)
             ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
-            opdf = con.execute(spec.oracle).df()
+            otbl = ores.arrow()
+            orows = list(
+                zip(*(otbl.column(i).to_pylist() for i in range(otbl.num_columns)))
+            ) if otbl.num_rows else []
+            opdf = otbl.to_pandas()
         except Exception as e:  # oracle itself broken
             failures.append((name, f"oracle error: {e}"))
             print(f"  ✗ {name}: ORACLE ERROR {e}")
