@@ -190,6 +190,12 @@ HEADLINE = (
     "events_jsonl_roundtrip",
     "events_streaming_dedup_parity",
     "events_csv_roundtrip",
+    # round 6
+    "graph_bfs_hops",
+    "events_bitmap_distinct",
+    "multimodal_video_frame_sample",
+    "multimodal_wav_rms_windows",
+    "asof_forward_click_to_purchase",
 )
 
 

@@ -551,3 +551,122 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("group_id").alias("n_groups"),
         )
     )
+
+
+# --- multi-source BFS hop distance ------------------------------------------
+# The reachability question a curation pipeline asks after clustering:
+# "how far (in dup-graph hops) is every document from a trusted seed
+# set?" — contamination spreads along near-dup edges, so hop distance
+# from known-contaminated (or known-good) seeds is the standard blast-
+# radius metric. New kernel class beside the two fixpoint algorithms
+# above: BOUNDED multi-source BFS (min-plus iteration to depth K), i.e.
+# shortest paths where every edge has weight 1.
+#
+# Spark-first shape: DELTA iteration. Each round joins only the
+# FRONTIER (nodes whose distance improved last round) against the edge
+# list — not the whole distance table — so round k's shuffle is
+# O(edges touching frontier), the classic Pregel/GraphX message shape.
+# localCheckpoint truncates lineage per round (same trap as connected
+# components: without it round N replays rounds 1..N-1). At 100 TB the
+# loop is K bounded rounds of (broadcast-or-shuffle equi-join + groupBy
+# min) on node id — no all-pairs, no driver data; `lineage_cut=
+# "reliable"` is the cluster setting (see connected_components).
+#
+# The DuckDB oracle is the independent declarative formulation: a
+# recursive CTE walking (node, hops) pairs with UNION dedup, depth-
+# bounded by `hops < K` so it terminates on cyclic graphs, then
+# min(hops) per node.
+
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 17  #: seeds = doc_id ≡ 0 (mod 17) — deterministic, ~6% of docs
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+    lineage_cut: str = "local",
+) -> DataFrame:
+    """(node, hops): minimum hop count from any seed, capped at max_hops.
+
+    ``edges`` rows are undirected (a, b) pairs; ``seeds`` has one
+    ``node`` column. Seeds themselves emit hops = 0 whether or not they
+    appear in the graph (an isolated seed is still distance 0 from
+    itself)."""
+    _validate_lineage_cut(edges, lineage_cut)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+
+    fwd = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    both = cut(
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    dist = cut(seeds.select("node", F.lit(0).cast("bigint").alias("hops")).distinct())
+    frontier = dist
+    for _ in range(max_hops):
+        # relax one hop out of the frontier only (delta iteration)
+        candidates = (
+            both.join(frontier, both.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        improved = cut(
+            candidates.join(dist.withColumnRenamed("hops", "old"), "node", "left")
+            .where(F.col("old").isNull() | (F.col("hops") < F.col("old")))
+            .select("node", "hops")
+        )
+        if improved.limit(1).count() == 0:
+            break
+        dist = cut(
+            dist.union(improved).groupBy("node").agg(F.min("hops").alias("hops"))
+        )
+        frontier = improved
+    return dist
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ),
+    walk(node, hops) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.b, w.hops + 1
+      FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk
+    GROUP BY node
+    """
+
+
+@register("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius of a seed document set: minimum hop distance (≤ 4)
+    from docs with doc_id ≡ 0 (mod 17) along MinHash band-mate edges —
+    bounded multi-source BFS by frontier delta-iteration, verified
+    against DuckDB's depth-bounded recursive-CTE walk (see block
+    comment)."""
+    from ..tables import table
+
+    seeds = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % BFS_SEED_MOD) == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return bfs_hops(_band_edges(spark, sf_dir), seeds).select(
+        F.col("node").alias("doc_id"), "hops"
+    )

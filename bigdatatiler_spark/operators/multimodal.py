@@ -725,3 +725,198 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_roundtrip, out_schema)
+
+
+# --- video frame sampling over a real multi-frame container ---------------
+# Round 6: the frame-sample slot of the multimodal surface on REAL bytes
+# end to end. Each document is a synthetic 12-frame "video": frame f is
+# a 16x16 grayscale image (pixel i = (doc_id*31 + f*101 + i*7) mod 256 —
+# closed form the oracle recomputes in SQL), PNG-encoded and packed into
+# the FPK1 length-prefixed container (media/framepack.py). The Spark
+# stage then does what an ingest frame sampler does: parse the
+# container, keep every 3rd frame BY SKIPPING the rest via length
+# prefixes (no decode of unsampled frames), decode the kept frames
+# through media/png.py, and emit per-frame pixel statistics. A hash
+# match proves container pack/parse, stride selection, and the PNG
+# round trip bit-exactly — not just that the plumbing runs.
+#
+# Scale: the whole thing is ONE Arrow-batched mapInPandas stage — no
+# shuffle, no driver data; decode cost scales with frames *kept*
+# (|docs| * 4 of 12 here). At 100 TB the same stage reads the binary
+# column from parquet and fans rows out per sampled frame; the engine
+# parallelism is per-file, embarrassingly parallel by construction.
+
+VIDEO_N_FRAMES = 12
+VIDEO_STRIDE = 3
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, unnest(generate_series(0, {VIDEO_N_FRAMES - 1})) AS fi
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, fi,
+             [(doc_id * 31 + fi * 101 + i * 7) % 256
+              for i in generate_series(0, {PNG_W * PNG_H - 1})] AS p
+      FROM fr WHERE fi % {VIDEO_STRIDE} = 0
+    )
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           {VIDEO_N_FRAMES} AS n_frames,
+           {PNG_W} AS width,
+           {PNG_H} AS height,
+           CAST(list_sum(p) AS BIGINT) AS px_sum,
+           CAST(list_min(p) AS BIGINT) AS px_min,
+           CAST(list_max(p) AS BIGINT) AS px_max
+    FROM px
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 3rd frame of each document's 12-frame FPK1 container,
+    decoded from real PNG bytes, with per-frame pixel statistics (see
+    block comment above)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("px_min", LongType()),
+            StructField("px_max", LongType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.framepack import frame_count, iter_frames, pack_frames
+        from ..media.png import decode_image, encode_png
+
+        npx = PNG_W * PNG_H
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = pack_frames(
+                    [
+                        encode_png(
+                            PNG_W,
+                            PNG_H,
+                            1,
+                            bytes(
+                                (d * 31 + f * 101 + i * 7) % 256
+                                for i in range(npx)
+                            ),
+                        )
+                        for f in range(VIDEO_N_FRAMES)
+                    ]
+                )
+                n = frame_count(blob)
+                for fi, frame in iter_frames(blob, VIDEO_STRIDE):
+                    w, h, _ch, decoded = decode_image(frame)
+                    rows.append(
+                        (d, fi, n, w, h, sum(decoded), min(decoded), max(decoded))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return docs.mapInPandas(_sample, out_schema)
+
+
+# --- framed audio energy (RMS windows) -------------------------------------
+# Round 6: the framing pass every audio feature extractor starts with
+# (VAD, loudness normalization, silence trimming): split the PCM stream
+# into fixed-length windows and compute per-window energy. Runs on REAL
+# RIFF/PCM bytes — encode_wav → decode_wav inside the stage — and the
+# features are integer-exact: energy = Σ s² (bounded by 64·2048² « 2⁶³),
+# rms_floor = floor(sqrt(energy/n)) (floor of an irrational, stable in
+# both engines; the sqrt precedent is embedding_dimension_stats'
+# std_e6). One map-only Arrow stage, 1→4 row fan-out per doc; the
+# oracle replays the generator formula per window in pure SQL.
+
+WAV_WIN = 64  #: samples per RMS window (8 ms at 8 kHz) — 4 windows per doc
+
+
+@register(
+    "multimodal_wav_rms_windows",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(generate_series(0, {WAV_N // WAV_WIN - 1})) AS win_idx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, win_idx,
+             [{_SAMPLE_SQL.format(j=f"(win_idx * {WAV_WIN} + k)")}
+              for k in generate_series(0, {WAV_WIN - 1})] AS smp
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(win_idx AS BIGINT) AS win_idx,
+           {WAV_WIN} AS n_samples,
+           CAST(list_sum([x * x for x in smp]) AS BIGINT) AS energy,
+           CAST(floor(sqrt(list_sum([x * x for x in smp]) / {WAV_WIN}.0))
+                AS BIGINT) AS rms_floor,
+           CAST(list_max([abs(x) for x in smp]) AS BIGINT) AS peak_abs
+    FROM s
+    """,
+)
+def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window RMS energy over each document's decoded PCM stream —
+    4 windows of 64 samples, real WAV round trip (see block comment)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win_idx", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("rms_floor", LongType()),
+            StructField("peak_abs", LongType()),
+        ]
+    )
+
+    def _frames(batches: Iterator[Any]) -> Iterator[Any]:
+        import math
+
+        import pandas as pd
+
+        from ..media.wav import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                _rate, _ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
+                for wi in range(WAV_N // WAV_WIN):
+                    win = decoded[wi * WAV_WIN : (wi + 1) * WAV_WIN]
+                    energy = sum(x * x for x in win)
+                    rows.append(
+                        (
+                            d, wi, WAV_WIN, energy,
+                            math.floor(math.sqrt(energy / WAV_WIN)),
+                            max(abs(x) for x in win),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_idx", "n_samples",
+                    "energy", "rms_floor", "peak_abs",
+                ],
+            )
+
+    return docs.mapInPandas(_frames, out_schema)

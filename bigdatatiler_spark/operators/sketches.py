@@ -688,3 +688,83 @@ def orders_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actual_rows"
         ),
     )
+
+
+# --- exact distinct via bitmap words (roaring-lite) ---------------------------
+# The EXACT counterpart of the sketches above, with the same mergeable
+# partial-aggregation shape: count-distinct users per event type by
+# packing user ids into fixed-width bitmap words — bit i of word w set
+# iff user w·32+i was seen. count(DISTINCT x) shuffles every raw
+# (group, x) pair to the reducer; the bitmap form pre-reduces map-side
+# to at most |groups|·|words| rows (bit_or is commutative/associative,
+# so Spark's partial HashAggregate combines words before the exchange),
+# then distinct = Σ bit_count(word). At 100 TB with dense ids this is
+# the roaring-bitmap pattern every warehouse uses for exact distinct
+# rollups — and unlike HLL, the words also support exact set algebra
+# (AND = intersection cardinality) downstream.
+#
+# 32-bit words inside BIGINT masks: 1 << 31 stays positive in int64, so
+# DuckDB never hits its signed-shift overflow and Spark never wraps.
+# Negative ids (hostile: -2^62) decompose as word·32 + bit with bit in
+# [0,32) — bit uses double-mod (((id % 32) + 32) % 32) and the word
+# subtracts the bit FIRST, so the division is exact and trunc-vs-floor
+# can't diverge.
+
+BITMAP_WORD_BITS = 32
+
+
+@register(
+    "events_bitmap_distinct",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             ((user_id % {BITMAP_WORD_BITS}) + {BITMAP_WORD_BITS})
+               % {BITMAP_WORD_BITS} AS bit,
+             user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    words AS (
+      SELECT event_type, (user_id - bit) // {BITMAP_WORD_BITS} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS mask
+      FROM b GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS n_users_bitmap,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM words
+    GROUP BY event_type
+    """,
+)
+def events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via 32-bit bitmap words
+    (roaring-lite; see block comment) — two partial-aggregating passes
+    (bit_or per word, then Σ bit_count) instead of count(DISTINCT)'s raw
+    id shuffle.
+
+    Plan: groupBy(type, word) bit_or → groupBy(type) sum — both stages
+    map-side combine; the exchange carries one row per populated word,
+    not one per event. NULL-keyed group semantics: NULL event_type is a
+    real group on both engines; NULL users counted nowhere."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = BITMAP_WORD_BITS
+    bit = ((F.col("user_id") % w) + w) % w
+    words = (
+        ev.select(
+            "event_type",
+            bit.alias("bit"),
+            F.expr(f"(user_id - (((user_id % {w}) + {w}) % {w})) div {w}").alias(
+                "word"
+            ),
+        )
+        .groupBy("event_type", "word")
+        .agg(
+            # the PySpark shiftleft wrapper only takes a literal shift;
+            # the SQL form accepts a column expression
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("mask")
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_users_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -186,16 +186,21 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "events_streaming_session_parity",
     "sketch_kmv_distinct",
     # (sketch_frequent_tokens rotated out: r2 driver-green; the sketch
-    # family keeps kmv + gk in-window and the heavy-hitter contract is
-    # pytest-pinned; still local-oracle-checked. In: the weighted
-    # sampler — a new kernel class, priority sampling.)
-    "sample_weighted_priority",
+    # family keeps kmv in-window and the heavy-hitter contract is
+    # pytest-pinned. In r4: the priority sampler — r5 driver-green,
+    # rotated out in turn for round 6's bitmap-word exact distinct
+    # (roaring-lite bit_or/bit_count rollup, a new kernel class; the
+    # sampling family keeps sample_train_test_split in-window).)
+    "events_bitmap_distinct",
     # (sketch_quantile_gk rotated out for round 5: r4 driver-green, the
     # sketch family keeps sketch_kmv_distinct in-window and GK accuracy
-    # is pytest-pinned. In: Q8 market share — an ex-HUGEINT oracle
-    # (decimal-ratio // path) so round 5's driver run certifies the
-    # CAST-to-BIGINT fix class on a fresh name.)
-    "tpch_q8_market_share",
+    # is pytest-pinned. In r5: Q8 market share, certifying the
+    # CAST-to-BIGINT fix class — r5 driver-green, rotated out in turn
+    # for round 6's FORWARD as-of (the lead-time direction, plus the
+    # class-17 deterministic tie-break both directions now pin; the
+    # relational family keeps q1/q18/q12 in-window and q8 stays
+    # local-oracle-checked).)
+    "asof_forward_click_to_purchase",
     "sample_train_test_split",
     # — new round-2 queries append here (slots up to #50) —
     # (order_date_functions rotated out: round-1 driver-green, and the
@@ -218,9 +223,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # surface: r2 driver-green, the tiling family keeps its composite
     # ingest kernel in-window via doc_tile_roundtrip, and the byte-cap
     # re-chunk fixpoint is hypothesis-pinned in test_tiling_property.
-    # In: MERGE INTO latest-wins upsert — the DML arm of the SQL
-    # surface, previously only unit-tested via sources/versioned.)
-    "orders_merge_upsert",
+    # In r4: MERGE INTO latest-wins upsert — the DML arm of the SQL
+    # surface — r5 driver-green, rotated out in turn for round 6's
+    # bounded multi-source BFS (frontier delta-iteration vs a depth-
+    # bounded recursive-CTE walk — the third iterative-graph kernel
+    # class; MERGE stays pytest- and local-oracle-checked).)
+    "graph_bfs_hops",
     "events_page_keyset",
     "events_xml_inspection",
     "ann_lsh_topk",
@@ -239,16 +247,23 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "events_streaming_hourly_parity",
     "embedding_kmeans_cells",
     "pack_token_budget",
-    "hybrid_search_rrf",
+    # (hybrid_search_rrf rotated out for round 6: r2+ driver-green and
+    # the retrieval family keeps bm25_topk in-window; RRF stays local-
+    # oracle-checked. In: video frame sampling — stride selection over
+    # a real multi-frame container with PNG decode of kept frames, the
+    # frame-sample slot of the multimodal surface.)
+    "multimodal_video_frame_sample",
     # (doc_quality_score rotated out: r2 driver-green map-only heuristic;
     # the text family keeps five in-window entries. In round 4: the
     # gapfill/locf hypertable surface. Round 5: events_gapfill_locf
     # rotated out in turn (r4 driver-green; windows.py keeps
     # events_session_windows + order_price_percentiles in-window and
     # gapfill stays local-oracle-checked) for the cohort-LTV running
-    # total — an ex-HUGEINT window-cumsum oracle, certifying the
-    # CAST-to-BIGINT fix class on the windowed-aggregate shape.)
-    "events_cohort_ltv",
+    # total, certifying the CAST-to-BIGINT fix on the windowed-
+    # aggregate shape — r5 driver-green, rotated out in turn for round
+    # 6's framed audio energy (real WAV decode + per-window integer
+    # RMS, the audio feature-framing slot).)
+    "multimodal_wav_rms_windows",
     # (doc_repetition_stats rotated out for the round-3 rollup family:
     # r2 driver-green, and the text family keeps six in-window entries
     # (token_stats, lang_id, fingerprint, corpus_profile, quality, pack);

@@ -249,3 +249,34 @@ def test_leakage_safe_split_keeps_neardup_pairs_together(spark):
 
     out = {r.split: r.n_docs for r in sample_leakage_safe_split(spark, sf).collect()}
     assert sum(out.values()) == docs.count()
+
+
+def test_bfs_hops_path_graph(spark):
+    from bigdatatiler_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5-6, seeds {1, 99 (isolated)}: depth cap 4 reaches 5, not 6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 99: 0}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    from bigdatatiler_spark.operators.graph import bfs_hops
+
+    # two seeds on a path: every node takes the NEAREST seed's distance
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,), (4,)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_bfs_hops_cycle_terminates(spark):
+    from bigdatatiler_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}

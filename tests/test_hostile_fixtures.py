@@ -109,6 +109,16 @@ HOSTILE_PINNED = (
     "lineitem_constraint_audit",    # duplicate composite PKs counted
     "tpch_q1_pricing_summary",      # 100% discount / zero quantity rows
     "events_csv_roundtrip",         # ''-vs-NULL through quoted CSV
+    # round 6: the new-op batch pinned on hostile content from day one,
+    # plus class 17 — equal-timestamp as-of ties (year-9999 saturated
+    # rows collide) resolved ARBITRARILY by both the window sort and
+    # DuckDB's native ASOF; fixed by explicit event_id tie-break both
+    # engines (oracles became LATERAL top-1)
+    "asof_forward_click_to_purchase",  # class 17 (caught here)
+    "graph_bfs_hops",               # BFS over hostile dup graph
+    "events_bitmap_distinct",       # -2^62 ids through word/bit split
+    "multimodal_video_frame_sample",  # container+decode on every doc
+    "multimodal_wav_rms_windows",   # framed energy on every doc
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

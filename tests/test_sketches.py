@@ -276,3 +276,53 @@ def test_selectivity_estimate_within_histogram_error(spark):
         assert abs(r.est_rows - r.actual_rows) <= bound, (
             r.pred_id, r.est_rows, r.actual_rows, bound,
         )
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    """The bitmap-word rollup is EXACT: equals count(DISTINCT user_id)
+    per event type, including negative ids decomposed via double-mod."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.sketches import events_bitmap_distinct
+    from bigdatatiler_spark.tables import table
+
+    got = {
+        r["event_type"]: r["n_users_bitmap"]
+        for r in events_bitmap_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_distinct_negative_ids(spark):
+    from pyspark.sql import functions as F
+
+    # -1 and -64 land in distinct words with in-range bits; count is exact
+    df = spark.createDataFrame(
+        [("t", -1), ("t", -64), ("t", -1), ("t", 63), ("t", 0)],
+        ["event_type", "user_id"],
+    )
+    w = 32
+    bit = ((F.col("user_id") % w) + w) % w
+    words = (
+        df.select(
+            "event_type",
+            bit.alias("bit"),
+            F.expr(f"(user_id - (((user_id % {w}) + {w}) % {w})) div {w}").alias("word"),
+        )
+        .groupBy("event_type", "word")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
+                "mask"
+            )
+        )
+    )
+    n = words.agg(F.sum(F.bit_count("mask")).alias("n")).first()["n"]
+    assert n == 4
