@@ -99,7 +99,8 @@ def asof_join(
       m.event_id AS click_event_id,
       epoch_ms(m.ts) AS click_ts_ms
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            AND ts IS NOT NULL) p
     LEFT JOIN LATERAL (
       SELECT c.event_id, c.ts FROM events c
       WHERE c.event_type = 'click' AND c.user_id = p.user_id
@@ -123,11 +124,19 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all NULL keys into one pseudo-user (cross-attributing anonymous
     # events) while the oracle's equality ASOF drops them — neither is
     # the intended attribution semantics (hostile-fixture finding).
+    # fuzz round 6 (class 19): NULL timestamps sort FIRST in the window
+    # union (matching a probe to a time-less ref) while the oracle's
+    # ts-comparison excludes them — a row without a timestamp cannot
+    # participate in a temporal join on either side, either engine.
     purchases = ev.where(
-        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     clicks = ev.where(
-        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        (F.col("event_type") == "click")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     joined = asof_join(
         purchases,
@@ -209,7 +218,8 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       m.event_id AS purchase_event_id,
       epoch_ms(m.ts) AS purchase_ts_ms
     FROM (SELECT * FROM events
-          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+          WHERE event_type = 'click' AND user_id IS NOT NULL
+            AND ts IS NOT NULL) c
     LEFT JOIN LATERAL (
       SELECT p.event_id, p.ts FROM events p
       WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
@@ -229,10 +239,14 @@ def asof_forward_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     same two hostile-fixture classes the backward query pins)."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.where(
-        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        (F.col("event_type") == "click")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     purchases = ev.where(
-        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts")
     joined = asof_join(
         clicks,

@@ -589,6 +589,12 @@ _NORM_B = (
 )
 
 
+# oracle universe = _EMB_NZ verbatim (fuzz 6: the inline copy here had
+# drifted — no max-abs bound, no len=64 — the same drift class fuzz 4
+# found on dedup_embedding_lsh_blocked; the Spark side is nz_base)
+from .similarity import _EMB_NZ as _EMB_NZ_SQL  # noqa: E402
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -596,8 +602,8 @@ _NORM_B = (
       a.vec_id AS vec_id_1,
       b.vec_id AS vec_id_2,
       round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
-    FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) a
-    JOIN (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y) > 0) b ON a.vec_id < b.vec_id
+    FROM {_EMB_NZ_SQL} a
+    JOIN {_EMB_NZ_SQL} b ON a.vec_id < b.vec_id
     WHERE round({_DOT64} / ({_NORM_A} * {_NORM_B}), 6) >= {COSINE_THRESHOLD}
     """,
 )
@@ -630,10 +636,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    # zero-norm vectors excluded: cosine undefined (similarity.nz_base)
-    withnorm = e.select(
-        "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
-    ).where(~F.isnan("nrm") & (F.col("nrm") > 0))
+    # the shared cosine universe — fuzz 6 found this was ANOTHER inline
+    # drift (zero-norm only; ragged/huge-component vectors leaked in):
+    # both sides now use nz_base/_EMB_NZ verbatim
+    from .similarity import nz_base
+
+    withnorm = nz_base(e)
     a = withnorm.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),

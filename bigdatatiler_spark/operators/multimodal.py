@@ -451,7 +451,7 @@ PNG_W = PNG_H = 16
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             [(doc_id * 31 + i * 7) % 256
+             [((doc_id * 31 + i * 7) % 256 + 256) % 256
               for i in generate_series(0, {PNG_W * PNG_H - 1})] AS p
       FROM documents
     )
@@ -536,9 +536,13 @@ AHASH_PX_THRESH = 8  #: max Hamming distance (of 64) for a near-dup pair
 #: so a group key that only added a constant offset would not separate);
 #: sparse noise at (i + d) mod 29 == 0 positions; all values < 204, no
 #: mod-256 wraparound (keeps same-group images comparable)
+#: SQL % truncates toward zero while the Python generator's % floors —
+#: divergent exactly on NEGATIVE doc_ids (fuzz round 6, class 20), so
+#: every doc_id-keyed mod here is the explicit floor-mod ((x%m)+m)%m.
 _PIX_SQL = (
-    "(i * (3 + doc_id % 50)) % 197"
-    " + CASE WHEN (i + doc_id) % 29 = 0 THEN (doc_id * 13) % 7 ELSE 0 END"
+    "(i * (3 + ((doc_id % 50) + 50) % 50)) % 197"
+    " + CASE WHEN ((i + doc_id) % 29 + 29) % 29 = 0"
+    " THEN ((doc_id * 13) % 7 + 7) % 7 ELSE 0 END"
 )
 
 _AHASH_PX_ORACLE = f"""
@@ -652,7 +656,8 @@ WAV_N = 256  #: samples per synthetic waveform
 WAV_RATE = 8000
 
 #: closed-form sample j of doc d: int16-safe sawtooth-ish pattern
-_SAMPLE_SQL = "((doc_id * 7 + {j} * 13) % 4096) - 2048"
+#: floor-mod, matching the Python generator on negative doc_ids (class 20)
+_SAMPLE_SQL = "(((doc_id * 7 + {j} * 13) % 4096 + 4096) % 4096) - 2048"
 
 
 @register(
@@ -759,7 +764,7 @@ VIDEO_STRIDE = 3
     ),
     px AS (
       SELECT doc_id, fi,
-             [(doc_id * 31 + fi * 101 + i * 7) % 256
+             [((doc_id * 31 + fi * 101 + i * 7) % 256 + 256) % 256
               for i in generate_series(0, {PNG_W * PNG_H - 1})] AS p
       FROM fr WHERE fi % {VIDEO_STRIDE} = 0
     )

@@ -138,7 +138,7 @@ def _oracle() -> str:
     ).format(off="cb.sub * 16")
     return f"""
     WITH quant AS (
-      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, 64)]) < 1e12)
+      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, 64)]) < 1e12)
     ),
     ranked AS (
       SELECT vec_id, q,
@@ -227,7 +227,14 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _max_abs = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
-    base = e.select(
+    # fuzz round 6 (class 18): ragged/empty/NULL vectors are invalid —
+    # the oracle's fixed-index universe drops them silently, the fixed-
+    # offset PQ slicing crashes on them
+    from .similarity import DIM
+
+    base = e.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+    ).select(
         "vec_id", "embedding", _comp_sum.alias("_cs"), _max_abs.alias("_ma")
     ).where(
         ~F.isnan("_cs")

@@ -450,7 +450,7 @@ def events_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_ms(date_trunc('hour', ts)) AS h_ms,
              CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     stats AS (
       SELECT event_type,
@@ -480,7 +480,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUSUM of (hourly cents − integer mean) peaks in absolute value;
     earliest such hour on ties (min over the argmax set — a total
     order). Emits the peak magnitude as the change evidence."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = (
         ev.select(
             "event_type",
@@ -860,7 +860,7 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     series AS (
       -- arg_max, not a max-hour self-join: an equality join would drop
@@ -889,7 +889,7 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus size), then a zero-shuffle higher-order-function fold
     inside the JVM. At 100 TB the hourly pre-aggregation is what keeps
     the collected arrays small (8760 entries/year/type)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -933,7 +933,7 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     pairs AS (
       SELECT event_type, n AS x,
@@ -967,7 +967,7 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the corpus is touched once."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -246,7 +246,10 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_xml_inspection",
     oracle="""
     SELECT event_id, user_id,
-           coalesce(event_type, '') AS event_type,
+           -- from_xml trims XML whitespace around element text (fuzz 6:
+           -- ' click '), so the round-trip normalizes — mirror it
+           trim(coalesce(event_type, ''),
+                ' ' || chr(9) || chr(10) || chr(13)) AS event_type,
            epoch_ms(ts) AS ts_ms
     FROM events
     WHERE user_id <= 50
@@ -271,7 +274,9 @@ def events_xml_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesces to '' to mirror the round trip
         F.coalesce(F.col("event_type"), F.lit("")),
         F.lit("</type><ts>"),
-        F.unix_millis("ts"),
+        # NULL ts (fuzz 6) would likewise null the concat; the empty
+        # element parses back as NULL BIGINT, matching epoch_ms(NULL)
+        F.coalesce(F.unix_millis("ts").cast("string"), F.lit("")),
         F.lit("</ts></log>"),
     )
     parsed = F.from_xml(xml, "user BIGINT, type STRING, ts BIGINT")

@@ -87,8 +87,18 @@ def _self_norm(alias: str) -> str:
 #: wraps). The universe therefore also requires every |component| <
 #: 1e12 — max-abs < 1e12 ALONE excludes NaN/±Inf too (both engines rank
 #: NaN greatest), but the explicit norm probes stay for clarity.
+#: Fuzz round 6 added the RAGGED-VECTOR class (divergence class 18):
+#: short/empty/NULL embeddings from a failed encoder row. Every oracle
+#: already hard-codes the model dimension (generate_series(1, 64) —
+#: DuckDB's out-of-range list index is NULL, so ragged rows silently
+#: fell out of ITS universe) while Spark's aggregate() walks whatever
+#: length arrived, then fixed-index accesses (codes, centroids) crash.
+#: The universe therefore requires len(embedding) = DIM EXPLICITLY on
+#: both engines — a wrong-dimension vector is an invalid row, exactly
+#: like a non-finite one.
 _EMB_NZ = (
-    "(SELECT * FROM embeddings WHERE isfinite(list_reduce("
+    "(SELECT * FROM embeddings WHERE len(embedding) = 64"
+    " AND isfinite(list_reduce("
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
     " for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_reduce("
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
@@ -99,14 +109,16 @@ _EMB_NZ = (
 
 
 def nz_base(e: "DataFrame") -> "DataFrame":
-    """(vec_id, embedding, nrm) frame with zero-norm, non-finite and
-    huge-component vectors excluded — the canonical input of every
-    cosine-scoring ANN query (see _EMB_NZ)."""
+    """(vec_id, embedding, nrm) frame with zero-norm, non-finite,
+    huge-component and WRONG-DIMENSION (ragged/empty/NULL — class 18)
+    vectors excluded — the canonical input of every cosine-scoring ANN
+    query (see _EMB_NZ)."""
     max_abs = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
     return (
-        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        e.where(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
         .where(~F.isnan("nrm") & (F.col("nrm") > 0) & (max_abs < F.lit(1e12)))
     )
 

@@ -354,7 +354,9 @@ def _kmv_sketch(keys: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
     TakeOrderedAndProject (k rows cross the wire per partition, never
     the key set)."""
     return (
-        keys.select(_hv32(F.col(key_col)).alias("hv"))
+        # NULL keys excluded — see _kmv_sketch_sql (fuzz round 6)
+        keys.where(F.col(key_col).isNotNull())
+        .select(_hv32(F.col(key_col)).alias("hv"))
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -362,12 +364,15 @@ def _kmv_sketch(keys: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
 
 
 def _kmv_sketch_sql(src: str, key: str, k: int = KMV_K) -> str:
+    # NULL keys are not elements of the sketched set (same rule as
+    # count DISTINCT) — and their NULL hash would sort FIRST in Spark's
+    # bottom-k but LAST in DuckDB's (fuzz round 6, NULL o_custkey)
     return f"""
       SELECT hv FROM (
         SELECT DISTINCT
           CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT
                AS BIGINT) AS hv
-        FROM {src}
+        FROM {src} WHERE {key} IS NOT NULL
       ) ORDER BY hv LIMIT {k}
     """
 
@@ -456,9 +461,14 @@ def sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hv").alias("theta"),
         F.sum(F.col("shared").cast("bigint")).alias("n_shared"),
     )
-    # exact union/intersection from one full-outer key join pass
-    a_keys = c.select(F.col("c_custkey").alias("k")).distinct()
-    b_keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    # exact union/intersection from one full-outer key join pass —
+    # NULL keys excluded, same as count(DISTINCT) / the sketch universe
+    a_keys = c.select(F.col("c_custkey").alias("k")).where(
+        F.col("k").isNotNull()
+    ).distinct()
+    b_keys = o.select(F.col("o_custkey").alias("k")).where(
+        F.col("k").isNotNull()
+    ).distinct()
     j = a_keys.withColumnRenamed("k", "ka").join(
         b_keys.withColumnRenamed("k", "kb"),
         F.col("ka") == F.col("kb"),

@@ -609,6 +609,10 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.write.mode("overwrite")
             .option("header", "true")
             .option("nullValue", "\\N")
+            # the CSV WRITER trims cell whitespace by default (fuzz 6:
+            # ' click ' silently merged with 'click'); keep values exact
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .csv(out_dir)
         )
         back = (

@@ -299,12 +299,16 @@ ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
     )
     SELECT
       doc_id,
+      -- NULL text -> NULL fingerprint (fuzz 6): without the CASE,
+      -- list_prepend(0, NULL) is [0] and the fold yields 0, while
+      -- Spark's aggregate() over a NULL array stays NULL
+      CASE WHEN toks IS NULL THEN NULL ELSE
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           [CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % {ROLL_MOD} AS BIGINT)
            for x in toks]),
         (h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD}
-      ) AS fingerprint,
+      ) END AS fingerprint,
       len(toks) AS n_tokens
     FROM t
     """,

@@ -34,7 +34,10 @@ BYTECAP_RESPLIT_FLOOR = 15
       substr(text, i * {CHUNK} + 1, {CHUNK}) AS chunk,
       CAST(greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) AS INT) AS total_splits,
       CASE WHEN length(text) > {CHUNK} THEN doc_id END AS parent_id
-    FROM documents,
+    -- NULL body -> no tiles (fuzz 6): Spark's sequence() fan-out skips
+    -- NULL text while DuckDB's greatest() IGNORES the NULL ceil() and
+    -- would emit one NULL chunk
+    FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents,
          unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
     """,
 )
@@ -60,7 +63,7 @@ def doc_tile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id,
         CAST(i AS INT) AS split_index,
         substr(text, i * {CHUNK} + 1, {CHUNK}) AS chunk
-      FROM documents,
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents,
            unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
     ),
     merged AS (
@@ -97,7 +100,7 @@ def doc_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_tile_bytecap_roundtrip",
     oracle="""
     SELECT doc_id AS record_id, md5(text) AS payload_md5, 1 AS within_cap
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +113,8 @@ def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side guarantee (every emitted archive ≤ cap — the floors are
     scaled so forcing can't occur on this corpus) checked against the
     oracle's constant truth."""
-    docs = table(spark, sf_dir, "documents")
+    # NULL body -> no tiles, same rule as doc_tile_chunks (fuzz 6)
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tiled = tile_bytecap(
         docs,
         "text",

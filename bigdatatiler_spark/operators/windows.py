@@ -179,6 +179,7 @@ from ..streaming.ingest import session_windows, tumbling_counts  # noqa: E402
       count(*) AS n_events,
       round(CAST(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -200,6 +201,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (
@@ -240,6 +242,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       count(*) AS n_events
     FROM events CROSS JOIN generate_series(0, 3) AS t(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -606,7 +609,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS next_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
       SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
@@ -634,7 +637,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the normalizing totals join is broadcast-sized. Ordering
     inside a user is (ts_us, event_id) — a total order, so ties cannot
     reorder between engines."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull()).withColumn(
         "ts_us", F.unix_micros("ts")
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
@@ -673,7 +676,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(epoch_ms(ts)) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS next_ms
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            count(*) AS n_intervals,
@@ -697,7 +700,7 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom at any realistic scale per user), the final division is
     integer floor — nothing float anywhere. One user-keyed window shuffle
     + one agg, the events_session_windows plan shape."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull()).withColumn(
         "ts_us", F.unix_micros("ts")
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
@@ -734,7 +737,7 @@ PATH_LEN = 5  #: leading events kept per session path
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
@@ -764,7 +767,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection order is irrelevant. Two user-keyed window passes + two
     aggs; path cardinality (≤ |types|^{PATH_LEN}) keeps the final agg
     broadcast-small."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull()).withColumn(
         "ts_us", F.unix_micros("ts")
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
@@ -810,14 +813,14 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cohort_ltv",
     oracle="""
     WITH f AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+      SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events WHERE ts IS NOT NULL
       GROUP BY user_id
     ),
     wk AS (
       SELECT f.cw, (epoch_ms(date_trunc('week', e.ts)) - epoch_ms(f.cw))
                // 604800000 AS week_offset,
              sum(CAST(TRY_CAST(CASE WHEN (isfinite(e.value) AND abs(e.value) < 1e16) THEN e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
-      FROM events e JOIN f USING (user_id)
+      FROM events e JOIN f USING (user_id) WHERE e.ts IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT epoch_ms(cw) AS cohort_week_ms,
@@ -837,7 +840,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation). Money is exact cents; the running total is a window
     over the (weeks × weeks)-sized aggregate, never over raw events —
     the cumulative pass costs nothing at any corpus scale."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     f = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cw")
     )
@@ -1008,7 +1011,7 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              epoch_ms(date_trunc('hour', ts)) AS h_ms,
              sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     forecast AS (
       SELECT event_type, cents,
@@ -1036,7 +1039,7 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window runs over the HOURLY AGGREGATE (hours × types
     rows, like the gapfill family), never raw events — one fact shuffle
     for the rollup, then the series logic is free at any corpus size."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = (
         ev.select(
             "event_type",
@@ -1217,6 +1220,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(o_orderpriority) OVER w <> o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
+      WHERE o_custkey IS NOT NULL
       WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY epoch_ms(o_orderdate), o_orderkey)
     ),
@@ -1242,6 +1246,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
              epoch_ms(l.l_shipdate) AS ship_ms
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL
     )
     SELECT p.l_orderkey, p.l_linenumber, p.o_custkey, p.ship_ms,
            d.o_orderpriority AS priority_at_ship
@@ -1270,7 +1275,13 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak. One shuffle on o_custkey; entity histories parallelize
     freely — the identical scale argument as the as-of join
     (operators/asof.py), applied to a *derived* dimension."""
-    orders = table(spark, sf_dir, "orders")
+    # NULL o_custkey excluded both engines (fuzz 6): the window would
+    # pool all NULL-customer orders into one pseudo-history while the
+    # oracle's equality join drops them — the fuzz-2 NULL-key class on
+    # the dimension axis.
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
     seq = orders.select(
         "o_custkey",
@@ -1412,7 +1423,7 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH act AS (
       SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS wk
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     lagged AS (
       SELECT user_id, wk,
@@ -1456,7 +1467,7 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wk = ms(F.date_trunc("week", F.col("ts")))
     act = (
-        _table(spark, sf_dir, "events")
+        _table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
         .select("user_id", wk.alias("wk"))
         .distinct()
     )
@@ -1676,7 +1687,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
@@ -1706,7 +1717,7 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     """Revenue attributed to each session's first event type (see block
     comment). Shares the session kernel and boundary semantics with
     events_session_windows / events_session_paths."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull()).withColumn(
         "ts_us", F.unix_micros("ts")
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
@@ -1855,7 +1866,7 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
@@ -1903,7 +1914,7 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|-row rollup. Micro-cent credits stay < 2^63 through sf100
     (total purchase cents × 1e6)."""
     ev = table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull()
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).withColumn("ts_us", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     flagged = ev.select(

@@ -55,9 +55,15 @@ def stream_events(
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
     """Tumbling-window counts per event type — works on batch AND stream
-    (same logical plan; streaming adds watermark-driven state eviction)."""
+    (same logical plan; streaming adds watermark-driven state eviction).
+
+    NULL event times belong to no window: F.window already drops them,
+    and the explicit filter makes that contract visible (fuzz round 6 —
+    the DuckDB oracles must carry the same WHERE ts IS NOT NULL, since
+    date_trunc(NULL) would otherwise keep a NULL-window group)."""
     return (
-        events.groupBy(F.window("ts", size).alias("w"), "event_type")
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
@@ -74,9 +80,11 @@ def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
 
 
 def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
-    """Sliding-window variant (each event lands in size/slide windows)."""
+    """Sliding-window variant (each event lands in size/slide windows).
+    NULL event times excluded — see tumbling_counts."""
     return (
-        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -88,9 +96,11 @@ def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "15 min
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Session windows per user: activity bursts separated by > gap."""
+    """Session windows per user: activity bursts separated by > gap.
+    NULL event times excluded — see tumbling_counts."""
     return (
-        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",

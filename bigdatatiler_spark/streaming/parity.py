@@ -77,6 +77,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS cents
     FROM events
+    -- NULL event times belong to no window (fuzz 6): the streaming
+    -- window operator drops them; date_trunc(NULL) would keep a group
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -131,6 +134,7 @@ _SINK2 = "streaming_parity_sliding"
       event_type,
       count(*) AS n_events
     FROM events CROSS JOIN g
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -180,6 +184,7 @@ _SINK3 = "streaming_parity_session"
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (

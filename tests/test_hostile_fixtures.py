@@ -119,6 +119,18 @@ HOSTILE_PINNED = (
     "events_bitmap_distinct",       # -2^62 ids through word/bit split
     "multimodal_video_frame_sample",  # container+decode on every doc
     "multimodal_wav_rms_windows",   # framed energy on every doc
+    # fuzz round 6 proper (classes 18-25): NULL text/ts/keys, ragged
+    # vectors, negative doc_ids, whitespace-preserving keys
+    "events_tumbling_hourly",       # class 19: NULL ts window drop
+    # events_ewma_hourly also hit class 19 (NULL bucket in its ordered
+    # series) — listed once above for the NULL-type arg_max class.
+    "lineitem_pit_priority",        # class 19/NULL dim key equality join
+    "sketch_kmv_join_estimate",     # class 24: NULL hash in bottom-k
+    "doc_tile_roundtrip",           # class 23: greatest() ignores NULL
+    "doc_rolling_hash",             # class 25: list_prepend(0, NULL)
+    "multimodal_png_decode_stats",  # class 20: floor-mod vs trunc-mod
+    "dedup_embedding_cosine",       # class 18 + inline-universe drift
+    "events_streaming_hourly_parity",  # class 19 on the streaming oracle
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

@@ -72,9 +72,26 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
         elif k == 12:
             # hash-separator + JSON/XML metacharacters inside content
             d["text"][i] = "unit\x1fsep \"quote\" <tag> \\backslash 'apos'"
+        # fuzz round 6 classes
+        elif k == 13:
+            d["text"][i] = None  # NULL document body (failed fetch row)
+        elif k == 14:
+            d["doc_id"][i] = -abs(d["doc_id"][i]) - 1  # negative id:
+            # Python %/floor-mod vs SQL trunc-mod in closed-form oracles
+        elif k == 15:
+            # 2.1k chars of one repeated bigram. First run used 21k:
+            # no divergence, but the ~30 IDENTICAL long docs collide
+            # into the same MinHash bands and the exact-Jaccard verify
+            # of the quadratic candidate set took 773 s at sf0.001 —
+            # the production answer to identical-doc clusters is the
+            # exact-hash dedup stage FIRST (dedup_exact), not bigger
+            # near-dup verifies.
+            d["text"][i] = "ab " * 700
+        elif k == 16:
+            d["text"][i] = "pre\x00post nul byte"  # NUL inside UTF-8
 
         # keep n_chars consistent with the mutated text
-        d["n_chars"][i] = len(d["text"][i])
+        d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
     return pa.table(d, schema=tbl.schema)
 
 
@@ -84,7 +101,7 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
     epoch0 = dt.datetime(1970, 1, 1)
     pre1970 = dt.datetime(1969, 12, 31, 23, 30, 0)
     for i in range(n):
-        k = i % 23
+        k = i % 29
         if k == 0:
             d["ts"][i] = epoch0
         elif k == 1:
@@ -134,6 +151,17 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["ts"][i] = dt.datetime(2262, 4, 10)  # just under nanos max
         elif k == 22:
             d["event_type"][i] = "тип-événement-種類"  # unicode key
+        # fuzz round 6 classes
+        elif k == 23:
+            d["ts"][i] = None  # NULL timestamp (unparseable source row)
+        elif k == 24:
+            d["value"][i] = -0.0  # negative zero (sign/floor edges)
+        elif k == 25:
+            d["event_type"][i] = " click "  # untrimmed group key
+        elif k == 26:
+            d["props"][i] = "[1, 2, 3]"  # top-level JSON array, no $.k
+        elif k == 27:
+            d["user_id"][i] = 0  # zero key (sentinel-collision probe)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -159,6 +187,13 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
             v = list(d["embedding"][i])
             v[0] = 1.0e30  # huge finite component (scale-overflow probe)
             d["embedding"][i] = v
+        # fuzz round 6 classes
+        elif k == 6:
+            d["embedding"][i] = [0.5, -0.5]  # ragged short vector
+        elif k == 7:
+            d["embedding"][i] = []  # empty vector
+        elif k == 8:
+            d["embedding"][i] = None  # NULL vector (failed encoder row)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -181,6 +216,11 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_orderdate"][i] = dt.datetime(9999, 12, 30)
         elif k == 5:
             d["o_orderdate"][i] = dt.datetime(1969, 6, 1)
+        # fuzz round 6 classes
+        elif k == 6:
+            d["o_custkey"][i] = None  # NULL FK (inner drop vs outer keep)
+        elif k == 7:
+            d["o_orderstatus"][i] = None  # NULL enum/group key
     return pa.table(d, schema=tbl.schema)
 
 
@@ -201,6 +241,11 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
             d["l_linenumber"][i] = d["l_linenumber"][i - 1]
         elif k == 4:
             d["l_shipdate"][i] = dt.datetime(9999, 12, 30)
+        # fuzz round 6 classes
+        elif k == 5:
+            d["l_returnflag"][i] = None  # NULL grouping flag
+        elif k == 6:
+            d["l_quantity"][i] = -3.0  # negative quantity (correction row)
     return pa.table(d, schema=tbl.schema)
 
 
