@@ -196,6 +196,10 @@ HEADLINE = (
     "multimodal_video_frame_sample",
     "multimodal_wav_rms_windows",
     "asof_forward_click_to_purchase",
+    "multimodal_image_resize_stats",
+    "lineitem_weighted_median_price",
+    "doc_sentence_stats",
+    "graph_kcore_peel",
 )
 
 

@@ -670,3 +670,99 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(_band_edges(spark, sf_dir), seeds).select(
         F.col("node").alias("doc_id"), "hops"
     )
+
+
+# --- bounded k-core peeling ---------------------------------------------------
+# Graph summarization for dedup QA: the DENSE part of the near-dup
+# graph. A k-core is the maximal subgraph where every node keeps degree
+# ≥ k; peeling (drop degree<k nodes, recompute, repeat) finds it. Dense
+# cores in a dup graph are template/boilerplate families — the docs a
+# curation pipeline samples for rule-mining. BOUNDED at 3 peel rounds
+# (the engine's iterative-bounded idiom: each round is one groupBy-
+# degree + two semi-joins, lineage-cut like the other fixpoints; real
+# deployments cap rounds the same way and report convergence). The
+# oracle replays the SAME 3 rounds as an unrolled CTE chain — no
+# recursion needed for a bounded peel, so the formulation stays
+# independent of the Spark loop.
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+    lineage_cut: str = "local",
+) -> DataFrame:
+    """(node, degree): nodes surviving `rounds` peels at threshold k,
+    with their degree in the induced subgraph after the last peel.
+    ``edges`` rows are undirected (a, b) pairs."""
+    _validate_lineage_cut(edges, lineage_cut)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+
+    fwd = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    sym = cut(
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        sym = cut(
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    return (
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    k, peel = KCORE_K, []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        peel.append(
+            f"""k{r} AS (
+      SELECT a FROM (SELECT a, count(*) AS c FROM {prev} GROUP BY a)
+      WHERE c >= {k}
+    ),
+    e{r} AS (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT a FROM k{r}) AND b IN (SELECT a FROM k{r})
+    )"""
+        )
+        prev = f"e{r}"
+    chain = ",\n    ".join(peel)
+    return f"""
+    WITH {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+    ),
+    e0 AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ),
+    {chain}
+    SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY a
+    """
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense near-dup families: 3 peel rounds at k=2 over the MinHash
+    band-mate graph, emitting survivors with their induced degree —
+    verified against an unrolled peel chain in the oracle (see block
+    comment)."""
+    return kcore_peel(_band_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "degree"
+    )

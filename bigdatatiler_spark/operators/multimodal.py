@@ -925,3 +925,77 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_frames, out_schema)
+
+
+# --- real resize kernel, oracle-verified -----------------------------------
+# Round 6: the resize stage on REAL bytes with a closed-form oracle.
+# decode → resize_nearest (16x16 → 8x8) → pixel stats of the RESIZED
+# buffer. resize_nearest maps target (tx, ty) → source ((tx·W)//TW,
+# (ty·H)//TH) = (2tx, 2ty) here, so the oracle replays the exact index
+# map in SQL over the same generator formula (floor-mod — class 20).
+# A hash match certifies the codec AND the resampler's index math;
+# resize_stub(fake=False) plumbing was previously pytest-only.
+
+RESIZE_TW = RESIZE_TH = 8
+
+
+@register(
+    "multimodal_image_resize_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             [((doc_id * 31
+                + ((2 * (j // {RESIZE_TW})) * {PNG_W} + 2 * (j % {RESIZE_TW})) * 7)
+               % 256 + 256) % 256
+              for j in generate_series(0, {RESIZE_TW * RESIZE_TH - 1})] AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {RESIZE_TW} AS width,
+           {RESIZE_TH} AS height,
+           CAST(list_sum(p) AS BIGINT) AS px_sum,
+           CAST(list_min(p) AS BIGINT) AS px_min,
+           CAST(list_max(p) AS BIGINT) AS px_max
+    FROM px
+    """,
+)
+def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize (16×16 → 8×8) → stats of the
+    resized buffer, cross-checked against the oracle's replay of the
+    index map (see block comment). Map-only Arrow stage, real codec and
+    real resampler in the scored loop."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("px_min", LongType()),
+            StructField("px_max", LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.png import decode_image, encode_png, resize_nearest
+
+        npx = PNG_W * PNG_H
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pixels = bytes((d * 31 + i * 7) % 256 for i in range(npx))
+                w, h, ch, decoded = decode_image(encode_png(PNG_W, PNG_H, 1, pixels))
+                small = resize_nearest(w, h, ch, decoded, RESIZE_TW, RESIZE_TH)
+                rows.append(
+                    (d, RESIZE_TW, RESIZE_TH, sum(small), min(small), max(small))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "px_min", "px_max"],
+            )
+
+    return docs.mapInPandas(_resize, out_schema)

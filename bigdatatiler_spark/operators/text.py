@@ -1062,3 +1062,64 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= RAKE_TOPK)
         .select("doc_id", "phrase", "score_permille", "rnk")
     )
+
+
+# --- sentence segmentation ---------------------------------------------------
+# The segmentation pass a curation pipeline runs before per-sentence
+# quality filters (too-short sentences, list-like text, boilerplate):
+# split on terminal punctuation runs ([.!?]+), trim, drop empties.
+# Regex class semantics are identical in Spark (java.util.regex) and
+# DuckDB (RE2) for this pattern. NULL bodies are excluded on both
+# engines (the fuzz-6 class-23 rule: NULL body ⇒ no derived rows).
+# Integer outputs only; avg length ships as a floor-scaled ratio
+# (sum_chars·100 div n) per the registry's determinism rules.
+# Map-only: one narrow projection per document, no shuffle.
+
+
+@register(
+    "doc_sentence_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             [x for x in [trim(y) for y in
+                string_split_regex({_NORM_SQL}, '[.!?]+')] if x <> ''] AS sents
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum([length(x) for x in sents]), 0) AS BIGINT)
+             AS sum_chars,
+           CAST(coalesce(list_max([length(x) for x in sents]), 0) AS BIGINT)
+             AS max_chars,
+           CAST(CASE WHEN len(sents) = 0 THEN 0
+                ELSE (list_sum([length(x) for x in sents]) * 100) // len(sents)
+                END AS BIGINT) AS avg_chars_e2
+    FROM s
+    """,
+)
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence segmentation stats (see block comment):
+    count, char totals, longest sentence, floor-scaled mean length."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sents = F.filter(
+        F.transform(
+            F.split(_norm_col(), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    t = docs.select("doc_id", sents.alias("sents"))
+    lens = F.transform("sents", lambda x: F.length(x))
+    total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    return t.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        total.alias("sum_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint").alias("max_chars"),
+        F.when(F.size("sents") == 0, F.lit(0))
+        .otherwise(F.expr(
+            "aggregate(transform(sents, x -> CAST(length(x) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v) * 100 div size(sents)"
+        ))
+        .cast("bigint")
+        .alias("avg_chars_e2"),
+    )

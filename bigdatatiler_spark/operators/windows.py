@@ -1960,3 +1960,90 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_touch").cast("bigint").alias("n_touches"),
         F.sum("credit").cast("bigint").alias("attributed_micro_cents"),
     )
+
+
+# --- weighted median (weighted quantile kernel) -----------------------------
+# The estimator a pricing/mixture pipeline needs that plain
+# percentile_approx can't give: the median of l_extendedprice WEIGHTED
+# by l_quantity (each line counts quantity-many times). Definition
+# pinned exactly on both engines: the smallest cents value whose
+# RUNNING weight (inclusive, ordered by (cents, l_orderkey,
+# l_linenumber) — a total order) satisfies 2·cumw ≥ totw. All integer:
+# cents via the fuzz-4 guard, weights as BIGINT with w > 0 (fuzz 6
+# ships zero and NEGATIVE quantities — a non-positive weight is not a
+# weight). NULL l_returnflag stays a real group on both engines.
+#
+# Plan: one shuffle on the group key; the running sum is one window
+# pass, the argmin one aggregate — no self-join, no sort beyond the
+# window's. At 100 TB: identical shape per group, skew bounded by the
+# flag cardinality (3) — this kernel is for moderate-cardinality
+# groups; per-key exact medians at extreme cardinality ride the GK
+# sketch instead (sketch_quantile_gk).
+
+
+@register(
+    "lineitem_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wq,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_quantity > 0 AND isfinite(l_quantity)
+        AND isfinite(l_extendedprice) AND abs(l_extendedprice) < 1e16
+    ),
+    run AS (
+      SELECT l_returnflag, cents, wq,
+             sum(wq) OVER (PARTITION BY l_returnflag
+                           ORDER BY cents, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(wq) OVER (PARTITION BY l_returnflag) AS totw
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(totw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+             AS wmedian_cents
+    FROM run
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag (see block
+    comment): running-weight window + argmin aggregate, integer-exact."""
+    price = F.col("l_extendedprice")
+    # cents-valid universe pinned in the WHERE (both engines): a NULL
+    # cents row would still carry weight into cumw while sorting
+    # NULLS FIRST here vs LAST in DuckDB
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0)
+        & ~F.isnan("l_quantity")
+        & ~F.col("l_quantity").isin(float("inf"))
+        & ~F.isnan(price)
+        & (F.abs(price) < F.lit(1e16))
+    )
+    cents = (price.cast("decimal(18,2)") * 100).cast("bigint")
+    w = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wq"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    run = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wq").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("wq").over(Window.partitionBy("l_returnflag")).alias("totw"),
+    )
+    return run.groupBy("l_returnflag").agg(
+        F.min("totw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+    )

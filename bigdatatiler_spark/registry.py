@@ -117,7 +117,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh_blocked",
     # (dedup_ngram_jaccard's exact-verify role, plus the deterministic-
     # recall prefix-filter join — round 3's set-similarity addition.)
-    "dedup_prefix_filter_jaccard",
+    # (dedup_prefix_filter_jaccard rotated out for round 6's weighted
+    # median: r3+ driver-green, the exact-Jaccard verify kernel stays
+    # in-window inside dedup_minhash_lsh's family and local-checked.
+    # In: the weighted-quantile kernel — running weight + argmin.)
+    "lineitem_weighted_median_price",
     # (dedup_edit_distance rotated out for round 3's layout family:
     # driver-green in r2, kernel-redundant with the six in-window dedup
     # fingerprint queries, still local-oracle-checked every round.)
@@ -152,14 +156,24 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # monotonicity is pytest-pinned in test_ann_recall.py.)
     "ann_pq_adc_topk",
     "doc_token_stats",
-    "doc_lang_id",
+    # (doc_lang_id rotated out for round 6's segmentation kernel:
+    # r1+ driver-green, the text family keeps token_stats/corpus_profile
+    # /bpe in-window. In: sentence segmentation stats.)
+    "doc_sentence_stats",
     # (doc_fingerprint_bottomk rotated out for round 5's sweep-line
     # kernel: r4 driver-green, the text family keeps five in-window
     # entries and the Karp-Rabin bottom-k kernel is local-oracle-checked
     # every round (doc_rolling_hash shares it). In: interval-union
     # coverage — running-max sweep line, a new algorithmic class.)
     "events_interval_coverage",
-    "corpus_language_profile",
+    # (corpus_language_profile rotated out for round 6's real-resize
+    # stage: r2+ driver-green, the text family keeps token_stats + bpe +
+    # sentence_stats in-window and the profile stays local-checked.
+    # ann_pq_adc_topk stays in-window — it is pq.py's only entry and
+    # the contract gate requires every operator module represented.
+    # In: decode → resize_nearest → stats vs the oracle's index-map
+    # replay.)
+    "multimodal_image_resize_stats",
     "doc_bpe_token_counts",
     "doc_tile_roundtrip",
     # (multimodal_payload_stats rotated out for round 5: r4 driver-green;
@@ -201,7 +215,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # relational family keeps q1/q18/q12 in-window and q8 stays
     # local-oracle-checked).)
     "asof_forward_click_to_purchase",
-    "sample_train_test_split",
+    # (sample_train_test_split rotated out for round 6's k-core peel:
+    # r1+ driver-green, sampling keeps sample_domain_mixture in-window
+    # and the md5-bucket split rule is pytest-pinned. In: bounded
+    # k-core peeling — the dense-subgraph kernel beside BFS/CC/rank.)
+    "graph_kcore_peel",
     # — new round-2 queries append here (slots up to #50) —
     # (order_date_functions rotated out: round-1 driver-green, and the
     # tz-canary role is covered by events_xml_inspection + the datediff

@@ -280,3 +280,23 @@ def test_bfs_hops_cycle_terminates(spark):
     seeds = spark.createDataFrame([(1,)], ["node"])
     out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_kcore_peel_triangle_with_tail(spark):
+    from bigdatatiler_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 (2-core) with a tail 3-4-5: the tail peels off
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    out = {r["node"]: r["degree"] for r in kcore_peel(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_all_survive(spark):
+    from bigdatatiler_spark.operators.graph import kcore_peel
+
+    # 4-cycle: every node has degree exactly 2 — nothing peels
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["a", "b"])
+    out = {r["node"]: r["degree"] for r in kcore_peel(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}

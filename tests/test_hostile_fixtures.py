@@ -131,6 +131,11 @@ HOSTILE_PINNED = (
     "multimodal_png_decode_stats",  # class 20: floor-mod vs trunc-mod
     "dedup_embedding_cosine",       # class 18 + inline-universe drift
     "events_streaming_hourly_parity",  # class 19 on the streaming oracle
+    # round-6 batch 2: new ops pinned on hostile content from day one
+    "multimodal_image_resize_stats",   # negative-id floor-mod index map
+    "lineitem_weighted_median_price",  # zero/negative weights, NULL flag
+    "doc_sentence_stats",              # NULL/empty/punct-only bodies
+    "graph_kcore_peel",                # hostile dup-graph peeling
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

@@ -146,3 +146,50 @@ def test_fk_edge_profile_null_child_keys_and_dup_parents(spark):
     assert row.n_child_keys == 1        # NULLs excluded, like count(DISTINCT)
     assert row.n_orphans == 2           # both NULL-key rows
     assert row.n_unref_parents == 1     # key 3 once; NULL pk ignored
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """2*cumw >= totw picks the lower-weighted-middle price, ties to the
+    smallest cents (total order), per group — checked by replaying the
+    definition in plain Python on the same universe."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.windows import lineitem_weighted_median_price
+    from bigdatatiler_spark.tables import table
+
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["wmedian_cents"])
+        for r in lineitem_weighted_median_price(spark, sf_dir).collect()
+    }
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 0) & ~F.isnan("l_quantity")
+               & ~F.isnan("l_extendedprice")
+               & (F.abs("l_extendedprice") < F.lit(1e16)))
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("wq"),
+            "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(
+            (r["cents"], r["l_orderkey"], r["l_linenumber"], r["wq"])
+        )
+    for flag, items in groups.items():
+        items.sort()
+        tot = sum(w for *_k, w in items)
+        cum = 0
+        med = None
+        for cents, _o, _l, w in items:
+            cum += w
+            if 2 * cum >= tot:
+                med = cents
+                break
+        assert got[flag] == (tot, med), flag
