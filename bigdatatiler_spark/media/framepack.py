@@ -34,6 +34,8 @@ def pack_frames(frames: list[bytes]) -> bytes:
 def frame_count(blob: bytes) -> int:
     if blob[:4] != _MAGIC:
         raise ValueError("not an FPK1 container")
+    if len(blob) < 8:
+        raise ValueError("truncated FPK1 container (missing frame count)")
     return struct.unpack(">I", blob[4:8])[0]
 
 
@@ -49,8 +51,17 @@ def iter_frames(blob: bytes, stride: int = 1) -> Iterator[tuple[int, bytes]]:
     n = frame_count(blob)
     off = 8
     for i in range(n):
+        # bounds-validate every prefix and payload against the actual blob
+        # length: a truncated/length-corrupted container must fail loudly,
+        # not yield silently short frame bytes via slice truncation
+        if off + 4 > len(blob):
+            raise ValueError(f"truncated FPK1 container (frame {i} prefix)")
         (ln,) = struct.unpack(">I", blob[off : off + 4])
         off += 4
+        if off + ln > len(blob):
+            raise ValueError(f"truncated FPK1 container (frame {i} payload)")
         if i % stride == 0:
             yield i, blob[off : off + ln]
         off += ln
+    if off != len(blob):
+        raise ValueError("trailing bytes after final FPK1 frame")

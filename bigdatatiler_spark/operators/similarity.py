@@ -1073,7 +1073,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fin AS (
       SELECT dim, CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS xe6
-      FROM el WHERE isfinite(xf) AND abs(xf) < 1e9
+      FROM el WHERE isfinite(xf) AND abs(xf) < 1e3
     ),
     agg AS (
       SELECT dim, count(*) AS n,
@@ -1110,16 +1110,17 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "xf")
     )
     x = F.col("xf").cast("double")
-    # |x| < 1e9 bounds |xe6| <= 1e15, so xe6^2 <= 1e30 and the
-    # DECIMAL(38,0)/HUGEINT moments keep >= 1e8 rows-per-dimension of
-    # headroom (ADVICE r5: 1e12 admitted xe6 ~ 1e18, whose square hits
-    # the 38-digit edge at ~100 elements). Remaining assumption,
-    # documented: per dimension, sum|xe6| < 1e19 (s1^2 < 1e38) — i.e.
-    # mean|x|*n < 1e13 — far beyond any real embedding corpus.
+    # |x| < 1e3 bounds |xe6| < 1e9, so the worst-case variance numerator
+    # n*s2 - s1^2 <= n^2 * max(xe6)^2 = n^2 * 1e18 stays inside
+    # DECIMAL(38,0)/HUGEINT for n < 1e10 rows per dimension (~2.5 PB of
+    # fp32 at dim 64) — the REAL worst-case bound, stated so it is
+    # auditable (ADVICE r6: the previous 1e9 bound's claimed >=1e8-row
+    # headroom was wrong — n*s2 alone reaches 1e38 at n ~ 1e4).
+    # Real embedding components are O(1); 1e3 loses nothing.
     fin = emb.where(
         ~F.isnan(x)
         & ~x.isin(float("inf"), float("-inf"))
-        & (F.abs(x) < F.lit(1e9))
+        & (F.abs(x) < F.lit(1e3))
     ).select(
         F.col("dim").cast("bigint").alias("dim"),
         F.floor(x * F.lit(1_000_000.0)).cast("bigint").alias("xe6"),

@@ -1988,7 +1988,7 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
-             CAST(l_quantity AS BIGINT) AS wq,
+             CAST(floor(l_quantity) AS BIGINT) AS wq,
              l_orderkey, l_linenumber
       FROM lineitem
       WHERE l_quantity > 0 AND isfinite(l_quantity)
@@ -2028,7 +2028,11 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     w = li.select(
         "l_returnflag",
         cents.alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("wq"),
+        # floor() pinned on BOTH engines before the BIGINT cast: a raw
+        # CAST rounds-to-nearest in DuckDB but truncates in Spark, so a
+        # fractional quantity would silently desynchronize cumw/totw
+        # (ADVICE r6; same family as the trunc-vs-floor class 20)
+        F.floor("l_quantity").cast("bigint").alias("wq"),
         "l_orderkey",
         "l_linenumber",
     )

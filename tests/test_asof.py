@@ -47,7 +47,7 @@ def test_asof_forward_semantics(spark, frames):
             direction="forward",
         ).collect()
     }
-    assert out[100] == 2  # equal timestamp matches (inclusive <=)
+    assert out[100] == 2  # equal timestamp matches (inclusive >=)
     assert out[101] == 1  # earliest ref at-or-after t=10 is t=20
     assert out[102] == 3  # u2's ref at t=31 >= 30
     assert out[103] is None  # key with no ref rows at all

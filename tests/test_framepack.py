@@ -33,3 +33,27 @@ def test_bad_magic_and_stride():
         frame_count(b"nope" + b"\x00" * 8)
     with pytest.raises(ValueError, match="stride"):
         list(iter_frames(pack_frames([b"x"]), stride=0))
+
+
+def test_truncated_container_fails_loudly():
+    """ADVICE r6: a truncated or length-corrupted container must raise a
+    clear format error, never yield silently short frame bytes."""
+    frames = [b"alpha", b"beta-beta", b"gamma"]
+    blob = pack_frames(frames)
+    # cut mid-payload of the last frame
+    with pytest.raises(ValueError, match="truncated FPK1"):
+        list(iter_frames(blob[:-2]))
+    # cut mid-length-prefix
+    with pytest.raises(ValueError, match="truncated FPK1"):
+        list(iter_frames(blob[: 8 + 4 + 5 + 2]))
+    # corrupt a length prefix upward (claims more bytes than exist)
+    bad = bytearray(blob)
+    bad[8:12] = (10**6).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated FPK1"):
+        list(iter_frames(bytes(bad)))
+    # trailing garbage after the declared final frame
+    with pytest.raises(ValueError, match="trailing bytes"):
+        list(iter_frames(blob + b"x"))
+    # container shorter than the 8-byte header
+    with pytest.raises(ValueError, match="truncated FPK1"):
+        frame_count(b"FPK1\x00")
