@@ -268,6 +268,27 @@ def main() -> None:
         pass
     r1_timings = {k: v for k, v in timings.items() if k in r1_queries}
 
+    # Named-regression tripwire: compare against the committed per-query
+    # budget (2x a solo-run measurement, 1.5 s floor — see
+    # tools/time_budget.py). Violations ride the detail line so the
+    # bounded final line stays parseable; shared-box load noise stays
+    # under the generous threshold, a real plan regression does not.
+    budget_violations: dict[str, list[float]] = {}
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bigdatatiler_spark", "plans", "time_budget.json",
+    )
+    try:
+        with open(budget_path) as f:
+            budget = json.load(f)
+        if str(budget.get("sf")) == str(sf_val):
+            for name, sec in timings.items():
+                cap = budget["budget_sec"].get(name)
+                if cap is not None and sec > cap:
+                    budget_violations[name] = [sec, cap]
+    except (OSError, KeyError, ValueError):
+        pass
+
     # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
     print(json.dumps({
         "metric": "headline_queries_detail",
@@ -275,6 +296,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "budget_violations": budget_violations,
     }))
     # Compact, bounded summary as the FINAL stdout line (driver-parseable).
     out = {

@@ -203,3 +203,44 @@ def test_wav_decode_stats_query_runs(spark):
     assert row["peak_abs"] == max(abs(s) for s in expect)
     assert row["sample_rate"] == WAV_RATE
     assert row["n_samples"] == WAV_N
+
+
+def test_png_one_pixel_and_degenerate_resize():
+    """Fuzz round 7: 1x1 images and degenerate resize targets — the
+    smallest media payloads a crawler actually ships (tracking pixels)."""
+    from bigdatatiler_spark.media.png import (
+        ahash64,
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    one = encode_png(1, 1, 3, b"\x10\x20\x30")
+    assert decode_png(one) == (1, 1, 3, b"\x10\x20\x30")
+    # 1x1 -> NxM upscale replicates the single pixel
+    up = resize_nearest(1, 1, 3, b"\x10\x20\x30", 4, 2)
+    assert up == b"\x10\x20\x30" * 8
+    # NxM -> 1x1 downscale picks the floor-mapped source pixel
+    src = bytes(range(4 * 2 * 1))
+    assert resize_nearest(4, 2, 1, src, 1, 1) == bytes([src[0]])
+    # aHash of a constant 1x1 image is defined (no div-by-zero on the
+    # 8x8 grid mapping) and equals the all-zero hash for a flat image
+    assert ahash64(1, 1, 1, b"\x80") == 0
+    # zero-length pixel buffer must be rejected, not silently encoded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_png(1, 1, 3, b"")
+
+
+def test_wav_single_sample_and_empty():
+    """Fuzz round 7: single-sample and zero-sample WAV bodies — the
+    zero-crossing and RMS framing kernels must not assume length >= 2."""
+    from bigdatatiler_spark.media.wav import audio_stats, decode_wav, encode_wav
+
+    blob = encode_wav(8000, 1, [-7])
+    assert decode_wav(blob) == (8000, 1, [-7])
+    assert audio_stats([-7]) == (7, 7, 0)  # no pair -> no crossings
+    empty = encode_wav(8000, 1, [])
+    assert decode_wav(empty) == (8000, 1, [])
+    assert audio_stats([]) == (0, 0, 0)

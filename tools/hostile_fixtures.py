@@ -43,7 +43,7 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["doc_id"])
     for i in range(n):
-        k = i % 17
+        k = i % 19
         if k == 0:
             d["lang"][i] = None
         elif k == 1:
@@ -89,6 +89,22 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["text"][i] = "ab " * 700
         elif k == 16:
             d["text"][i] = "pre\x00post nul byte"  # NUL inside UTF-8
+        # fuzz round 7 classes
+        elif k == 17:
+            # Unicode normalization: NFC vs NFD spellings of the same
+            # word (distinct code-point sequences that RENDER identically)
+            # plus astral-plane chars (UTF-16 surrogate pairs in JVM land:
+            # Java String.length() counts UTF-16 units, so any kernel
+            # leaking through a char-unit length diverges from DuckDB's
+            # code-point count)
+            d["text"][i] = (
+                "caf\u00e9 nfc cafe\u0301 nfd "
+                "\U0001d518\U0001d52b\U0001d526 astral \U0001f9ea"
+            )
+        elif k == 18:
+            # leading combining marks: a "word" that begins with
+            # zero-width combining code points (regex \w / split edges)
+            d["text"][i] = "́̈combined start é̂ stack"
 
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
@@ -101,7 +117,7 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
     epoch0 = dt.datetime(1970, 1, 1)
     pre1970 = dt.datetime(1969, 12, 31, 23, 30, 0)
     for i in range(n):
-        k = i % 29
+        k = i % 31
         if k == 0:
             d["ts"][i] = epoch0
         elif k == 1:
@@ -162,6 +178,21 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["props"][i] = "[1, 2, 3]"  # top-level JSON array, no $.k
         elif k == 27:
             d["user_id"][i] = 0  # zero key (sentinel-collision probe)
+        # fuzz round 7 classes
+        elif k == 28 and i > 0:
+            # DUPLICATE event_id with a DIFFERENT payload (at-least-once
+            # delivery where the retry carried new data): every tiebreak
+            # kernel that assumes event_id is a total order now has a
+            # genuine tie — row_number picks arbitrarily per engine
+            d["event_id"][i] = d["event_id"][i - 1]
+        elif k == 29:
+            # sub-millisecond PRE-epoch instant: -1 µs. Truncating
+            # µs→ms arithmetic gives 0 ms, flooring gives -1 ms — the
+            # trunc-vs-floor class on the time axis itself
+            d["ts"][i] = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+        elif k == 30:
+            # sub-ms POST-epoch instant (pairs with k=29): .9995 ms
+            d["ts"][i] = dt.datetime(1970, 1, 1, 0, 0, 0, 999)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -194,6 +225,18 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
             d["embedding"][i] = []  # empty vector
         elif k == 8:
             d["embedding"][i] = None  # NULL vector (failed encoder row)
+        # fuzz round 7 classes
+        elif k == 9:
+            # ALL-IDENTICAL constant vector cluster (~4% of the corpus):
+            # exact cosine ties in every ANN top-k (tiebreak must be
+            # total), zero within-cluster variance, and a MinHash/LSH
+            # bucket whose every candidate pair is an exact duplicate
+            d["embedding"][i] = [0.25] * len(d["embedding"][i])
+        elif k == 10:
+            # denormal-magnitude components: norm underflows toward 0
+            # but is NOT exactly zero — probes the nz_base epsilon vs
+            # exact-zero universe split
+            d["embedding"][i] = [5e-324] * len(d["embedding"][i])
     return pa.table(d, schema=tbl.schema)
 
 
@@ -221,6 +264,11 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_custkey"][i] = None  # NULL FK (inner drop vs outer keep)
         elif k == 7:
             d["o_orderstatus"][i] = None  # NULL enum/group key
+        # fuzz round 7 classes
+        elif k == 8:
+            d["o_orderdate"][i] = None  # NULL date (SCD2/backtest axis)
+        elif k == 9:
+            d["o_totalprice"][i] = 0.005  # half-cent boundary price
     return pa.table(d, schema=tbl.schema)
 
 
@@ -246,6 +294,16 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
             d["l_returnflag"][i] = None  # NULL grouping flag
         elif k == 6:
             d["l_quantity"][i] = -3.0  # negative quantity (correction row)
+        # fuzz round 7 classes
+        elif k == 7:
+            # FRACTIONAL positive quantity (bulk goods sold by weight):
+            # the ADVICE-r6 class — a raw BIGINT cast of the weight
+            # rounds in DuckDB but truncates in Spark
+            d["l_quantity"][i] = 2.5
+        elif k == 8:
+            # sub-cent price on the half-cent boundary: the
+            # double→DECIMAL(18,2) cast's rounding is engine-implemented
+            d["l_extendedprice"][i] = 100.005
     return pa.table(d, schema=tbl.schema)
 
 
