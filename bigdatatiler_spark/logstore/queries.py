@@ -53,7 +53,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_filtered_topk",
     oracle=f"""
-    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+    SELECT event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms, user_id, event_type,
            CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS value
     FROM events
     WHERE event_type = 'click'
@@ -72,7 +72,7 @@ def events_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_point_read",
     oracle="""
-    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+    SELECT event_id, user_id, event_type, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,
            CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS value, props
     FROM events
     WHERE user_id = 8 AND event_id = 0
@@ -95,7 +95,7 @@ def events_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_gather_disjunctive",
     oracle="""
-    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+    SELECT event_id, user_id, event_type, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms
     FROM events
     WHERE event_id = 7 OR user_id = 42
     """,
@@ -122,7 +122,7 @@ CURSOR_PAGE = 100
 @register(
     "events_page_keyset",
     oracle=f"""
-    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+    SELECT event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms, user_id, event_type
     FROM events
     WHERE ts < TIMESTAMP '{CURSOR_TS}'
        OR (ts = TIMESTAMP '{CURSOR_TS}' AND event_id < {CURSOR_ID})
@@ -163,8 +163,8 @@ def events_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       count(*) AS n_events,
       round(CAST(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
-      epoch_ms(min(ts)) AS first_ts_ms,
-      epoch_ms(max(ts)) AS last_ts_ms,
+      epoch_ms(date_trunc('milliseconds', min(ts))) AS first_ts_ms,
+      epoch_ms(date_trunc('milliseconds', max(ts))) AS last_ts_ms,
       count(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -189,7 +189,7 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_latest_per_user",
     oracle="""
-    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, rn
+    SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms, event_type, rn
     FROM (
       SELECT user_id, event_id, ts, event_type,
              row_number() OVER (PARTITION BY user_id

@@ -31,7 +31,12 @@ def ms(col: str | Column) -> Column:
     """Epoch-ms projection of any timestamp flavor (NTZ or LTZ).
 
     NTZ → LTZ cast interprets wall-clock in the session tz (pinned UTC by
-    tune_session), which matches DuckDB's naive-timestamp epoch_ms().
+    tune_session), which matches DuckDB's naive-timestamp epoch_ms()
+    EXCEPT on sub-millisecond pre-epoch instants: unix_millis FLOORS
+    (-1 µs → -1 ms) while epoch_ms TRUNCATES (→ 0 ms). Floor is the
+    bucket-correct semantics, so every oracle pins it by wrapping
+    epoch_ms(date_trunc('milliseconds', x)) — fuzz 7, class 26. Never
+    emit a bare epoch_ms(ts) in an oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_millis(c.cast("timestamp"))

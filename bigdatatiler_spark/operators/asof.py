@@ -95,9 +95,9 @@ def asof_join(
     SELECT
       p.event_id AS purchase_event_id,
       p.user_id,
-      epoch_ms(p.ts) AS purchase_ts_ms,
+      epoch_ms(date_trunc('milliseconds', p.ts)) AS purchase_ts_ms,
       m.event_id AS click_event_id,
-      epoch_ms(m.ts) AS click_ts_ms
+      epoch_ms(date_trunc('milliseconds', m.ts)) AS click_ts_ms
     FROM (SELECT * FROM events
           WHERE event_type = 'purchase' AND user_id IS NOT NULL
             AND ts IS NOT NULL) p
@@ -162,8 +162,8 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       s.event_id AS signup_event_id,
       e.event_id AS error_event_id,
       s.user_id,
-      epoch_ms(s.ts) AS signup_ts_ms,
-      epoch_ms(e.ts) AS error_ts_ms
+      epoch_ms(date_trunc('milliseconds', s.ts)) AS signup_ts_ms,
+      epoch_ms(date_trunc('milliseconds', e.ts)) AS error_ts_ms
     FROM (SELECT * FROM events WHERE event_type = 'signup') s
     JOIN (SELECT * FROM events WHERE event_type = 'error') e
       ON s.user_id = e.user_id
@@ -214,9 +214,9 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.event_id AS click_event_id,
       c.user_id,
-      epoch_ms(c.ts) AS click_ts_ms,
+      epoch_ms(date_trunc('milliseconds', c.ts)) AS click_ts_ms,
       m.event_id AS purchase_event_id,
-      epoch_ms(m.ts) AS purchase_ts_ms
+      epoch_ms(date_trunc('milliseconds', m.ts)) AS purchase_ts_ms
     FROM (SELECT * FROM events
           WHERE event_type = 'click' AND user_id IS NOT NULL
             AND ts IS NOT NULL) c

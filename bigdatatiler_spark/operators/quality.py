@@ -227,7 +227,7 @@ def diverging_buckets(a: DataFrame, b: DataFrame) -> list[int]:
       CAST(sum(('0x' || substr(md5(
         concat_ws('|', event_id, user_id, event_type,
                   CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT),
-                  epoch_ms(ts))
+                  epoch_ms(date_trunc('milliseconds', ts)))
       ), 1, 8))::UBIGINT) AS BIGINT) AS sig_sum
     FROM events
     GROUP BY 1
@@ -371,13 +371,13 @@ def tpch_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_drift_psi",
     oracle="""
     WITH bounds AS (
-      SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events
+      SELECT (min(epoch_ms(date_trunc('milliseconds', ts))) + max(epoch_ms(date_trunc('milliseconds', ts)))) // 2 AS mid FROM events
     ),
     counts AS (
       SELECT event_type,
-             CAST(1 + sum(CASE WHEN epoch_ms(ts) < b.mid THEN 1 ELSE 0 END)
+             CAST(1 + sum(CASE WHEN epoch_ms(date_trunc('milliseconds', ts)) < b.mid THEN 1 ELSE 0 END)
                AS BIGINT) AS n_a,
-             CAST(1 + sum(CASE WHEN epoch_ms(ts) >= b.mid THEN 1 ELSE 0 END)
+             CAST(1 + sum(CASE WHEN epoch_ms(date_trunc('milliseconds', ts)) >= b.mid THEN 1 ELSE 0 END)
                AS BIGINT) AS n_b
       FROM events CROSS JOIN bounds b
       GROUP BY event_type
@@ -447,7 +447,7 @@ def events_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type,
-             epoch_ms(date_trunc('hour', ts)) AS h_ms,
+             epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS h_ms,
              CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS BIGINT) AS cents
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
@@ -703,8 +703,8 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH life AS (
       SELECT user_id,
-             (epoch_ms(date_trunc('week', max(ts)))
-              - epoch_ms(date_trunc('week', min(ts)))) // 604800000
+             (epoch_ms(date_trunc('milliseconds', date_trunc('week', max(ts))))
+              - epoch_ms(date_trunc('milliseconds', date_trunc('week', min(ts))))) // 604800000
                AS tenure_weeks
       FROM events GROUP BY user_id
     ),

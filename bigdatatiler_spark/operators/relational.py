@@ -85,7 +85,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderkey,
       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
-      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -575,7 +575,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT o_custkey AS c_custkey,
-             max(epoch_ms(o_orderdate)) AS last_order_ms,
+             max(epoch_ms(date_trunc('milliseconds', o_orderdate))) AS last_order_ms,
              count(*) AS frequency,
              sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
                AS monetary_cents

@@ -24,11 +24,11 @@ from ._util import dec, ms, ts_lit
         CASE WHEN user_id IS NOT NULL THEN CAST(user_id AS VARCHAR) ELSE 'NoUserId' END,
         CASE WHEN event_type IS NOT NULL AND trim(event_type) <> ''
              THEN event_type ELSE 'NoTrigger' END,
-        CAST(epoch_ms(ts) AS VARCHAR)
+        CAST(epoch_ms(date_trunc('milliseconds', ts)) AS VARCHAR)
       ) AS doc_id,
       CASE WHEN json_valid(props)
            THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS prop_k,
-      epoch_ms(ts) AS ts_ms
+      epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms
     FROM events
     WHERE user_id <= 20
     """,
@@ -107,9 +107,9 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       month(o_orderdate)                                 AS order_month,
       day(o_orderdate)                                   AS order_day,
       quarter(o_orderdate)                               AS order_quarter,
-      epoch_ms(date_trunc('month', o_orderdate))         AS month_start_ms,
-      epoch_ms(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS month_end_ms,
-      epoch_ms(o_orderdate + INTERVAL 3 MONTH)           AS plus3m_ms,
+      epoch_ms(date_trunc('milliseconds', date_trunc('month', o_orderdate)))         AS month_start_ms,
+      epoch_ms(date_trunc('milliseconds', CAST(last_day(o_orderdate) AS TIMESTAMP))) AS month_end_ms,
+      epoch_ms(date_trunc('milliseconds', o_orderdate + INTERVAL 3 MONTH))           AS plus3m_ms,
       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
     FROM orders
     WHERE o_custkey <= 40
@@ -250,7 +250,7 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- ' click '), so the round-trip normalizes — mirror it
            trim(coalesce(event_type, ''),
                 ' ' || chr(9) || chr(10) || chr(13)) AS event_type,
-           epoch_ms(ts) AS ts_ms
+           epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms
     FROM events
     WHERE user_id <= 50
     """,
@@ -275,7 +275,7 @@ def events_xml_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("event_type"), F.lit("")),
         F.lit("</type><ts>"),
         # NULL ts (fuzz 6) would likewise null the concat; the empty
-        # element parses back as NULL BIGINT, matching epoch_ms(NULL)
+        # element parses back as NULL BIGINT, matching epoch_ms(date_trunc('milliseconds', NULL))
         F.coalesce(F.unix_millis("ts").cast("string"), F.lit("")),
         F.lit("</ts></log>"),
     )

@@ -95,8 +95,8 @@ def salted_join(
       user_id,
       count(*) AS n_events,
       CAST(round(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
-      min(epoch_ms(ts)) AS min_ts_ms,
-      max(epoch_ms(ts)) AS max_ts_ms
+      min(epoch_ms(date_trunc('milliseconds', ts))) AS min_ts_ms,
+      max(epoch_ms(date_trunc('milliseconds', ts))) AS max_ts_ms
     FROM events
     GROUP BY user_id
     """,

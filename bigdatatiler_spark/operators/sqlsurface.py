@@ -94,7 +94,7 @@ def nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_page_offset",
     oracle=f"""
-    SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+    SELECT o_orderkey, o_custkey, epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -208,7 +208,7 @@ def orders_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_anomaly",
     oracle="""
     WITH hourly AS (
-      SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      SELECT event_type, epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS hour_ms,
              count(*) AS n
       FROM events GROUP BY 1, 2
     ),
@@ -515,7 +515,7 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
                          THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents,
-           CAST(sum(epoch_ms(ts) % 1000000) AS BIGINT) AS ts_checksum
+           CAST(sum(epoch_ms(date_trunc('milliseconds', ts)) % 1000000) AS BIGINT) AS ts_checksum
     FROM events GROUP BY event_type
     """,
 )
@@ -571,7 +571,7 @@ def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
                          THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents,
-           CAST(sum(epoch_ms(ts) % 1000000) AS BIGINT) AS ts_checksum,
+           CAST(sum(epoch_ms(date_trunc('milliseconds', ts)) % 1000000) AS BIGINT) AS ts_checksum,
            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anonymous
     FROM events GROUP BY event_type

@@ -446,7 +446,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT
       c_name, c_custkey, o_orderkey,
-      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
       CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty
     FROM customer
@@ -650,8 +650,8 @@ def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipment",
     oracle="""
     SELECT
-      CASE WHEN floor(epoch_ms(l_shipdate) / 86400000)
-              - floor(epoch_ms(o_orderdate) / 86400000) > 90
+      CASE WHEN floor(epoch_ms(date_trunc('milliseconds', l_shipdate)) / 86400000)
+              - floor(epoch_ms(date_trunc('milliseconds', o_orderdate)) / 86400000) > 90
            THEN 'late' ELSE 'on-time' END AS ship_bucket,
       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

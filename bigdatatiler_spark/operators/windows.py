@@ -69,14 +69,14 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      epoch_ms(o_orderdate) AS o_orderdate_ms,
+      epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
         PARTITION BY o_custkey
-        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       ), 2) AS DOUBLE) AS running_total,
       row_number() OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
       ) AS order_seq
     FROM orders
     WHERE o_custkey <= 30
@@ -87,7 +87,12 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     running spend. Decimal accumulation keeps the prefix sums exact and
     order-independent across engines."""
     orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 30)
-    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    # NULL o_orderdate sorts FIRST in both engines (fuzz 7, class 27:
+    # Spark default is NULLS FIRST asc, DuckDB default is NULLS LAST —
+    # pinned explicitly on both sides; o_orderkey keeps the total order)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), F.asc("o_orderkey")
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -105,20 +110,26 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      epoch_ms(o_orderdate) AS o_orderdate_ms,
-      epoch_ms(lag(o_orderdate) OVER w)  AS prev_order_ms,
-      epoch_ms(lead(o_orderdate) OVER w) AS next_order_ms,
+      epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
+      epoch_ms(date_trunc('milliseconds', lag(o_orderdate) OVER w))  AS prev_order_ms,
+      epoch_ms(date_trunc('milliseconds', lead(o_orderdate) OVER w)) AS next_order_ms,
       date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
     FROM orders
     WHERE o_custkey <= 30
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
     """,
 )
 def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead navigation: inter-order gaps per customer. datediff on
     date-truncated values is integral — no FP concerns."""
     orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 30)
-    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    # NULL o_orderdate sorts FIRST in both engines (fuzz 7, class 27:
+    # Spark default is NULLS FIRST asc, DuckDB default is NULLS LAST —
+    # pinned explicitly on both sides; o_orderkey keeps the total order)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), F.asc("o_orderkey")
+    )
     prev_d = F.lag("o_orderdate").over(w)
     return orders.select(
         "o_custkey",
@@ -174,7 +185,7 @@ from ..streaming.ingest import session_windows, tumbling_counts  # noqa: E402
     "events_tumbling_hourly",
     oracle="""
     SELECT
-      epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+      epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS window_start_ms,
       event_type,
       count(*) AS n_events,
       round(CAST(sum(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
@@ -212,8 +223,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       user_id,
-      epoch_ms(min(ts)) AS session_start_ms,
-      epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end_ms,
+      epoch_ms(date_trunc('milliseconds', min(ts))) AS session_start_ms,
+      epoch_ms(date_trunc('milliseconds', max(ts) + INTERVAL 30 MINUTES)) AS session_end_ms,
       count(*) AS n_events
     FROM numbered
     GROUP BY user_id, sess_id
@@ -235,10 +246,10 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sliding_counts",
     oracle="""
     SELECT
-      epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes')
+      epoch_ms(date_trunc('milliseconds', time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'))
         AS window_start_ms,
-      epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
-               + INTERVAL '1 hour') AS window_end_ms,
+      epoch_ms(date_trunc('milliseconds', time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               + INTERVAL '1 hour')) AS window_end_ms,
       event_type,
       count(*) AS n_events
     FROM events CROSS JOIN generate_series(0, 3) AS t(k)
@@ -356,7 +367,7 @@ def _funnel_report(chain):
     "events_funnel_conversion",
     oracle="""
     WITH e AS (
-      SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+      SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS t, event_type FROM events
       WHERE user_id IS NOT NULL
     ),
     s1 AS (SELECT user_id, min(t) AS t1 FROM e
@@ -412,8 +423,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
     )
     SELECT
-      epoch_ms(f.cw) AS cohort_week_ms,
-      (epoch_ms(a.wk) - epoch_ms(f.cw)) // 604800000 AS week_offset,
+      epoch_ms(date_trunc('milliseconds', f.cw)) AS cohort_week_ms,
+      (epoch_ms(date_trunc('milliseconds', a.wk)) - epoch_ms(date_trunc('milliseconds', f.cw))) // 604800000 AS week_offset,
       count(*) AS n_active_users
     FROM act a JOIN f USING (user_id)
     GROUP BY 1, 2
@@ -470,7 +481,7 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
     )
     SELECT
-      epoch_ms(s.h) AS bucket_ms,
+      epoch_ms(date_trunc('milliseconds', s.h)) AS bucket_ms,
       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
       CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap
     FROM spine s LEFT JOIN agg a ON s.h = a.h
@@ -540,7 +551,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.h, a.cents FROM spine s LEFT JOIN agg a ON s.h = a.h
     )
     SELECT
-      epoch_ms(h) AS bucket_ms,
+      epoch_ms(date_trunc('milliseconds', h)) AS bucket_ms,
       CAST(COALESCE(
         last_value(cents IGNORE NULLS)
           OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -672,8 +683,8 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id,
              CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             epoch_ms(ts) AS t_ms,
-             lead(epoch_ms(ts)) OVER (
+             epoch_ms(date_trunc('milliseconds', ts)) AS t_ms,
+             lead(epoch_ms(date_trunc('milliseconds', ts))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS next_ms
       FROM events WHERE ts IS NOT NULL
@@ -817,13 +828,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     wk AS (
-      SELECT f.cw, (epoch_ms(date_trunc('week', e.ts)) - epoch_ms(f.cw))
+      SELECT f.cw, (epoch_ms(date_trunc('milliseconds', date_trunc('week', e.ts))) - epoch_ms(date_trunc('milliseconds', f.cw)))
                // 604800000 AS week_offset,
              sum(CAST(TRY_CAST(CASE WHEN (isfinite(e.value) AND abs(e.value) < 1e16) THEN e.value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events e JOIN f USING (user_id) WHERE e.ts IS NOT NULL
       GROUP BY 1, 2
     )
-    SELECT epoch_ms(cw) AS cohort_week_ms,
+    SELECT epoch_ms(date_trunc('milliseconds', cw)) AS cohort_week_ms,
            week_offset,
            CAST(cents AS BIGINT) AS week_cents,
            CAST(sum(cents) OVER (
@@ -882,13 +893,14 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT o_custkey, o_orderpriority, o_orderkey,
-             epoch_ms(o_orderdate) AS d_ms,
+             epoch_ms(date_trunc('milliseconds', o_orderdate)) AS d_ms,
              CASE WHEN lag(o_orderpriority) OVER w IS NULL
                     OR lag(o_orderpriority) OVER w <> o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
+      WHERE o_orderdate IS NOT NULL
       WINDOW w AS (PARTITION BY o_custkey
-                   ORDER BY epoch_ms(o_orderdate), o_orderkey)
+                   ORDER BY epoch_ms(date_trunc('milliseconds', o_orderdate)), o_orderkey)
     ),
     isl AS (
       SELECT *, sum(chg) OVER (
@@ -925,8 +937,15 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three window passes key on o_custkey with the (date_ms,
     o_orderkey) total order, so the whole history of one entity is one
     shuffle partition's work and entities parallelize freely — the
-    correct 100 TB shape for entity-history rebuilds."""
-    orders = table(spark, sf_dir, "orders")
+    correct 100 TB shape for entity-history rebuilds.
+
+    An order with NULL o_orderdate has no position on the validity axis
+    and is excluded on both engines (fuzz 7, class 27 — without this
+    Spark sorts the undated rows FIRST and DuckDB LAST, renumbering
+    every island)."""
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
     seq = orders.select(
         "o_custkey",
@@ -969,8 +988,9 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
              AS BIGINT) AS trailing_cents
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY epoch_ms(ts)
+      PARTITION BY user_id ORDER BY epoch_ms(date_trunc('milliseconds', ts))
       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
     )
     """,
@@ -987,8 +1007,10 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The frame rides integer epoch-ms (identical frame edges on both
     engines — interval literals vs ms integers can disagree at DST
     boundaries under non-UTC sessions, integers cannot). One user-keyed
-    shuffle; frame evaluation is streaming within each partition."""
-    ev = table(spark, sf_dir, "events")
+    shuffle; frame evaluation is streaming within each partition.
+    NULL ts = no position on the frame axis — excluded both engines
+    (fuzz 7; the class-19 rule applied to RANGE frames)."""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis("ts"))
@@ -1009,7 +1031,7 @@ def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type,
-             epoch_ms(date_trunc('hour', ts)) AS h_ms,
+             epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS h_ms,
              sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
@@ -1073,8 +1095,8 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_weekly_seasonality",
     oracle="""
     SELECT
-      ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
-      (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
+      ((epoch_ms(date_trunc('milliseconds', ts)) // 86400000) + 4) % 7 AS dow,
+      (epoch_ms(date_trunc('milliseconds', ts)) // 3600000) % 24 AS hour_utc,
       count(*) AS n_events,
       CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
         AS BIGINT) AS cents
@@ -1215,14 +1237,14 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT o_custkey, o_orderpriority, o_orderkey,
-             epoch_ms(o_orderdate) AS d_ms,
+             epoch_ms(date_trunc('milliseconds', o_orderdate)) AS d_ms,
              CASE WHEN lag(o_orderpriority) OVER w IS NULL
                     OR lag(o_orderpriority) OVER w <> o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
-      WHERE o_custkey IS NOT NULL
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
       WINDOW w AS (PARTITION BY o_custkey
-                   ORDER BY epoch_ms(o_orderdate), o_orderkey)
+                   ORDER BY epoch_ms(date_trunc('milliseconds', o_orderdate)), o_orderkey)
     ),
     isl AS (
       SELECT *, sum(chg) OVER (
@@ -1244,7 +1266,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probes AS (
       SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
-             epoch_ms(l.l_shipdate) AS ship_ms
+             epoch_ms(date_trunc('milliseconds', l.l_shipdate)) AS ship_ms
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_custkey IS NOT NULL
     )
@@ -1282,8 +1304,13 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").where(
         F.col("o_custkey").isNotNull()
     )
+    # The DIMENSION additionally excludes NULL o_orderdate (fuzz 7,
+    # class 27): an undated priority change cannot anchor a validity
+    # interval. PROBES keep those orders — a lineitem's time axis is
+    # l_shipdate; its order's date is irrelevant to the probe.
+    dated = orders.where(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
-    seq = orders.select(
+    seq = dated.select(
         "o_custkey",
         "o_orderpriority",
         "o_orderkey",
@@ -1387,7 +1414,7 @@ def _sliding_distinct_days(
     "events_rolling_7d_active_users",
     oracle="""
     WITH du AS (
-      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+      SELECT DISTINCT CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000) AS BIGINT) AS day,
                       user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM du)
@@ -1422,7 +1449,7 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     "events_user_lifecycle",
     oracle="""
     WITH act AS (
-      SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS wk
+      SELECT DISTINCT user_id, epoch_ms(date_trunc('milliseconds', date_trunc('week', ts))) AS wk
       FROM events WHERE ts IS NOT NULL
     ),
     lagged AS (
@@ -1519,7 +1546,7 @@ _FUNNEL_STEP_MS = 86_400_000
     "events_funnel_windowed",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+      SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS t, event_type FROM events
       WHERE user_id IS NOT NULL
     ),
     s1 AS (SELECT user_id, min(t) AS t1 FROM e
@@ -1572,7 +1599,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dau_mau_stickiness",
     oracle="""
     WITH du AS (
-      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+      SELECT DISTINCT CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000) AS BIGINT) AS day,
                       user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM du),
@@ -1618,14 +1645,14 @@ _DECAY_HALF_LIFE_MS = 604_800_000
 @register(
     "events_decayed_engagement",
     oracle=f"""
-    WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events)
+    WITH ref AS (SELECT max(epoch_ms(date_trunc('milliseconds', ts))) AS ref_ms FROM events)
     SELECT user_id,
            count(*) AS n_events,
            CAST(sum(CAST(floor(pow(2.0,
-                 -CAST(ref_ms - epoch_ms(ts) AS DOUBLE)
+                 -CAST(ref_ms - epoch_ms(date_trunc('milliseconds', ts)) AS DOUBLE)
                    / {_DECAY_HALF_LIFE_MS}.0) * 1000000) AS BIGINT))
              AS BIGINT) AS decayed_score_e6,
-           max(epoch_ms(ts)) AS last_seen_ms
+           max(epoch_ms(date_trunc('milliseconds', ts))) AS last_seen_ms
     FROM events, ref
     GROUP BY user_id
     """,
@@ -1778,8 +1805,8 @@ _COVERAGE_WINDOW_MS = 300_000  # 5 minutes
     "events_interval_coverage",
     oracle=f"""
     WITH iv AS (
-      SELECT user_id, event_id, epoch_ms(ts) AS t,
-             epoch_ms(ts) + {_COVERAGE_WINDOW_MS} AS e
+      SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS t,
+             epoch_ms(date_trunc('milliseconds', ts)) + {_COVERAGE_WINDOW_MS} AS e
       FROM events WHERE ts IS NOT NULL
     ),
     sw AS (

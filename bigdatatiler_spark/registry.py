@@ -8,7 +8,10 @@ Determinism rules for oracle-matched queries (the driver hashes values
 order-insensitively but exactly):
 - never emit raw floating aggregates: aggregate in DECIMAL (exact), then
   cast/round at the end — identical in Spark and DuckDB;
-- never emit raw timestamps: emit epoch millis (unix_millis / epoch_ms);
+- never emit raw timestamps: emit epoch millis — Spark unix_millis,
+  DuckDB epoch_ms(date_trunc('milliseconds', x)); the date_trunc wrap is
+  MANDATORY (bare epoch_ms truncates -1 µs to 0 ms where unix_millis
+  floors it to -1 — fuzz-7 class 26);
 - every LIMIT carries a total-order ORDER BY (unique tiebreak column);
 - alias every computed column identically on both sides;
 - never round(double, n) a RATIONAL quotient (int/int, cents/count,

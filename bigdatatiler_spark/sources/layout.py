@@ -220,7 +220,7 @@ def _zorder_oracle() -> str:
     WITH raw AS (
       SELECT event_id,
              user_id AS u,
-             epoch_ms(ts) // 3600000 AS hr
+             epoch_ms(date_trunc('milliseconds', ts)) // 3600000 AS hr
       FROM events
     ),
     bounds AS (

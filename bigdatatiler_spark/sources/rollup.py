@@ -253,7 +253,7 @@ def _register_queries() -> None:
         "events_hourly_rollup",
         oracle="""
         SELECT
-          epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+          epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS bucket_ms,
           event_type,
           count(*) AS n_events,
           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

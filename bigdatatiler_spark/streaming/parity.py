@@ -72,7 +72,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_streaming_hourly_parity",
     oracle="""
     SELECT event_type,
-           epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           epoch_ms(date_trunc('milliseconds', date_trunc('hour', ts))) AS window_start_ms,
            count(*) AS n_events,
            CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16) THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS cents
@@ -129,8 +129,8 @@ _SINK2 = "streaming_parity_sliding"
     oracle="""
     WITH g AS (SELECT unnest(generate_series(0, 3)) AS k)
     SELECT
-      epoch_ms(time_bucket(INTERVAL '15 minutes', ts)
-               - k * INTERVAL '15 minutes') AS window_start_ms,
+      epoch_ms(date_trunc('milliseconds', time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes')) AS window_start_ms,
       event_type,
       count(*) AS n_events
     FROM events CROSS JOIN g
@@ -195,8 +195,8 @@ _SINK3 = "streaming_parity_session"
     )
     SELECT
       user_id,
-      epoch_ms(min(ts)) AS session_start_ms,
-      epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end_ms,
+      epoch_ms(date_trunc('milliseconds', min(ts))) AS session_start_ms,
+      epoch_ms(date_trunc('milliseconds', max(ts) + INTERVAL 30 MINUTES)) AS session_end_ms,
       count(*) AS n_events
     FROM numbered
     GROUP BY user_id, sess_id
@@ -265,8 +265,8 @@ _SINK4 = "streaming_parity_join"
     SELECT p.event_id AS purchase_event_id,
            c.event_id AS click_event_id,
            p.user_id,
-           epoch_ms(p.ts) AS p_ms,
-           epoch_ms(c.ts) AS c_ms
+           epoch_ms(date_trunc('milliseconds', p.ts)) AS p_ms,
+           epoch_ms(date_trunc('milliseconds', c.ts)) AS c_ms
     FROM events p
     JOIN events c
       ON p.user_id = c.user_id
@@ -323,7 +323,7 @@ _SINK5 = "streaming_parity_dedup"
     oracle="""
     SELECT DISTINCT
       event_id,
-      epoch_ms(ts) AS ts_ms,
+      epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,
       user_id,
       event_type,
       CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)

@@ -94,6 +94,30 @@ def test_window_ledger_artifact_current():
     )
 
 
+def test_no_bare_epoch_ms_in_oracles():
+    """Fuzz-7 class 26 lint: DuckDB's epoch_ms() TRUNCATES sub-ms
+    pre-epoch instants toward zero while Spark's unix_millis() FLOORS
+    them, so every oracle must use epoch_ms(date_trunc('milliseconds',
+    x)) — the single-argument floor formulation. A bare epoch_ms( in any
+    registered oracle is a latent divergence."""
+    from bigdatatiler_spark.registry import load_all
+
+    bad = []
+    for name, spec in load_all().items():
+        sql = spec.oracle or ""
+        idx = 0
+        while True:
+            j = sql.find("epoch_ms(", idx)
+            if j < 0:
+                break
+            rest = sql[j + len("epoch_ms(") :].lstrip()
+            if not rest.startswith("date_trunc('milliseconds'"):
+                bad.append(name)
+                break
+            idx = j + len("epoch_ms(")
+    assert not bad, f"oracles with bare (truncating) epoch_ms: {sorted(set(bad))}"
+
+
 def test_all_queries_execute_smoke(spark, sf_dir):
     """Every registered query runs end-to-end at sf0.001 (values checked
     against DuckDB separately in test_oracle.py at the same SF)."""

@@ -136,6 +136,26 @@ HOSTILE_PINNED = (
     "lineitem_weighted_median_price",  # zero/negative weights, NULL flag
     "doc_sentence_stats",              # NULL/empty/punct-only bodies
     "graph_kcore_peel",                # hostile dup-graph peeling
+    # fuzz round 7 (classes 26-27): sub-ms pre-epoch instants and NULL
+    # order dates. Class 26: Spark unix_millis FLOORS -1 µs to -1 ms
+    # while DuckDB epoch_ms TRUNCATES it to 0 — every ts_ms-emitting
+    # oracle (86 sites) now wraps epoch_ms(date_trunc('milliseconds', x))
+    # to pin floor on both engines. Class 27: NULL o_orderdate sorts
+    # FIRST in Spark windows and LAST in DuckDB — navigation windows pin
+    # NULLS FIRST explicitly; interval builders (SCD2 / PIT dim) exclude
+    # undated rows; PROBES keep them (their axis is l_shipdate).
+    # events_session_windows / asof / xml / streaming parities already
+    # pinned above also caught class 26 — not re-listed.
+    "skew_salted_user_activity",       # class 26 on the salted rollup
+    "event_id_generation",             # class 26 inside ULID time field
+    "events_bucket_checksums",         # class 26 in integrity checksums
+    "customer_order_running_total",    # class 27: NULLS FIRST pinned
+    "order_gaps_lag_lead",             # class 27: lag/lead navigation
+    "orders_priority_scd2",            # class 27: undated rows excluded
+    "events_trailing_hour_stats",      # class 19 applied to RANGE frames
+    "events_dau_mau_stickiness",       # class 26 on the day axis
+    "events_rolling_7d_active_users",  # class 26 on the day axis
+    "events_funnel_windowed",          # class 26 at the funnel window edge
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the
