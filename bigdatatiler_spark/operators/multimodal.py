@@ -999,3 +999,95 @@ def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
     return docs.mapInPandas(_resize, out_schema)
+
+
+# --- audio quality gate: clipping + silence ratios ---------------------------
+# The audio-corpus analogue of the Gopher text rules: decode each
+# document's PCM stream (REAL WAV round trip through media/wav.py) and
+# gate on clipping ratio (|s| at or above the saturation band — damaged
+# or over-driven recordings) and silence ratio (|s| below the noise
+# floor — dead air / failed captures). Map-only Arrow stage, linear at
+# any corpus size; the oracle replays the closed-form synthetic samples
+# (same ((id*7 + j*13) mod 4096) - 2048 generator as the other WAV ops,
+# Python floor-mod == SQL double-mod on negative ids, class 20).
+
+AUDIO_CLIP_ABS = 2000  #: |sample| >= this counts as clipped (range is 2048)
+AUDIO_SILENCE_ABS = 64  #: |sample| <= this counts as silence
+AUDIO_MAX_CLIP_E6 = 20_000  #: gate: < 2% clipped
+AUDIO_MAX_SILENCE_E6 = 500_000  #: gate: < 50% silence
+
+
+@register(
+    "multimodal_audio_quality_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             [{_SAMPLE_SQL.format(j="j")} for j in generate_series(0, {WAV_N - 1})]
+               AS smp
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(smp, x -> abs(x) >= {AUDIO_CLIP_ABS})) AS n_clipped,
+             len(list_filter(smp, x -> abs(x) <= {AUDIO_SILENCE_ABS})) AS n_silent
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           CAST(n_silent AS BIGINT) AS n_silent,
+           CAST((n_clipped * 1000000) // {WAV_N} AS BIGINT) AS clip_e6,
+           CAST((n_silent * 1000000) // {WAV_N} AS BIGINT) AS silence_e6,
+           CAST(CASE WHEN (n_clipped * 1000000) // {WAV_N} < {AUDIO_MAX_CLIP_E6}
+                      AND (n_silent * 1000000) // {WAV_N} < {AUDIO_MAX_SILENCE_E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS gate_pass
+    FROM m
+    """,
+)
+def multimodal_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping/silence audio gate over real decoded WAV bytes (see
+    block comment): encode → decode through media/wav.py inside
+    mapInPandas, integer sample thresholds, floor-scaled ratios."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_clipped", LongType()),
+            StructField("n_silent", LongType()),
+            StructField("clip_e6", LongType()),
+            StructField("silence_e6", LongType()),
+            StructField("gate_pass", LongType()),
+        ]
+    )
+
+    def _gate(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.wav import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                _rate, _ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
+                n_clip = sum(1 for x in decoded if abs(x) >= AUDIO_CLIP_ABS)
+                n_sil = sum(1 for x in decoded if abs(x) <= AUDIO_SILENCE_ABS)
+                clip_e6 = n_clip * 1_000_000 // WAV_N
+                sil_e6 = n_sil * 1_000_000 // WAV_N
+                rows.append(
+                    (
+                        d, n_clip, n_sil, clip_e6, sil_e6,
+                        1 if (clip_e6 < AUDIO_MAX_CLIP_E6
+                              and sil_e6 < AUDIO_MAX_SILENCE_E6) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_clipped", "n_silent",
+                    "clip_e6", "silence_e6", "gate_pass",
+                ],
+            )
+
+    return docs.mapInPandas(_gate, out_schema)

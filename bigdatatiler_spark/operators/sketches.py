@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ._util import ms
 from ..registry import register
 from ..tables import table
 
@@ -778,3 +779,88 @@ def events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("mask")).cast("bigint").alias("n_users_bitmap"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+# --- sliding distinct via mergeable per-day bitmaps -------------------------
+# The MERGE half of the bitmap-sketch algebra that events_bitmap_distinct
+# builds: exact trailing-7-day active users computed by OR-merging per-day
+# bitmap words instead of re-scanning raw events. The 100 TB shape: the
+# per-(day, word) bitmap state is the PERSISTED rollup (days × populated
+# words rows, tiny next to raw events, built incrementally per day);
+# answering ANY trailing window is then a scatter of each day-word row to
+# the ≤7 window ends it covers (explode of a 7-element offset array — a
+# bounded fan-out of the tiny state, never a raw-event shuffle) followed
+# by two partial-aggregating passes (bit_or per (end-day, word), then
+# Σ bit_count per end-day). Exact, mergeable, and embarrassingly parallel
+# — the same reason production rollups store HLL/bitmap state per grain.
+# Oracle = the de-novo distinct count over the raw day×user frame, proving
+# the merged-sketch path EXACTLY matches first-principles recomputation.
+
+
+@register(
+    "events_sliding_bitmap_distinct",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT
+        CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000)
+          AS BIGINT) AS day,
+        user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d,
+           CAST(count(DISTINCT (u.user_id
+             - (((u.user_id % {BITMAP_WORD_BITS}) + {BITMAP_WORD_BITS})
+                % {BITMAP_WORD_BITS})) // {BITMAP_WORD_BITS})
+             AS BIGINT) AS n_words
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_sliding_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per observed day via per-day bitmap
+    merge (see block comment) — the mergeable-state sliding distinct."""
+    w = BITMAP_WORD_BITS
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.floor(ms("ts") / F.lit(86400000)).cast("long")
+    # stage 1: the persisted per-day bitmap state — one row per
+    # (day, word), built with map-side combine
+    day_words = (
+        ev.select(
+            day.alias("day"),
+            (((F.col("user_id") % w) + w) % w).alias("bit"),
+            F.expr(f"(user_id - (((user_id % {w}) + {w}) % {w})) div {w}").alias(
+                "word"
+            ),
+        )
+        .groupBy("day", "word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("mask")
+        )
+    )
+    # stage 2: scatter each day's state to the <=7 trailing-window ends
+    # it covers, keep only ends that are OBSERVED days, then OR-merge
+    observed = day_words.select("day").distinct()
+    scattered = day_words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        (F.col("day") + F.col("off")).alias("end_day"),
+        "word",
+        "mask",
+    ).drop("off")
+    merged = (
+        scattered.join(
+            F.broadcast(observed.withColumnRenamed("day", "end_day")), "end_day"
+        )
+        .groupBy("end_day", "word")
+        .agg(F.bit_or("mask").alias("mask7"))
+    )
+    return merged.groupBy("end_day").agg(
+        F.sum(F.bit_count("mask7")).cast("bigint").alias("active_7d"),
+        F.count(F.lit(1)).alias("n_words"),
+    ).withColumnRenamed("end_day", "day")

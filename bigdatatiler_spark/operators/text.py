@@ -1123,3 +1123,155 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_chars_e2"),
     )
+
+
+# --- Gopher-style repetition/format rules gate ------------------------------
+# The RULES side of training-data quality filtering (Rae et al., Gopher
+# §A1.1; complementary to doc_quality_score's composite SCORE): hard
+# per-document format gates — word-count bounds, mean word length bounds,
+# symbol-to-word ratio (hash marks + ellipses), bullet-start and
+# ellipsis-end line ratios, alphabetic-word ratio. Every ratio is a
+# floor-scaled integer (the int_ratio discipline); each rule emits its own
+# flag so downstream can audit WHICH rule rejected a document, plus the
+# conjunctive gate. Map-only, no shuffle — the 100 TB shape is a single
+# pass over the corpus, and the flags are the natural partition columns
+# for rejection-analysis rollups.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 5, 100_000
+GOPHER_MIN_MWL_E2, GOPHER_MAX_MWL_E2 = 200, 1200  # mean word len 2..12 chars
+GOPHER_MAX_SYMBOL_E6 = 100_000  # symbol-to-word ratio < 0.1
+GOPHER_MAX_BULLET_E6 = 900_000  # < 90% of lines bullet-started
+GOPHER_MAX_ELLIPSIS_E6 = 300_000  # < 30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_E6 = 700_000  # >= 70% of words contain a letter
+
+
+@register(
+    "doc_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             string_split(text, chr(10)) AS lines,
+             length(regexp_replace(text, '[^#]', '', 'g'))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + (length(text) - length(replace(text, '…', ''))) AS symbol_hits
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             len(lines) AS n_lines,
+             (list_sum([length(x) for x in toks]) * 100)
+               // greatest(len(toks), 1) AS mean_wlen_e2,
+             (symbol_hits * 1000000) // greatest(len(toks), 1) AS symbol_e6,
+             (len(list_filter(lines,
+                x -> starts_with(ltrim(x), '- ')
+                  OR starts_with(ltrim(x), '* ')
+                  OR starts_with(ltrim(x), '• '))) * 1000000)
+               // greatest(len(lines), 1) AS bullet_e6,
+             (len(list_filter(lines,
+                x -> ends_with(rtrim(x), '...')
+                  OR ends_with(rtrim(x), '…'))) * 1000000)
+               // greatest(len(lines), 1) AS ellipsis_e6,
+             (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               * 1000000) // greatest(len(toks), 1) AS alpha_e6
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(mean_wlen_e2 AS BIGINT) AS mean_wlen_e2,
+           CAST(symbol_e6 AS BIGINT) AS symbol_e6,
+           CAST(bullet_e6 AS BIGINT) AS bullet_e6,
+           CAST(ellipsis_e6 AS BIGINT) AS ellipsis_e6,
+           CAST(alpha_e6 AS BIGINT) AS alpha_e6,
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_words,
+           CAST(CASE WHEN mean_wlen_e2 BETWEEN {GOPHER_MIN_MWL_E2} AND {GOPHER_MAX_MWL_E2}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_mwl,
+           CAST(CASE WHEN symbol_e6 < {GOPHER_MAX_SYMBOL_E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_symbol,
+           CAST(CASE WHEN bullet_e6 < {GOPHER_MAX_BULLET_E6}
+                AND ellipsis_e6 < {GOPHER_MAX_ELLIPSIS_E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_lines,
+           CAST(CASE WHEN alpha_e6 >= {GOPHER_MIN_ALPHA_E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+           CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_wlen_e2 BETWEEN {GOPHER_MIN_MWL_E2} AND {GOPHER_MAX_MWL_E2}
+                AND symbol_e6 < {GOPHER_MAX_SYMBOL_E6}
+                AND bullet_e6 < {GOPHER_MAX_BULLET_E6}
+                AND ellipsis_e6 < {GOPHER_MAX_ELLIPSIS_E6}
+                AND alpha_e6 >= {GOPHER_MIN_ALPHA_E6}
+                THEN 1 ELSE 0 END AS BIGINT) AS gate_pass
+    FROM m
+    """,
+)
+def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rules (see block comment): per-document
+    format gates with per-rule flags + conjunctive gate. NULL text =
+    no document (class 23); empty/whitespace docs fail the word gate
+    rather than dividing by zero (greatest(·,1))."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hash_marks = F.length(F.regexp_replace("text", "[^#]", ""))
+    dots = (
+        (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+        / F.lit(3)
+    ).cast("long")
+    uni_ell = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
+    t = docs.select(
+        "doc_id",
+        F.split(_norm_col(), " ").alias("toks"),
+        F.split("text", "\n").alias("lines"),
+        (hash_marks + dots + uni_ell).alias("symbol_hits"),
+    )
+    n_words = F.size("toks")
+    n_lines = F.size("lines")
+    den_w = F.greatest(n_words, F.lit(1))
+    den_l = F.greatest(n_lines, F.lit(1))
+    sum_len = F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x))
+    bullets = F.size(
+        F.filter(
+            "lines",
+            lambda x: F.ltrim(x).startswith("- ")
+            | F.ltrim(x).startswith("* ")
+            | F.ltrim(x).startswith("• "),
+        )
+    )
+    ellipses = F.size(
+        F.filter(
+            "lines",
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter("toks", lambda x: x.rlike("[a-z]")))
+    m = t.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        int_ratio(sum_len, den_w, 2, "mean_wlen_e2"),
+        int_ratio(F.col("symbol_hits"), den_w, 6, "symbol_e6"),
+        int_ratio(bullets, den_l, 6, "bullet_e6"),
+        int_ratio(ellipses, den_l, 6, "ellipsis_e6"),
+        int_ratio(alpha_words, den_w, 6, "alpha_e6"),
+    )
+    flag = lambda c, name: F.when(c, 1).otherwise(0).cast("bigint").alias(name)
+    pw = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    pm = F.col("mean_wlen_e2").between(GOPHER_MIN_MWL_E2, GOPHER_MAX_MWL_E2)
+    ps = F.col("symbol_e6") < GOPHER_MAX_SYMBOL_E6
+    pl = (F.col("bullet_e6") < GOPHER_MAX_BULLET_E6) & (
+        F.col("ellipsis_e6") < GOPHER_MAX_ELLIPSIS_E6
+    )
+    pa = F.col("alpha_e6") >= GOPHER_MIN_ALPHA_E6
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_e2",
+        "symbol_e6",
+        "bullet_e6",
+        "ellipsis_e6",
+        "alpha_e6",
+        flag(pw, "pass_words"),
+        flag(pm, "pass_mwl"),
+        flag(ps, "pass_symbol"),
+        flag(pl, "pass_lines"),
+        flag(pa, "pass_alpha"),
+        flag(pw & pm & ps & pl & pa, "gate_pass"),
+    )

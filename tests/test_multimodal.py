@@ -149,3 +149,30 @@ def test_phash_finds_perturbed_payloads_not_strangers(spark):
 
     assert ham(0, 1) <= PHASH_THRESH, f"perturbed pair at {ham(0,1)}"
     assert ham(0, 2) > PHASH_THRESH, f"stranger pair at {ham(0,2)}"
+
+
+def test_audio_quality_gate_thresholds(spark, sf_dir):
+    """Gate arithmetic is exact: flags recompute from the emitted counts,
+    and the counts match a pure-Python replay of the decoded samples."""
+    from bigdatatiler_spark.operators.multimodal import (
+        AUDIO_CLIP_ABS,
+        AUDIO_MAX_CLIP_E6,
+        AUDIO_MAX_SILENCE_E6,
+        AUDIO_SILENCE_ABS,
+        WAV_N,
+        multimodal_audio_quality_gate,
+    )
+
+    rows = multimodal_audio_quality_gate(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+        n_clip = sum(1 for x in samples if abs(x) >= AUDIO_CLIP_ABS)
+        n_sil = sum(1 for x in samples if abs(x) <= AUDIO_SILENCE_ABS)
+        assert (r["n_clipped"], r["n_silent"]) == (n_clip, n_sil)
+        expect_pass = int(
+            r["clip_e6"] < AUDIO_MAX_CLIP_E6
+            and r["silence_e6"] < AUDIO_MAX_SILENCE_E6
+        )
+        assert r["gate_pass"] == expect_pass

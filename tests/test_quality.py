@@ -193,3 +193,42 @@ def test_weighted_median_definition(spark, sf_dir):
                 med = cents
                 break
         assert got[flag] == (tot, med), flag
+
+
+def test_gopher_rules_flags(spark):
+    """Each rule trips on a purpose-built document; a clean paragraph
+    passes the conjunctive gate."""
+    import os
+    import tempfile
+
+    from bigdatatiler_spark.operators.text import doc_gopher_quality_rules
+
+    docs = [
+        # 0: clean prose — passes everything
+        (0, "en", "web", "the quick brown fox jumps over the lazy dog and "
+                         "keeps running through the quiet field today", 0),
+        # 1: too few words
+        (1, "en", "web", "tiny doc", 0),
+        # 2: symbol spam (hash marks)
+        (2, "en", "web", "### ## # heading # spam ## markers # everywhere "
+                         "# more # and # more # hashes # again", 0),
+        # 3: bullet wall
+        (3, "en", "web", "- one thing\n- two thing\n- three thing\n"
+                         "- four thing\n- five thing", 0),
+        # 4: non-alpha tokens
+        (4, "en", "web", "12345 67890 11111 22222 33333 44444 55555 66666", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "lang", "source", "text", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in doc_gopher_quality_rules(spark, tmp).collect()
+        }
+    assert out[0]["gate_pass"] == 1
+    assert out[1]["pass_words"] == 0 and out[1]["gate_pass"] == 0
+    assert out[2]["pass_symbol"] == 0 and out[2]["gate_pass"] == 0
+    assert out[3]["pass_lines"] == 0 and out[3]["gate_pass"] == 0
+    assert out[4]["pass_alpha"] == 0 and out[4]["gate_pass"] == 0

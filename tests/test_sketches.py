@@ -326,3 +326,66 @@ def test_bitmap_distinct_negative_ids(spark):
     )
     n = words.agg(F.sum(F.bit_count("mask")).alias("n")).first()["n"]
     assert n == 4
+
+
+def test_sliding_bitmap_matches_dedup_recount(spark, sf_dir):
+    """The merged per-day bitmap path is EXACT: for every observed day,
+    active_7d equals a first-principles distinct count over the trailing
+    7-day window of raw events."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators._util import ms
+    from bigdatatiler_spark.operators.sketches import (
+        events_sliding_bitmap_distinct,
+    )
+    from bigdatatiler_spark.tables import table
+
+    got = {
+        r["day"]: r["active_7d"]
+        for r in events_sliding_bitmap_distinct(spark, sf_dir).collect()
+    }
+    du = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.floor(ms("ts") / F.lit(86400000)).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .collect()
+    )
+    days = sorted({r["day"] for r in du})
+    assert set(got) == set(days)
+    for d in days:
+        users = {r["user_id"] for r in du if d - 6 <= r["day"] <= d}
+        assert got[d] == len(users), d
+
+
+def test_sliding_bitmap_window_edges(spark):
+    """Day exactly 6 back is IN the trailing window; day 7 back is OUT;
+    unobserved days emit no row even when their window is non-empty."""
+    import datetime as dt
+
+    from bigdatatiler_spark.operators.sketches import (
+        events_sliding_bitmap_distinct,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10, "c", 1.0, "{}"),  # day a
+        (2, dt.datetime(2024, 1, 7), 11, "c", 1.0, "{}"),  # day a+6: in window
+        (3, dt.datetime(2024, 1, 9), 10, "c", 1.0, "{}"),  # day a+8: a is out
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r["day"]: r["active_7d"]
+            for r in events_sliding_bitmap_distinct(spark, tmp).collect()
+        }
+    day0 = rows[0][1].toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert got == {day0: 1, day0 + 6: 2, day0 + 8: 2}
