@@ -200,6 +200,14 @@ HEADLINE = (
     "lineitem_weighted_median_price",
     "doc_sentence_stats",
     "graph_kcore_peel",
+    # round 7
+    "doc_gopher_quality_rules",
+    "events_sliding_bitmap_distinct",
+    "multimodal_audio_quality_gate",
+    "multimodal_video_scene_cuts",
+    "events_streaming_stateful_parity",
+    "events_hourly_trend_ols",
+    "events_orc_roundtrip",
 )
 
 

@@ -1091,3 +1091,110 @@ def multimodal_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
     return docs.mapInPandas(_gate, out_schema)
+
+
+# --- video scene-cut detection over consecutive decoded frames -------------
+# Round 7: the temporal-differencing shape every video curation pipeline
+# runs before sampling (shot segmentation, dead-air trimming, keyframe
+# selection): decode CONSECUTIVE frames and threshold the inter-frame
+# pixel distance. Runs on real bytes end to end — each document packs 12
+# real PNG frames into an FPK1 container (pixel i of frame f is
+# (doc_id*31 + f*101 + 3*i*i) mod 256; the quadratic term makes the
+# wrap-around count — and therefore the L1 distance — vary per (doc,
+# frame) pair, unlike the linear formula of the frame-sample op whose
+# consecutive-frame diff is constant because 7 is invertible mod 256).
+# The stage parses the container, decodes ALL frames sequentially
+# (stride 1 — scene cuts need every adjacent pair), computes the L1
+# pixel distance per pair, and gates on a fixed threshold. Fixture L1
+# range is 29744..32984 (15 distinct values), so SCENE_CUT_L1 = 31500
+# splits the population ~41/59 — both branches of the gate are
+# exercised. A hash match proves pack/parse, full-sequence PNG decode,
+# and the pairwise differencing bit-exactly against the oracle's
+# closed-form replay.
+#
+# Scale: ONE map-only Arrow stage, zero exchanges; state per task is two
+# frames (current + previous), not the whole container — the streaming-
+# decode shape that holds when frames are 4K instead of 16x16. Cost is
+# linear in total frames; embarrassingly parallel per document.
+
+SCENE_CUT_L1 = 31500  #: L1 threshold (of 256 px) marking a scene cut
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, unnest(generate_series(0, {VIDEO_N_FRAMES - 2})) AS fi
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, fi,
+             list_sum(
+               [abs(((doc_id * 31 + (fi + 1) * 101 + 3 * i * i) % 256 + 256) % 256
+                  - ((doc_id * 31 + fi * 101 + 3 * i * i) % 256 + 256) % 256)
+                for i in generate_series(0, {PNG_W * PNG_H - 1})]) AS l1
+      FROM fr
+    )
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_from,
+           CAST(l1 AS BIGINT) AS l1_diff,
+           CASE WHEN l1 > {SCENE_CUT_L1} THEN 1 ELSE 0 END AS is_cut
+    FROM d
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-frame L1 distance for every adjacent frame pair of each
+    document's 12-frame FPK1 container, decoded from real PNG bytes,
+    with a fixed-threshold scene-cut gate (see block comment)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_from", LongType()),
+            StructField("l1_diff", LongType()),
+            StructField("is_cut", IntegerType()),
+        ]
+    )
+
+    def _cuts(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        from ..media.framepack import iter_frames, pack_frames
+        from ..media.png import decode_image, encode_png
+
+        npx = PNG_W * PNG_H
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = pack_frames(
+                    [
+                        encode_png(
+                            PNG_W,
+                            PNG_H,
+                            1,
+                            bytes(
+                                (d * 31 + f * 101 + 3 * i * i) % 256
+                                for i in range(npx)
+                            ),
+                        )
+                        for f in range(VIDEO_N_FRAMES)
+                    ]
+                )
+                prev = None
+                for fi, frame in iter_frames(blob, 1):
+                    _w, _h, _ch, decoded = decode_image(frame)
+                    if prev is not None:
+                        l1 = sum(
+                            abs(a - b) for a, b in zip(decoded, prev)
+                        )
+                        rows.append(
+                            (d, fi - 1, l1, 1 if l1 > SCENE_CUT_L1 else 0)
+                        )
+                    prev = decoded
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_from", "l1_diff", "is_cut"]
+            )
+
+    return docs.mapInPandas(_cuts, out_schema)

@@ -1001,3 +1001,90 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("n_pairs"),
         acf.alias("acf1"),
     )
+
+
+@register(
+    "events_hourly_trend_ols",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS x,
+             n AS y
+      FROM hourly
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS k,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM ranked
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_hours,
+           CAST((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx)
+             AS BIGINT) AS slope_e6,
+           CAST((1000000 * sy) // k AS BIGINT) AS mean_e6
+    FROM s
+    WHERE k >= 2
+    """,
+)
+def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of hourly event volume per type — the volume-drift
+    monitor a 100 TB ingest runs next to the PSI/CUSUM detectors: is
+    traffic for a class growing or decaying, and how fast per hour?
+
+    x is the ROW NUMBER of the hour bucket within the type (1..k over
+    buckets that HAVE events), not the raw epoch-hour offset: rank keeps
+    every moment bounded by the group's bucket count (k^4 < 10^38 up to
+    k ~ 10^9 buckets), is gap-insensitive (a year-9999 hostile row shifts
+    one rank, not 70M hour units — the gapfill-spine lesson), and the
+    slope stays interpretable as events-per-active-hour.
+
+    Exactness: all moments in DECIMAL(38,0)/HUGEINT; slope_e6 and
+    mean_e6 are floor-scaled integer ratios via truncating division
+    (Spark `div` == DuckDB `//`, identical on negative numerators —
+    the int_ratio idiom). Denominator k*sxx - sx^2 is the rank variance,
+    strictly positive for k >= 2; k < 2 rows are excluded both engines
+    (a one-bucket type has no trend).
+
+    Plan: one (type, hour) partial-agg pair, a type-keyed row_number
+    window over the buckets-sized frame, one |types|-row moment
+    aggregate — corpus touched once, no join, same shape as
+    events_hourly_acf."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hourly.select(
+        "event_type",
+        F.row_number().over(w).alias("x"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias("sxy"),
+    ).where(F.col("k") >= 2)
+    return s.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_hours"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (k * sxy - sx * sy))"
+            " div (k * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_e6"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sy) div k AS BIGINT)"
+        ).alias("mean_e6"),
+    )

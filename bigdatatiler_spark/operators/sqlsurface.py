@@ -641,3 +641,69 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return agg
+
+
+@register(
+    "events_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
+                         THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS ts_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC leg of the source-format surface (parquet, CSV and JSONL are
+    already certified): export → read back → per-type rollup hash-matched
+    against the oracle's direct parquet aggregation. ORC is the
+    type-preserving leg — DECIMAL(18,2) rides natively (no text
+    serialization at all), so the cents column certifies the decimal
+    codec end-to-end, which the text formats cannot. Timestamps ride as
+    unsaturated µs integers (the fuzz-5 rule: µs is the storage
+    precision, exact both engines; ORC's native timestamp is
+    session-timezone-dependent under the env sweep's TZ variants, so the
+    integer projection is the schema-stable interchange choice).
+
+    Plan: distributed export/read (one ORC stripe set per input
+    partition, no driver collect); the rollup localCheckpoints so the
+    returned frame outlives the temp export."""
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        ev.write.mode("overwrite").orc(out_dir)
+        back = spark.read.schema(
+            "event_id long, ts_us long, user_id long,"
+            " event_type string, val decimal(18,2)"
+        ).orc(out_dir)
+        agg = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum((F.col("val") * 100).cast("long"))
+                .cast("bigint")
+                .alias("cents"),
+                # % not pmod: both engines keep the dividend's sign on
+                # pre-epoch (negative) micros
+                F.sum(F.col("ts_us") % F.lit(1_000_000))
+                .cast("bigint")
+                .alias("ts_checksum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return agg

@@ -24,8 +24,10 @@ append-mode sink + downstream compaction (sources/rollup.py's journal).
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..registry import register
 from ..session import tune_session
@@ -365,3 +367,142 @@ def events_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     q.stop()
     return spark.table(_SINK5)
+
+
+_SINK6 = "streaming_parity_stateful"
+
+_LIFETIME_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+_LIFETIME_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents_n", LongType()),
+        StructField("cents_sum", LongType()),
+        StructField("min_us", LongType()),
+        StructField("max_us", LongType()),
+    ]
+)
+
+
+def _lifetime_fold(key, pdfs, state) -> Any:
+    """Fold a micro-batch of one user's events into cumulative state and
+    emit the updated lifetime row. Pure-Python integer arithmetic on
+    pre-projected BIGINT columns (µs epoch, cents) — exact, no float
+    accumulation; NULL metric/time rows count toward n_events but not
+    toward the sum/min/max, matching SQL aggregate NULL semantics."""
+    import pandas as pd
+
+    n, cents_n, cents_sum, min_us, max_us = 0, 0, 0, None, None
+    if state.exists:
+        n, cents_n, cents_sum, min_us, max_us = state.get
+    for pdf in pdfs:
+        n += len(pdf)
+        for c in pdf["cents"]:
+            if c is not None and not pd.isna(c):
+                cents_n += 1
+                cents_sum += int(c)  # Decimal -> int, exact
+        for u in pdf["us"]:
+            if u is not None and not pd.isna(u):
+                u = int(u)
+                min_us = u if min_us is None or u < min_us else min_us
+                max_us = u if max_us is None or u > max_us else max_us
+    state.update((n, cents_n, cents_sum, min_us, max_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "cents": [cents_sum if cents_n > 0 else None],
+            "first_us": [min_us],
+            "last_us": [max_us],
+        }
+    )
+
+
+@register(
+    "events_streaming_stateful_parity",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(TRY_CAST(CASE WHEN (isfinite(value) AND abs(value) < 1e16)
+                         THEN value END AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS cents,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR parity — the sixth streaming shape, and
+    the one the built-in operators can't express: an arbitrary per-key
+    state machine via ``applyInPandasWithState`` (here a lifetime
+    per-user aggregate: event count, exact cents sum, first/last seen
+    µs). The built-in shapes (window agg, dedup, join) cover declarable
+    state; this certifies the ESCAPE HATCH users reach for when state
+    transitions are imperative (sessionization with business rules,
+    fraud counters, chain reassembly — streaming/reassemble.py shares
+    this exact API).
+
+    Determinism under micro-batch splits: state is cumulative and every
+    invocation of a key consumes ≥1 new row, so n_events strictly
+    increases across that key's emissions — selecting each user's
+    max-n_events row from the update-mode sink yields the final state
+    regardless of how AvailableNow batches the source. The oracle is the
+    plain batch GROUP BY. NULL user_id is excluded on both sides (the
+    fuzz-2 rule: keyed-state semantics for a NULL key differ from SQL
+    grouping across engines' join/state paths).
+
+    Scale: state is 5 integers per user — O(|users|) memory, the keyed
+    partial-aggregate shape; shuffle only on user_id. µs epochs are
+    UNSATURATED unix_micros/epoch_us both engines (fuzz-5 class 16)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            # decimal(20,0), not long: Arrow ships nullable int64 to
+            # pandas as float64 (NaN for NULL), which is lossy above
+            # 2^53 - hostile us epochs (~2.5e17) and near-1e18 cents
+            # would silently round. decimal -> Python Decimal objects,
+            # exact at any magnitude.
+            F.unix_micros("ts").cast("decimal(20,0)").alias("us"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(20,0)")
+            .alias("cents"),
+        )
+    )
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        _lifetime_fold,
+        outputStructType=_LIFETIME_SCHEMA,
+        stateStructType=_LIFETIME_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        folded.writeStream.format("memory")
+        .queryName(_SINK6)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    sink = spark.table(_SINK6)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

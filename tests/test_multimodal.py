@@ -176,3 +176,37 @@ def test_audio_quality_gate_thresholds(spark, sf_dir):
             and r["silence_e6"] < AUDIO_MAX_SILENCE_E6
         )
         assert r["gate_pass"] == expect_pass
+
+
+def test_video_scene_cuts_match_replay(spark, sf_dir):
+    """Every adjacent-frame L1 distance matches a pure-Python replay of
+    the generator formula, the pair fan-out is exactly n_frames - 1 per
+    document, and the cut gate recomputes from the emitted distance."""
+    from bigdatatiler_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        SCENE_CUT_L1,
+        VIDEO_N_FRAMES,
+        multimodal_video_scene_cuts,
+    )
+
+    rows = multimodal_video_scene_cuts(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict[int, int] = {}
+    npx = PNG_W * PNG_H
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        d, f = r["doc_id"], r["frame_from"]
+        expect = sum(
+            abs(
+                (d * 31 + (f + 1) * 101 + 3 * i * i) % 256
+                - (d * 31 + f * 101 + 3 * i * i) % 256
+            )
+            for i in range(npx)
+        )
+        assert r["l1_diff"] == expect, (d, f)
+        assert r["is_cut"] == int(r["l1_diff"] > SCENE_CUT_L1)
+    assert set(per_doc.values()) == {VIDEO_N_FRAMES - 1}
+    # both branches of the gate occur on the fixture
+    cuts = {r["is_cut"] for r in rows}
+    assert cuts == {0, 1}

@@ -232,3 +232,86 @@ def test_gopher_rules_flags(spark):
     assert out[2]["pass_symbol"] == 0 and out[2]["gate_pass"] == 0
     assert out[3]["pass_lines"] == 0 and out[3]["gate_pass"] == 0
     assert out[4]["pass_alpha"] == 0 and out[4]["gate_pass"] == 0
+
+
+def test_hourly_trend_ols_exact_slope(spark, sf_dir):
+    """Slope/mean replay: the emitted floor-scaled integers equal a
+    pure-Python OLS over the same (rank, hourly count) series, and a
+    type with a perfectly linear ramp yields its exact slope."""
+    from bigdatatiler_spark.operators.quality import events_hourly_trend_ols
+    from bigdatatiler_spark.tables import table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in events_hourly_trend_ols(spark, sf_dir).collect()
+    }
+    assert got
+    hourly = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["y"]))
+    for et, pts in series.items():
+        pts.sort(key=lambda p: p[0])
+        k = len(pts)
+        if k < 2:
+            assert et not in got
+            continue
+        xs = list(range(1, k + 1))
+        ys = [y for _, y in pts]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = 1_000_000 * (k * sxy - sx * sy)
+        den = k * sxx - sx * sx
+        trunc = lambda a, b: -((-a) // b) if a < 0 else a // b  # noqa: E731
+        assert got[et]["slope_e6"] == trunc(num, den), et
+        assert got[et]["mean_e6"] == trunc(1_000_000 * sy, k), et
+        assert got[et]["n_hours"] == k
+
+
+def test_hourly_trend_ols_linear_ramp(spark):
+    """A synthetic type whose hourly counts are exactly 10, 20, 30, 40
+    has slope_e6 == 10_000_000 — the closed-form check that the rank
+    formulation measures events-per-active-hour."""
+    import datetime
+
+    from bigdatatiler_spark.operators.quality import events_hourly_trend_ols
+
+    rows = []
+    eid = 0
+    for hour, n in enumerate([10, 20, 30, 40]):
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1, hour, 30),
+                    1,
+                    "ramp",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            r["event_type"]: r
+            for r in events_hourly_trend_ols(spark, td).collect()
+        }
+    assert out["ramp"]["slope_e6"] == 10_000_000
+    assert out["ramp"]["mean_e6"] == 25_000_000
+    assert out["ramp"]["n_hours"] == 4

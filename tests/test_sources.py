@@ -213,3 +213,26 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "extra"}
     got = {r.k: r.extra for r in merged.collect()}
     assert got == {1: None, 2: 7}
+
+
+def test_orc_roundtrip_type_fidelity(spark, tmp_path):
+    """ORC preserves decimals and longs natively: a write→read cycle
+    returns bit-identical values including NULLs and negatives."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [
+            (1, -62135596800000000, "a", Decimal("12345678901234.56")),
+            (2, None, "", Decimal("-0.01")),
+            (3, 1706635653446945, None, None),
+        ],
+        "event_id long, ts_us long, event_type string, val decimal(18,2)",
+    )
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = spark.read.schema(
+        "event_id long, ts_us long, event_type string, val decimal(18,2)"
+    ).orc(path)
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert got == want

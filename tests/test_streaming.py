@@ -376,3 +376,38 @@ def test_stream_stream_left_outer_emits_unattributed(spark, tmp_path):
     assert rows.get(1) == 10           # attributed pair
     assert 2 in rows and rows[2] is None
     assert 3 in rows and rows[3] is None
+
+
+def test_streaming_stateful_parity_matches_batch(spark):
+    """The applyInPandasWithState lifetime fold equals the batch GROUP BY
+    over the identical projection — engine-level parity of the custom
+    stateful operator, arrival-order-free because the final row per user
+    is selected by max n_events (state is cumulative)."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.streaming.parity import (
+        events_streaming_stateful_parity,
+        stream_events,
+    )
+    from bigdatatiler_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["cents"], r["first_us"], r["last_us"])
+        for r in events_streaming_stateful_parity(spark, sf).collect()
+    }
+    ev = table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    want = {
+        r["user_id"]: (r["n_events"], r["cents"], r["first_us"], r["last_us"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert got == want

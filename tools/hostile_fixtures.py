@@ -43,7 +43,7 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["doc_id"])
     for i in range(n):
-        k = i % 19
+        k = i % 29
         if k == 0:
             d["lang"][i] = None
         elif k == 1:
@@ -106,6 +106,24 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             # zero-width combining code points (regex \w / split edges)
             d["text"][i] = "́̈combined start é̂ stack"
 
+        # fuzz round 8 classes
+        elif k == 19:
+            d["text"][i] = "\n\n\n"  # newline-only body: every line is
+            # empty - line-ratio denominators, sentence splitter edges
+        elif k == 20:
+            # CSV/JSON metacharacter gauntlet: quote + delimiter + CRLF
+            # inside one field - probes writer quoting/escaping parity
+            # in the roundtrip queries
+            d["text"][i] = 'a,b"c\r\nnext,"quoted,cell"'
+        elif k == 21:
+            # one 4-gram repeated back-to-back: self-overlapping
+            # duplicate spans / repetition kernels (the same shingle
+            # recurs at every period)
+            d["text"][i] = "alpha beta gamma delta " * 12
+        elif k == 22:
+            d["doc_id"][i] = 2**62 + i  # extreme POSITIVE id (negative
+            # is k==14): closed-form media generators multiply by 31
+
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
     return pa.table(d, schema=tbl.schema)
@@ -117,7 +135,7 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
     epoch0 = dt.datetime(1970, 1, 1)
     pre1970 = dt.datetime(1969, 12, 31, 23, 30, 0)
     for i in range(n):
-        k = i % 31
+        k = i % 41
         if k == 0:
             d["ts"][i] = epoch0
         elif k == 1:
@@ -193,6 +211,29 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
         elif k == 30:
             # sub-ms POST-epoch instant (pairs with k=29): .9995 ms
             d["ts"][i] = dt.datetime(1970, 1, 1, 0, 0, 0, 999)
+        # fuzz round 8 classes
+        elif k == 31:
+            # DUPLICATE JSON keys: RFC 8259 leaves the winner undefined
+            # (first-match vs last-match differs across parsers)
+            d["props"][i] = '{"k": 1, "k": 2}'
+        elif k == 32:
+            # integer wider than int64 inside JSON: extraction + cast
+            # overflow behavior is engine-implemented
+            d["props"][i] = '{"k": 123456789012345678901234567890}'
+        elif k == 33:
+            # 30-level nested JSON: parser depth limits differ
+            d["props"][i] = '{"k":' * 30 + '1' + '}' * 30
+        elif k == 34:
+            # invisible non-empty group key (zero-width joiner only)
+            d["event_type"][i] = "\u200d"
+        elif k == 35:
+            # proleptic-calendar floor: year 1 timestamp (pre-Julian
+            # switch; epoch arithmetic is ~-62e15 us, within int64)
+            d["ts"][i] = dt.datetime(1, 1, 1, 0, 0, 0)
+        elif k == 36:
+            # largest metric that PASSES the |value| < 1e16 loader rule
+            # AND still fits DECIMAL(18,2)'s 16 integer digits
+            d["value"][i] = 9999999999999998.0
     return pa.table(d, schema=tbl.schema)
 
 
@@ -200,7 +241,7 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["vec_id"])
     for i in range(n):
-        k = i % 23
+        k = i % 29
         if k == 0:
             d["embedding"][i] = [0.0] * len(d["embedding"][i])  # zero norm
         elif k == 1 and i > 0:
@@ -237,6 +278,20 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
             # but is NOT exactly zero — probes the nz_base epsilon vs
             # exact-zero universe split
             d["embedding"][i] = [5e-324] * len(d["embedding"][i])
+        # fuzz round 8 classes
+        elif k == 11:
+            # ragged LONG vector (DIM+1): fixed-index universes that
+            # whitelist len()=DIM must also exclude the over-long row,
+            # and index DIM+1 EXISTS here (no OOB-NULL mask)
+            d["embedding"][i] = [0.1] * (len(d["embedding"][i]) + 1)
+        elif k == 12:
+            # mixed +/- infinity components (isfinite vs isnan guards)
+            v = list(d["embedding"][i])
+            v[0], v[1] = float("inf"), float("-inf")
+            d["embedding"][i] = v
+        elif k == 13:
+            # negative-zero components: sign(0) and hash-bucket edges
+            d["embedding"][i] = [-0.0] * len(d["embedding"][i])
     return pa.table(d, schema=tbl.schema)
 
 
@@ -244,7 +299,7 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["o_orderkey"])
     for i in range(n):
-        k = i % 13
+        k = i % 23
         if k == 0 and i > 0:
             d["o_orderdate"][i] = d["o_orderdate"][i - 1]  # date tie
         elif k == 1:
@@ -269,6 +324,12 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_orderdate"][i] = None  # NULL date (SCD2/backtest axis)
         elif k == 9:
             d["o_totalprice"][i] = 0.005  # half-cent boundary price
+        # fuzz round 8 classes
+        elif k == 10:
+            d["o_orderpriority"][i] = None  # NULL cube/grouping-sets key
+        elif k == 11:
+            # proleptic-calendar date floor (year 1)
+            d["o_orderdate"][i] = dt.datetime(1, 1, 2)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -276,7 +337,7 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["l_orderkey"])
     for i in range(n):
-        k = i % 17
+        k = i % 23
         if k == 0:
             d["l_shipdate"][i] = dt.datetime(1969, 6, 1)  # pre-1970 ship
         elif k == 1:
@@ -304,6 +365,17 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
             # sub-cent price on the half-cent boundary: the
             # double→DECIMAL(18,2) cast's rounding is engine-implemented
             d["l_extendedprice"][i] = 100.005
+        # fuzz round 8 classes
+        elif k == 9:
+            # NEGATIVE discount (rebate reversal): (1 - d) > 1, so any
+            # kernel clamping discount to [0, 1] diverges
+            d["l_discount"][i] = -0.25
+        elif k == 10:
+            d["l_tax"][i] = None  # NULL tax: q1's sum_charge term
+        elif k == 11:
+            # epoch-boundary ship date: the one date axis every
+            # pre/post-1970 trunc-vs-floor class pivots on
+            d["l_shipdate"][i] = dt.datetime(1970, 1, 1)
     return pa.table(d, schema=tbl.schema)
 
 
