@@ -40,7 +40,7 @@ _AUG_SQL = (
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'"
     " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
-    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || CAST(((doc_id % 256) * 7) % 256 AS VARCHAR)"
 )
 
 
@@ -99,7 +99,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" from 10.0."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit("."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
+            (((F.col("doc_id") % 256) * 7) % 256).cast("string"),
         ).alias("aug_text"),
     )
     no_phone = F.regexp_replace("aug_text", RE_PHONE, "[PHONE]")

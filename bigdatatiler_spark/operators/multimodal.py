@@ -451,7 +451,7 @@ PNG_W = PNG_H = 16
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             [((doc_id * 31 + i * 7) % 256 + 256) % 256
+             [((((doc_id % 256 + 256) % 256) * 31 + i * 7) % 256 + 256) % 256
               for i in generate_series(0, {PNG_W * PNG_H - 1})] AS p
       FROM documents
     )
@@ -542,7 +542,7 @@ AHASH_PX_THRESH = 8  #: max Hamming distance (of 64) for a near-dup pair
 _PIX_SQL = (
     "(i * (3 + ((doc_id % 50) + 50) % 50)) % 197"
     " + CASE WHEN ((i + doc_id) % 29 + 29) % 29 = 0"
-    " THEN ((doc_id * 13) % 7 + 7) % 7 ELSE 0 END"
+    " THEN ((((doc_id % 7 + 7) % 7) * 13) % 7 + 7) % 7 ELSE 0 END"
 )
 
 _AHASH_PX_ORACLE = f"""
@@ -657,7 +657,7 @@ WAV_RATE = 8000
 
 #: closed-form sample j of doc d: int16-safe sawtooth-ish pattern
 #: floor-mod, matching the Python generator on negative doc_ids (class 20)
-_SAMPLE_SQL = "(((doc_id * 7 + {j} * 13) % 4096 + 4096) % 4096) - 2048"
+_SAMPLE_SQL = "(((((doc_id % 4096 + 4096) % 4096) * 7 + {j} * 13) % 4096 + 4096) % 4096) - 2048"
 
 
 @register(
@@ -764,7 +764,7 @@ VIDEO_STRIDE = 3
     ),
     px AS (
       SELECT doc_id, fi,
-             [((doc_id * 31 + fi * 101 + i * 7) % 256 + 256) % 256
+             [((((doc_id % 256 + 256) % 256) * 31 + fi * 101 + i * 7) % 256 + 256) % 256
               for i in generate_series(0, {PNG_W * PNG_H - 1})] AS p
       FROM fr WHERE fi % {VIDEO_STRIDE} = 0
     )
@@ -944,7 +944,7 @@ RESIZE_TW = RESIZE_TH = 8
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             [((doc_id * 31
+             [((((doc_id % 256 + 256) % 256) * 31
                 + ((2 * (j // {RESIZE_TW})) * {PNG_W} + 2 * (j % {RESIZE_TW})) * 7)
                % 256 + 256) % 256
               for j in generate_series(0, {RESIZE_TW * RESIZE_TH - 1})] AS p
@@ -1130,8 +1130,8 @@ SCENE_CUT_L1 = 31500  #: L1 threshold (of 256 px) marking a scene cut
     d AS (
       SELECT doc_id, fi,
              list_sum(
-               [abs(((doc_id * 31 + (fi + 1) * 101 + 3 * i * i) % 256 + 256) % 256
-                  - ((doc_id * 31 + fi * 101 + 3 * i * i) % 256 + 256) % 256)
+               [abs(((((doc_id % 256 + 256) % 256) * 31 + (fi + 1) * 101 + 3 * i * i) % 256 + 256) % 256
+                  - ((((doc_id % 256 + 256) % 256) * 31 + fi * 101 + 3 * i * i) % 256 + 256) % 256)
                 for i in generate_series(0, {PNG_W * PNG_H - 1})]) AS l1
       FROM fr
     )

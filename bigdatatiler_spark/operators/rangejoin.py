@@ -84,11 +84,11 @@ def banded_interval_join(
     SELECT
       a.event_id AS first_event_id,
       b.event_id AS second_event_id,
-      ((least(epoch_us(b.ts), 9000000000000000) * 1000) - (least(epoch_us(a.ts), 9000000000000000) * 1000)) // 1000000 AS gap_ms
+      ((greatest(least(epoch_us(b.ts), 9000000000000000), -9000000000000000) * 1000) - (greatest(least(epoch_us(a.ts), 9000000000000000), -9000000000000000) * 1000)) // 1000000 AS gap_ms
     FROM (SELECT * FROM events WHERE event_type = 'error') a
     JOIN (SELECT * FROM events WHERE event_type = 'error') b
-      ON (least(epoch_us(b.ts), 9000000000000000) * 1000) > (least(epoch_us(a.ts), 9000000000000000) * 1000)
-     AND (least(epoch_us(b.ts), 9000000000000000) * 1000) < (least(epoch_us(a.ts), 9000000000000000) * 1000) + {_BURST_NS}
+      ON (greatest(least(epoch_us(b.ts), 9000000000000000), -9000000000000000) * 1000) > (greatest(least(epoch_us(a.ts), 9000000000000000), -9000000000000000) * 1000)
+     AND (greatest(least(epoch_us(b.ts), 9000000000000000), -9000000000000000) * 1000) < (greatest(least(epoch_us(a.ts), 9000000000000000), -9000000000000000) * 1000) + {_BURST_NS}
     """,
 )
 def rangejoin_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:

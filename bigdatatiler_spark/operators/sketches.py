@@ -50,7 +50,10 @@ def _hv32(col: Column) -> Column:
     "sketch_kmv_distinct",
     oracle=f"""
     WITH d AS (
+      -- NULL user is not a sketch element (class 24: NULL hash sorts
+      -- FIRST in Spark's bottom-k window, LAST in DuckDB's)
       SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
     ), h AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
@@ -84,7 +87,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes hasn't filled the sketch, so the observed count IS the
     cardinality — emit it exactly instead of the (K-1)·2³²/v_K formula,
     which would return ≈K regardless of the true count."""
-    d = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    d = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
     w = Window.partitionBy("event_type")
     h = d.select(
         "event_type",

@@ -128,7 +128,9 @@ _ZSCORE_SCHEMA = (
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group classical z-score in exact arithmetic: every sum is an
     arbitrary-precision Python int; z = (n·x − S)/√(n·Q − S²) touches
-    float exactly twice (one sqrt, one division with < 2^53 numerator)."""
+    float exactly twice (one sqrt, one division; the numerator may
+    exceed 2^53 under hostile magnitudes — parity holds because both
+    engines convert the same exact integer to the nearest double)."""
     pdf = pdf[pdf["cents"].notna()]
     xs = [int(v) for v in pdf["cents"]]
     n = len(xs)
@@ -152,8 +154,15 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
       WHERE event_type IS NOT NULL AND (isfinite(value) AND abs(value) < 1e16)
     ),
     stats AS (
+      -- HUGEINT moments (fuzz 8): |cents| can reach ~1.2e13, so
+      -- sum(cents^2) overflows INT64; the pandas side is exact Python
+      -- ints, and both engines round the SAME exact integer to the
+      -- nearest double before the one division, so parity holds even
+      -- past 2^53
       SELECT event_type,
-             count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+             count(*) AS n,
+             sum(CAST(cents AS HUGEINT)) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS q
       FROM c GROUP BY event_type
     )
     SELECT c.event_id, c.event_type, c.cents,

@@ -151,8 +151,10 @@ def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY o_orderstatus
         ORDER BY CAST(o_totalprice AS DECIMAL(10,2)) ASC, o_orderkey ASC
       ) AS quartile,
+      -- NULLS FIRST pinned (fuzz 8: NULL o_orderpriority - Spark ASC
+      -- defaults to NULLS FIRST, DuckDB to NULLS LAST)
       dense_rank() OVER (
-        PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC
+        PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC NULLS FIRST
       ) AS priority_rank
     FROM orders
     WHERE o_custkey <= 50
@@ -165,7 +167,9 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_val = Window.partitionBy("o_orderstatus").orderBy(
         dec("o_totalprice").asc(), F.asc("o_orderkey")
     )
-    w_pri = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_orderpriority"))
+    w_pri = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_first("o_orderpriority")
+    )
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
@@ -692,9 +696,16 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_intervals,
            CAST(sum(next_ms - t_ms) AS BIGINT) AS observed_ms,
-           CAST(sum(cents * (next_ms - t_ms)) AS BIGINT) AS weighted_cents_ms,
-           CAST(sum(cents * (next_ms - t_ms)) // sum(next_ms - t_ms) AS BIGINT)
-             AS twa_cents
+           -- HUGEINT weighted sum (fuzz 8): |cents| ~1.2e13 x a year-1
+           -- .. now holding gap (~6.4e13 ms) overflows INT64 per term;
+           -- the weighted SUM is internal only - the emitted average is
+           -- bounded by max |cents|
+           -- NULL when every interval is sub-ms (observed 0): gap 0 at
+           -- ms grain is possible while the us ordering is strict
+           CASE WHEN sum(next_ms - t_ms) > 0
+                THEN CAST(sum(CAST(cents AS HUGEINT) * (next_ms - t_ms))
+                          // sum(next_ms - t_ms) AS BIGINT)
+           END AS twa_cents
     FROM seq WHERE next_ms IS NOT NULL
     GROUP BY user_id
     """,
@@ -707,9 +718,10 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute must not dominate a quiet day). Last observation per user has
     no holding interval and drops out (locf semantics at the open end).
 
-    All integer: cents × interval-ms sums are exact BIGINTs (≤ 2^53
-    headroom at any realistic scale per user), the final division is
-    integer floor — nothing float anywhere. One user-keyed window shuffle
+    All integer: cents × interval-ms products ride DECIMAL(38,0)/
+    HUGEINT (hostile magnitudes overflow BIGINT — fuzz 8), the final
+    division is truncating integer division on both engines — nothing
+    float anywhere; only the bounded average is emitted. One user-keyed window shuffle
     + one agg, the events_session_windows plan shape."""
     ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull()).withColumn(
         "ts_us", F.unix_micros("ts")
@@ -727,13 +739,20 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum(F.col("next_ms") - F.col("t_ms")).alias("observed_ms"),
-            F.sum(F.col("cents") * (F.col("next_ms") - F.col("t_ms"))).alias(
-                "weighted_cents_ms"
-            ),
+            # DECIMAL(38,0) weighted sum — see the oracle's HUGEINT note
+            F.sum(
+                (F.col("cents").cast("decimal(38,0)")
+                 * (F.col("next_ms") - F.col("t_ms"))).cast("decimal(38,0)")
+            ).alias("_wsum"),
         )
         .withColumn(
-            "twa_cents", F.expr("weighted_cents_ms div observed_ms")
+            "twa_cents",
+            F.expr(
+                "CASE WHEN observed_ms > 0"
+                " THEN CAST(_wsum div observed_ms AS BIGINT) END"
+            ),
         )
+        .drop("_wsum")
     )
 
 
@@ -1242,7 +1261,12 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(o_orderpriority) OVER w <> o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
+      -- the dimension also excludes NULL o_orderpriority (fuzz 8): an
+      -- unknown priority is not a regime - Spark's IGNORE-NULLS as-of
+      -- skips it while an interval join would emit it, and a LEADING
+      -- null regime made the two forms disagree on probe coverage
       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_orderpriority IS NOT NULL
       WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY epoch_ms(date_trunc('milliseconds', o_orderdate)), o_orderkey)
     ),
@@ -1308,7 +1332,9 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class 27): an undated priority change cannot anchor a validity
     # interval. PROBES keep those orders — a lineitem's time axis is
     # l_shipdate; its order's date is irrelevant to the probe.
-    dated = orders.where(F.col("o_orderdate").isNotNull())
+    dated = orders.where(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.asc("d_ms"), F.asc("o_orderkey"))
     seq = dated.select(
         "o_custkey",
@@ -1873,11 +1899,12 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The counterpart of events_first_touch_attribution: instead of crediting
 # a session's purchase revenue wholly to the first touch, LINEAR
 # attribution splits it equally across every touchpoint (event) in the
-# session. Determinism of the split: the per-touch credit is floored
-# onto the micro-cent grid BEFORE multiplication and summation —
-# floor(cents·1e6 / n) is an exact-integer-rational floor (int_ratio
-# argument: a rational p/q is never within a double ulp of an integer it
-# doesn't equal), and every downstream aggregate is integer. Anonymous
+# session. Determinism of the split: the per-touch credit is truncated
+# onto the micro-cent grid BEFORE multiplication and summation in exact
+# DECIMAL(38,0)/HUGEINT integer arithmetic (fuzz 8: hostile cents make
+# pc*1e6 exceed 2^53, so the earlier floor-of-double form was inexact
+# AND overflowed), and every downstream aggregate is integer; the
+# emitted per-type total is scaled back to whole cents. Anonymous
 # (NULL user_id) events are excluded on both engines: sessions are
 # per-user by definition and the join-vs-window NULL semantics differ
 # (the fuzz round-2 class).
@@ -1917,14 +1944,18 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM typed GROUP BY 1, 2
     ),
     credited AS (
+      -- HUGEINT micro-credits (fuzz 8): pc can reach ~1.2e13 cents, so
+      -- pc*1e6 exceeds both 2^53 (the old floor(double) was inexact)
+      -- and INT64; truncating // on the exact integer matches Spark's
+      -- DECIMAL div
       SELECT t.event_type, t.n_touch,
-             t.n_touch * CAST(floor(CAST(s.pc AS DOUBLE) * 1000000
-                                    / s.n_all) AS BIGINT) AS credit
+             t.n_touch * ((CAST(s.pc AS HUGEINT) * 1000000) // s.n_all)
+               AS credit
       FROM typed t JOIN sess s USING (user_id, sess_id)
     )
     SELECT event_type,
            CAST(sum(n_touch) AS BIGINT) AS n_touches,
-           CAST(sum(credit) AS BIGINT) AS attributed_micro_cents
+           CAST(sum(credit) // 1000000 AS BIGINT) AS attributed_cents
     FROM credited GROUP BY event_type
     """,
 )
@@ -1977,15 +2008,28 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_touch").cast("bigint").alias("n_all"),
         F.sum("pc_type").cast("bigint").alias("pc"),
     )
-    per_touch = F.floor(
-        F.col("pc").cast("double") * F.lit(1_000_000.0) / F.col("n_all")
-    ).cast("bigint")
+    # exact DECIMAL(38,0) micro-credit — see the oracle's HUGEINT note.
+    # NOT `div`: Spark's integral divide returns LONG even for DECIMAL
+    # operands and silently wraps past 2^63 (pc*1e6 with n_all=1); the
+    # (x - x % n) / n form is the truncating division in pure DECIMAL,
+    # matching DuckDB's HUGEINT // on negatives (% keeps dividend sign
+    # in both engines)
+    per_touch = F.expr(
+        "CAST(((CAST(pc AS DECIMAL(38,0)) * 1000000)"
+        " - ((CAST(pc AS DECIMAL(38,0)) * 1000000) % n_all)) / n_all"
+        " AS DECIMAL(38,0))"
+    )
     credited = typed.join(sess, ["user_id", "sess_id"]).select(
-        "event_type", "n_touch", (F.col("n_touch") * per_touch).alias("credit")
+        "event_type",
+        "n_touch",
+        (F.col("n_touch").cast("decimal(38,0)") * per_touch).alias("credit"),
     )
     return credited.groupBy("event_type").agg(
         F.sum("n_touch").cast("bigint").alias("n_touches"),
-        F.sum("credit").cast("bigint").alias("attributed_micro_cents"),
+        F.expr(
+            "CAST((sum(credit) - (sum(credit) % 1000000)) / 1000000"
+            " AS BIGINT)"
+        ).alias("attributed_cents"),
     )
 
 

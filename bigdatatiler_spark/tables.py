@@ -156,18 +156,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ→LTZ under the UTC session tz is value-preserving, and
             # Catalyst unwraps the cast inside comparisons so range filters
             # on ts still reach the parquet scan (tests/test_plans.py).
-            # ts_ns SATURATES at 9e15 µs (year ~2255 — just under the
-            # int64-nanos ceiling, leaving days of headroom for window
-            # arithmetic like ts_ns + burst): a garbage far-future
-            # timestamp (year 9999 — fuzz round 4) would otherwise WRAP
-            # in Spark's non-ANSI multiply while DuckDB's epoch_ns()
-            # hard-errors. Saturation is monotone, so (ts_ns, event_id)
-            # stays a usable total order; oracles mirror with
-            # least(epoch_us(ts), 9000000000000000) * 1000.
+            # ts_ns SATURATES at ±9e15 µs (years ~2255 / ~-283000 —
+            # just inside the int64-nanos ceiling, leaving headroom for
+            # window arithmetic like ts_ns + burst): a garbage far-
+            # future timestamp (year 9999 — fuzz round 4) or far-past
+            # one (year 1 — fuzz round 8 found the NEGATIVE side
+            # unclamped: -6.2e16 µs × 1000 overflows int64) would
+            # otherwise WRAP or throw. Saturation is monotone, so
+            # (ts_ns, event_id) stays a usable total order; oracles
+            # mirror with greatest(least(epoch_us(ts), 9e15), -9e15)
+            # * 1000.
             df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
                 "ts_ns",
-                F.least(
-                    F.unix_micros(F.col("ts")), F.lit(9000000000000000)
+                F.greatest(
+                    F.least(
+                        F.unix_micros(F.col("ts")), F.lit(9000000000000000)
+                    ),
+                    F.lit(-9000000000000000),
                 )
                 * F.lit(1000),
             )

@@ -74,7 +74,7 @@ def test_interval_coverage_overlap_touch_gap(spark, tmp_path, specs):
 
 def test_linear_attribution_equal_split(spark, tmp_path, specs):
     """One session of [view, click, purchase(10.00)] → each of the three
-    touches gets floor(1000·1e6/3) micro-cents."""
+    touches gets trunc(1000·1e6/3) micro-cents, reported in whole cents."""
     d = str(tmp_path)
     _write_events(
         spark,
@@ -91,13 +91,15 @@ def test_linear_attribution_equal_split(spark, tmp_path, specs):
         r["event_type"]: r.asDict()
         for r in specs["events_linear_attribution"].fn(spark, d).collect()
     }
-    per_touch = (1000 * 1_000_000) // 3  # 333_333_333
-    assert out["view"]["attributed_micro_cents"] == per_touch
-    assert out["click"]["attributed_micro_cents"] == per_touch
+    per_touch_micro = (1000 * 1_000_000) // 3  # 333_333_333
+    # per-type totals are scaled back to whole cents (truncating) from
+    # the exact micro-cent credits
+    assert out["view"]["attributed_cents"] == per_touch_micro // 1_000_000
+    assert out["click"]["attributed_cents"] == per_touch_micro // 1_000_000
     # purchase type: 1 touch in session 1 + the solo session's full 500 cents
     assert (
-        out["purchase"]["attributed_micro_cents"]
-        == per_touch + 500 * 1_000_000
+        out["purchase"]["attributed_cents"]
+        == (per_touch_micro + 500 * 1_000_000) // 1_000_000
     )
     assert out["purchase"]["n_touches"] == 2
 

@@ -147,7 +147,6 @@ HOSTILE_PINNED = (
     # events_session_windows / asof / xml / streaming parities already
     # pinned above also caught class 26 — not re-listed.
     "skew_salted_user_activity",       # class 26 on the salted rollup
-    "event_id_generation",             # class 26 inside ULID time field
     "events_bucket_checksums",         # class 26 in integrity checksums
     "customer_order_running_total",    # class 27: NULLS FIRST pinned
     "order_gaps_lag_lead",             # class 27: lag/lead navigation
@@ -155,7 +154,43 @@ HOSTILE_PINNED = (
     "events_trailing_hour_stats",      # class 19 applied to RANGE frames
     "events_dau_mau_stickiness",       # class 26 on the day axis
     "events_rolling_7d_active_users",  # class 26 on the day axis
-    "events_funnel_windowed",          # class 26 at the funnel window edge
+    # event_id_generation (class 26 in the ULID time field) and
+    # events_funnel_windowed (class 26 at the funnel window edge) are
+    # already pinned above for earlier classes - not re-listed.
+    # fuzz round 8 (class 28): doc_id = 2^62 overflows the closed-form
+    # media/PII generators' doc_id*k multiplications in BIGINT on BOTH
+    # engines (DuckDB errors, Spark ANSI throws) — every oracle-side
+    # product now pre-reduces doc_id modulo the formula's cycle first
+    # ((d*k) mod m == ((d mod m)*k) mod m), and cleaning.py applies the
+    # same reduction Spark-side. Also pinned: the round-7 ops under the
+    # full fuzz-8 mutation set (year-1 ts, ZWJ group keys, inexact-double
+    # metric, ragged-long/±inf embeddings, duplicate JSON keys).
+    "multimodal_video_scene_cuts",     # class 28: frame-pair formula
+    "multimodal_wav_decode_stats",     # class 28: sample formula (mod 4096)
+    "doc_pii_scrub",                   # class 28: synthetic IP octet
+    "events_streaming_stateful_parity",  # µs/cents Decimal exactness > 2^53
+    "events_orc_roundtrip",            # decimal-native format leg
+    "events_hourly_trend_ols",         # NULL/ZWJ type groups, year-1 hour
+    "multimodal_audio_quality_gate",   # class 28: gate over sample formula
+    # fuzz round 8 classes 29-33:
+    # (29) Spark `div` returns LONG even on DECIMAL operands and WRAPS
+    #      silently past 2^63 (+ floor(double) inexact past 2^53) — the
+    #      (x - x % n)/n pure-DECIMAL truncating form replaces both;
+    # (30) ts_ns saturation was asymmetric: year-1 epoch (-6.2e16 µs)
+    #      times 1000 overflowed int64 — clamp is now ±9e15 µs;
+    # (31) INT64 moment overflow at hostile cents (~1.2e13): zscore's
+    #      sum(c²) and time-weighted's c×gap ride HUGEINT/DECIMAL(38,0);
+    # (32) NULL user hash in the KMV bottom-k (class-24 rule applied);
+    # (33) NULL dimension attributes: PIT regimes exclude them (IGNORE-
+    #      NULLS as-of vs interval join disagree on leading-null
+    #      coverage); quartiles pin NULLS FIRST on the priority rank.
+    # events_linear_attribution (29), events_time_weighted_value (31 +
+    # zero-observed guard), events_zscore_grouped (31) and
+    # lineitem_pit_priority (33) are already pinned above for earlier
+    # classes - not re-listed.
+    "rangejoin_error_bursts",          # class 30: symmetric ns clamp
+    "sketch_kmv_distinct",             # class 32: NULL not a sketch element
+    "order_value_quartiles",           # class 33: NULLS FIRST pin
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

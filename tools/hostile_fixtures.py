@@ -231,9 +231,14 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             # switch; epoch arithmetic is ~-62e15 us, within int64)
             d["ts"][i] = dt.datetime(1, 1, 1, 0, 0, 0)
         elif k == 36:
-            # largest metric that PASSES the |value| < 1e16 loader rule
-            # AND still fits DECIMAL(18,2)'s 16 integer digits
-            d["value"][i] = 9999999999999998.0
+            # large metric that is NOT exactly representable as a double
+            # (123456789012.34 rounds to ...339996...): probes the
+            # double->DECIMAL(18,2) rounding-rule parity at scale while
+            # keeping every grouped cents SUM far inside BIGINT (the
+            # 9999999999999998.0 variant overflowed per-type sums at
+            # ~1500 mutated rows x 1e18 cents - both engines failed,
+            # differently)
+            d["value"][i] = 123456789012.34
     return pa.table(d, schema=tbl.schema)
 
 
