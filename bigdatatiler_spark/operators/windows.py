@@ -1802,7 +1802,12 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.when(is_purchase, F.col("cents")).otherwise(0))
             .cast("bigint")
             .alias("purchase_cents"),
-            F.sum(is_purchase.cast("bigint")).cast("bigint").alias("n_purchases"),
+            # explicit otherwise(0), not a bool cast: NULL event_type
+            # makes is_purchase NULL, and a session of only NULL-typed
+            # events would sum to NULL while the oracle's CASE gives 0
+            F.sum(F.when(is_purchase, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
         )
     )
     return sess.groupBy("first_touch").agg(

@@ -72,7 +72,11 @@ def build_ledger(repo: str = REPO) -> dict:
             n: sorted(r for r, ok in rounds.items() if ok)
             for n, rounds in sorted(held.items())
         },
-        "never_certified": never,
+        # sorted: the raw registration order of the tail is import-order-
+        # sensitive (any direct `import operators.x` before load_all, e.g.
+        # pytest collecting test modules, reorders it) and would make the
+        # committed artifact unstable
+        "never_certified": sorted(never),
         "current_window": window,
         "current_window_fresh": [n for n in window if n not in held],
     }
