@@ -286,16 +286,26 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "bigdatatiler_spark", "plans", "time_budget.json",
     )
+    # budget_status makes a DISABLED tripwire visible in bench artifacts
+    # (ADVICE r7: a missing/malformed/sf-mismatched budget file must not
+    # silently skip the named-regression check).
     try:
         with open(budget_path) as f:
             budget = json.load(f)
-        if str(budget.get("sf")) == str(sf_val):
+        if str(budget.get("sf")) != str(sf_val):
+            budget_status = (
+                f"skipped: budget sf={budget.get('sf')} != run sf={sf_val}"
+            )
+        else:
             for name, sec in timings.items():
                 cap = budget["budget_sec"].get(name)
                 if cap is not None and sec > cap:
                     budget_violations[name] = [sec, cap]
-    except (OSError, KeyError, ValueError):
-        pass
+            budget_status = "ok"
+    except OSError as e:
+        budget_status = f"skipped: budget file unreadable ({e.__class__.__name__})"
+    except (KeyError, ValueError) as e:
+        budget_status = f"skipped: budget file malformed ({e.__class__.__name__})"
 
     # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
     print(json.dumps({
@@ -305,6 +315,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "budget_violations": budget_violations,
+        "budget_status": budget_status,
     }))
     # Compact, bounded summary as the FINAL stdout line (driver-parseable).
     out = {

@@ -31,12 +31,38 @@ def pack_frames(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
-def frame_count(blob: bytes) -> int:
+def _frame_offsets(blob: bytes) -> list[tuple[int, int]]:
+    """Validate the WHOLE container upfront and return [(offset, length)]
+    per frame. Upfront (not lazily during iteration) so a consumer that
+    stops early — e.g. breaks after the first frame — still sees
+    trailing-byte/truncation corruption, and so the magic check runs
+    before any length slicing (a 3-byte blob must report truncation, not
+    'not an FPK1 container' from a short magic slice)."""
+    if len(blob) < 8:
+        if blob[: min(4, len(blob))] != _MAGIC[: min(4, len(blob))]:
+            raise ValueError("not an FPK1 container")
+        raise ValueError("truncated FPK1 container (missing frame count)")
     if blob[:4] != _MAGIC:
         raise ValueError("not an FPK1 container")
-    if len(blob) < 8:
-        raise ValueError("truncated FPK1 container (missing frame count)")
-    return struct.unpack(">I", blob[4:8])[0]
+    n = struct.unpack(">I", blob[4:8])[0]
+    offsets: list[tuple[int, int]] = []
+    off = 8
+    for i in range(n):
+        if off + 4 > len(blob):
+            raise ValueError(f"truncated FPK1 container (frame {i} prefix)")
+        (ln,) = struct.unpack(">I", blob[off : off + 4])
+        off += 4
+        if off + ln > len(blob):
+            raise ValueError(f"truncated FPK1 container (frame {i} payload)")
+        offsets.append((off, ln))
+        off += ln
+    if off != len(blob):
+        raise ValueError("trailing bytes after final FPK1 frame")
+    return offsets
+
+
+def frame_count(blob: bytes) -> int:
+    return len(_frame_offsets(blob))
 
 
 def iter_frames(blob: bytes, stride: int = 1) -> Iterator[tuple[int, bytes]]:
@@ -44,24 +70,11 @@ def iter_frames(blob: bytes, stride: int = 1) -> Iterator[tuple[int, bytes]]:
 
     Unsampled frames are SKIPPED by their length prefix — never copied or
     decoded (the point of frame sampling: decode cost scales with frames
-    kept, not frames stored).
+    kept, not frames stored). The container is fully bounds-validated
+    before the first yield.
     """
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    n = frame_count(blob)
-    off = 8
-    for i in range(n):
-        # bounds-validate every prefix and payload against the actual blob
-        # length: a truncated/length-corrupted container must fail loudly,
-        # not yield silently short frame bytes via slice truncation
-        if off + 4 > len(blob):
-            raise ValueError(f"truncated FPK1 container (frame {i} prefix)")
-        (ln,) = struct.unpack(">I", blob[off : off + 4])
-        off += 4
-        if off + ln > len(blob):
-            raise ValueError(f"truncated FPK1 container (frame {i} payload)")
+    for i, (off, ln) in enumerate(_frame_offsets(blob)):
         if i % stride == 0:
             yield i, blob[off : off + ln]
-        off += ln
-    if off != len(blob):
-        raise ValueError("trailing bytes after final FPK1 frame")

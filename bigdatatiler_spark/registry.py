@@ -103,76 +103,80 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: by tools/check_oracle.py — rotation loses no local coverage, only moves the
 #: driver's independent certification to names that never had one.
 #:
-#: ROUND-7 ROTATION: 23 long-green rows out (each 2-5 prior green rounds,
-#: each family keeps an in-window sibling), 23 never-certified rows in —
-#: covering the families the r6 verdict called out: product analytics
-#: (funnel/retention/stickiness), fact-scale quality audits (FK orphans,
-#: lineitem constraints, PSI drift), PII scrub, leakage-safe split +
-#: canonical keep, triangle cohesion, the stream-stream join parity shape,
-#: CSV/JSONL roundtrips, CMS sketch, RAKE, aHash near-dup, trigram search,
-#: dimension stats, the UDTF RAG chunker, and fixed-size tiling.
-#: Out (ledger keeps their history): tpch_q1_pricing_summary,
-#: tpch_q18_large_volume_customer, dedup_exact, dedup_embedding_lsh_blocked,
-#: dedup_connected_components, asof_purchase_to_click,
-#: range_join_event_windows, order_price_percentiles, events_session_windows,
-#: ann_lsh_topk, embedding_kmeans_cells, doc_token_stats, pack_token_budget,
-#: events_props_json, nation_grouping_sets, sketch_kmv_distinct,
-#: events_zscore_grouped, events_page_keyset, doc_tile_roundtrip,
-#: multimodal_png_decode_stats, events_streaming_hourly_parity, bm25_topk,
-#: doc_duplicate_spans.
+#: ROUND-8 ROTATION: all 23 round-7 fresh rows went driver-green (50/50), so
+#: every one of them rotates out; 15 of the 27 round-7 sentinels rotate out
+#: too (their modules gain a never-certified representative instead), and the
+#: freed 38 slots go to never-certified names (12 + 38 = 50). 12 sentinels remain — exactly
+#: one for each module that has NO never-certified query left (tokenize,
+#: logstore, asof, pq, rangejoin, scalar, setops, skew, tiling, tpch_deep,
+#: sources.layout, sources.rollup). After round 8 certifies, 33 never-held names remain for round 9 (windows x7, quality x5, relational/text/
+#: sketches x3 each, sqlsurface/multimodal/sampling x2 each, streaming x1,
+#: dedup x1, cleaning x1, similarity x1, plus sketch_hll_native's rows-only
+#: check and the remaining product-analytics windows).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # — kept sentinels (27): one+ per module, regression canaries —
+    # — sentinels (12): one per module with no never-certified query left —
     "events_filtered_topk",            # logstore flagship scan shape
     "tpch_q12_late_shipment",          # relational join+agg (the r1-red fix class)
-    "setops_customer_cohorts",         # set operations (module's only entry)
-    "asof_forward_click_to_purchase",  # as-of join, forward + tiebreak (r6 new)
+    "setops_customer_cohorts",         # set operations
+    "asof_forward_click_to_purchase",  # as-of join, forward + tiebreak
     "rangejoin_error_bursts",          # banded range join
-    "lineitem_weighted_median_price",  # weighted-quantile kernel (r6 new)
-    "events_interval_coverage",        # sweep-line interval union
-    "events_zorder_key",               # lakehouse layout
-    "dedup_minhash_lsh",               # banded MinHash near-dup
-    "graph_pagerank_docs",             # iterative rank
-    "ann_hamming_binary_topk",         # ANN sign-bit/popcount
     "ann_pq_adc_topk",                 # ANN PQ-ADC (pq.py's only entry)
-    "doc_sentence_stats",              # sentence segmentation (r6 new)
-    "tokenizer_vocab_coverage",        # vocab coverage
-    "multimodal_image_resize_stats",   # real-pixel resize (r6 new)
-    "multimodal_video_frame_sample",   # FPK1 stride decode (r6 new)
-    "multimodal_wav_rms_windows",      # framed audio RMS (r6 new)
     "doc_bpe_token_counts",            # BPE tokenizer (functions.tokenize)
     "skew_salted_user_activity",       # skew salting (module's only entry)
-    "orders_constraint_audit",         # quality-rule audit
-    "events_streaming_session_parity", # streaming MERGING-state shape
-    "events_bitmap_distinct",          # bitmap-word exact distinct (r6 new)
-    "graph_kcore_peel",                # bounded k-core peel (r6 new)
-    "graph_bfs_hops",                  # frontier BFS (r6 new)
     "events_xml_inspection",           # XML round-trip (scalar's entry)
+    "events_zorder_key",               # lakehouse layout
     "events_hourly_rollup",            # hypertable rollup
-    "sample_domain_mixture",           # md5-stable mixture sampling
-    # — round-7 rotation: 23 never-driver-certified names (fresh slots) —
-    "events_funnel_conversion",        # ordered funnel chain
-    "events_weekly_retention",         # cohort retention triangle
-    "events_dau_mau_stickiness",       # sliding distinct-day stickiness
-    "tpch_fk_orphan_audit",            # schema-wide FK orphan audit (9 edges)
-    "lineitem_constraint_audit",       # fact-scale constraint audit
-    "events_type_drift_psi",           # PSI distribution drift
-    "basket_part_pairs",               # co-occurrence self-join
-    "orders_fullouter_recon",          # FULL OUTER reconciliation
-    "doc_pii_scrub",                   # regex PII scrub
-    "sample_leakage_safe_split",       # CC-canonical leakage-safe split
-    "dedup_keep_canonical",            # canonical-doc keep rule
-    "graph_triangle_cohesion",         # triangle count / cohesion
-    "dedup_minhash_estimate_audit",    # MinHash Jaccard estimate audit
-    "events_streaming_join_parity",    # stream-stream interval join shape
-    "events_csv_roundtrip",            # CSV ''-vs-NULL writer/reader parity
-    "events_jsonl_roundtrip",          # JSONL export/read parity
-    "sketch_countmin_tokens",          # count-min sketch
-    "doc_rake_keyphrases",             # RAKE keyphrases
-    "multimodal_image_ahash_near_dup", # real-pixel aHash near-dup
-    "doc_trigram_search",              # trigram inverted-index search
-    "embedding_dimension_stats",       # per-dimension exact-moment stats
-    "doc_rag_chunks",                  # Python UDTF RAG chunker
     "doc_tile_chunks",                 # fixed-size tiling (tiling's entry)
+    # — round-8 rotation: 38 never-driver-certified names (fresh slots) —
+    # windows (8 of 16 fresh)
+    "events_funnel_windowed",          # windowed multi-step funnel
+    "events_session_paths",            # per-session ordered path strings
+    "events_user_lifecycle",           # new/retained/resurrected/churned
+    "events_first_touch_attribution",  # first-touch credit assignment
+    "events_time_weighted_value",      # time-weighted average value
+    "orders_priority_scd2",            # SCD2 effective-range reconstruction
+    "events_hourly_gapfill",           # dense hourly spine + interpolation
+    "events_rolling_7d_active_users",  # rolling 7d distinct actives
+    # quality (4 of 10 fresh)
+    "events_cusum_changepoint",        # CUSUM drift detection
+    "orders_benford_audit",            # Benford first-digit audit
+    "events_k_anonymity",              # k-anonymity quasi-identifier audit
+    "events_chi2_independence",        # chi-square independence test
+    # relational (3 of 6 fresh)
+    "customer_revenue_gini",           # Gini coefficient over revenue
+    "orders_abc_classification",       # cumulative-share ABC classes
+    "events_value_histogram",          # fixed-width histogram binning
+    # text (3 of 6 fresh)
+    "doc_gopher_quality_rules",        # Gopher quality-rule battery
+    "doc_tfidf_keywords",              # per-doc TF-IDF top keywords
+    "corpus_zipf_slope",               # Zipf rank-frequency slope
+    # sketches (3 of 6 fresh)
+    "sketch_topk_native",              # space-saving top-k
+    "sketch_kmv_join_estimate",        # KMV join-cardinality estimate
+    "events_sliding_bitmap_distinct",  # sliding bitmap exact distinct
+    # sqlsurface (3 of 5 fresh)
+    "events_orc_roundtrip",            # ORC writer/reader parity
+    "part_unpivot_measures",           # UNPIVOT/stack
+    "orders_profile",                  # column-profile summary
+    # multimodal (2 of 4 fresh)
+    "multimodal_video_scene_cuts",     # frame-delta scene-cut detection
+    "multimodal_audio_quality_gate",   # clipping/silence audio gate
+    # sampling (2 of 4 fresh)
+    "sample_stratified_by_lang",       # stratified exact-rate sampling
+    "events_ab_test_readout",          # two-proportion A/B readout
+    # dedup (2 of 3 fresh)
+    "dedup_simhash",                   # SimHash hamming near-dup
+    "dedup_embedding_cosine",          # embedding-cosine near-dup (blocked)
+    # streaming (2 of 3 fresh)
+    "events_streaming_dedup_parity",   # streaming dropDuplicates parity
+    "events_streaming_stateful_parity",# applyInPandasWithState parity
+    # one each: cleaning, similarity, graph, linkgraph, retrieval, udaf
+    "doc_unigram_logprob",             # unigram LM log-prob scoring
+    "decontaminate_embedding_cosine",  # eval-decontamination cosine filter
+    "dedup_components_two_star",       # two-star connected components
+    "graph_degree_assortativity",      # degree assortativity coefficient
+    "doc_phrase_proximity",            # positional phrase-proximity search
+    "events_iqm_udaf",                 # interquartile-mean UDAF
 )
 
 

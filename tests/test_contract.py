@@ -3,11 +3,14 @@
 from __future__ import annotations
 
 import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _load_entry():
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -65,10 +68,10 @@ def test_window_rotates_fresh_names():
     derivation (tools/window_ledger.py --write)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
     from window_ledger import build_ledger
 
-    ledger = build_ledger("/root/repo")
+    ledger = build_ledger(REPO)
     if not ledger["generated_from"]:
         return  # round 1: no driver files yet, nothing to rotate against
     if ledger["never_certified"]:
@@ -85,11 +88,14 @@ def test_window_ledger_artifact_current():
     import json
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
-    from window_ledger import LEDGER_PATH, build_ledger
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from window_ledger import build_ledger
 
-    committed = json.load(open(LEDGER_PATH))
-    assert committed == build_ledger("/root/repo"), (
+    ledger_path = os.path.join(
+        REPO, "bigdatatiler_spark", "plans", "window_ledger.json"
+    )
+    committed = json.load(open(ledger_path))
+    assert committed == build_ledger(REPO), (
         "stale plans/window_ledger.json — run tools/window_ledger.py --write"
     )
 

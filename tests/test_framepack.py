@@ -57,3 +57,17 @@ def test_truncated_container_fails_loudly():
     # container shorter than the 8-byte header
     with pytest.raises(ValueError, match="truncated FPK1"):
         frame_count(b"FPK1\x00")
+
+
+def test_corruption_detected_even_on_early_break():
+    """ADVICE r7: validation is upfront — a consumer that stops after the
+    FIRST frame must still see trailing-bytes / truncation corruption
+    (previously the end-of-blob check ran only after full iteration)."""
+    blob = pack_frames([b"alpha", b"beta"])
+    for bad in (blob + b"garbage", blob[:-1]):
+        with pytest.raises(ValueError):
+            next(iter(iter_frames(bad)))
+    # and a truncated-but-valid-magic short blob reports truncation,
+    # not 'not an FPK1 container'
+    with pytest.raises(ValueError, match="truncated"):
+        frame_count(b"FPK"[:3])

@@ -124,6 +124,27 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["doc_id"][i] = 2**62 + i  # extreme POSITIVE id (negative
             # is k==14): closed-form media generators multiply by 31
 
+        # fuzz round 9 classes
+        elif k == 23:
+            # case-folding gauntlet: Turkish dotted/dotless I, German
+            # sharp s, Greek capital/final sigma — lower()/upper() are
+            # locale/tailoring-sensitive (JVM vs DuckDB's utf8proc), so
+            # any case-normalizing kernel is a divergence candidate
+            d["text"][i] = "İstanbul Iık STRASSE straße ΣΙΣΥΦΟΣ σισυφος"
+        elif k == 24:
+            # full-width digits/letters + BOM + RTL override: regex
+            # classes (\d, \w) and trim/strip behavior on format chars
+            d["text"][i] = "﻿１２３ ＡＢＣ ‮reversed‬ end"
+        elif k == 25 and i + 1 < n:
+            # DUPLICATE doc_id with DIFFERENT text (PK collision where
+            # the payload differs): dedup keep-rules and any join on
+            # doc_id now fan out — tiebreaks must be total on content
+            d["doc_id"][i] = d["doc_id"][i + 1]
+        elif k == 26:
+            d["lang"][i] = "EN"  # case-variant of the dominant 'en'
+            # group: case-sensitive grouping keeps it distinct; any
+            # kernel lowercasing lang on ONE engine only diverges
+
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
     return pa.table(d, schema=tbl.schema)
@@ -239,6 +260,24 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             # ~1500 mutated rows x 1e18 cents - both engines failed,
             # differently)
             d["value"][i] = 123456789012.34
+        # fuzz round 9 classes
+        elif k == 37:
+            # JSON string value carrying ESCAPED surrogate-pair emoji and
+            # an escaped NUL: \u-unescaping is parser-implemented (JVM
+            # UTF-16 vs DuckDB yyjson UTF-8), so length/compare kernels
+            # over extracted values probe the unescape parity
+            d["props"][i] = '{"k": "\\ud83d\\ude00 pre\\u0000post"}'
+        elif k == 38:
+            # JSON number overflowing DOUBLE range: 1e309 parses to
+            # +inf, an error, or NULL depending on the parser
+            d["props"][i] = '{"k": 1e309}'
+        elif k == 39:
+            # DOTTED key plus a real 'k': $.k path syntax vs map-style
+            # lookup may treat 'a.b' as a nested path on one engine
+            d["props"][i] = '{"a.b": 7, "k": 3}'
+        elif k == 40:
+            d["event_id"][i] = 2**63 - 1  # max int64 id: any +1/interval
+            # tiebreak or keyset-pagination bound overflows BIGINT
     return pa.table(d, schema=tbl.schema)
 
 
@@ -297,6 +336,15 @@ def _mutate_embeddings(tbl: pa.Table) -> pa.Table:
         elif k == 13:
             # negative-zero components: sign(0) and hash-bucket edges
             d["embedding"][i] = [-0.0] * len(d["embedding"][i])
+        # fuzz round 9 classes
+        elif k == 14:
+            d["embedding"][i] = [7.5]  # single-element vector (ragged
+            # SHORT beyond the k=6 two-element case; mean/var with n=1)
+        elif k == 15 and i + 1 < n:
+            # DUPLICATE vec_id with a DIFFERENT embedding: ANN joins on
+            # vec_id fan out; top-k tiebreaks on (score, vec_id) now tie
+            # on BOTH and need a content-level total order
+            d["vec_id"][i] = d["vec_id"][i + 1]
     return pa.table(d, schema=tbl.schema)
 
 
@@ -335,6 +383,15 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
         elif k == 11:
             # proleptic-calendar date floor (year 1)
             d["o_orderdate"][i] = dt.datetime(1, 1, 2)
+        # fuzz round 9 classes
+        elif k == 12:
+            # NaN price: both engines sort NaN greatest, but NaN
+            # equality/grouping and SUM-poisoning semantics are
+            # engine-implemented (Spark NaN==NaN in grouping; any
+            # SUM over a NaN partition is NaN on both — verify)
+            d["o_totalprice"][i] = float("nan")
+        elif k == 13:
+            d["o_orderstatus"][i] = ""  # empty-string enum (≠ NULL k=7)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -381,6 +438,16 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
             # epoch-boundary ship date: the one date axis every
             # pre/post-1970 trunc-vs-floor class pivots on
             d["l_shipdate"][i] = dt.datetime(1970, 1, 1)
+        # fuzz round 9 classes
+        elif k == 12:
+            d["l_shipdate"][i] = None  # NULL ship date (range filters,
+            # as-of axes, interval arithmetic all see a NULL endpoint)
+        elif k == 13:
+            d["l_extendedprice"][i] = float("nan")  # NaN fact measure:
+            # poisons one group's DECIMAL cast — cast(NaN as DECIMAL) is
+            # NULL in one engine, an error or NaN in another
+        elif k == 14:
+            d["l_linenumber"][i] = 0  # zero ordinal (1-based assumptions)
     return pa.table(d, schema=tbl.schema)
 
 

@@ -26,16 +26,27 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_PATH = os.path.join(REPO, "bigdatatiler_spark", "plans", "window_ledger.json")
 
 
 def correctness_files(repo: str = REPO) -> list[str]:
-    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    """Git-TRACKED driver files only, so a freshly-written (not yet
+    committed) CORRECTNESS_r{N}.json mid-round does not flip the rotation
+    gates before the round-{N+1} rotation lands (the r7 ADVICE class:
+    artifact-commit and rotation must move together, and they do — in the
+    same commit). Falls back to a glob when git is unavailable."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        return sorted(os.path.join(repo, p) for p in out)
+    except (OSError, subprocess.CalledProcessError):
+        return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
 
 
 def _row_green(row: dict) -> bool:
@@ -50,13 +61,19 @@ def _row_green(row: dict) -> bool:
 
 
 def build_ledger(repo: str = REPO) -> dict:
-    """Certification history keyed by query name."""
-    held: dict[str, dict[str, bool]] = {}
+    """Certification history keyed by query name. Round keys are INTs in
+    memory (lexicographic '10' < '2' misorders double-digit rounds — r7
+    ADVICE) and zero-padded 2-digit strings in the serialized artifact so
+    JSON keeps them sorted."""
+    held: dict[str, dict[int, bool]] = {}
     files = correctness_files(repo)
     for path in files:
-        rnd = re.search(r"r(\d+)", os.path.basename(path)).group(1)
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         for name, row in json.load(open(path)).items():
             held.setdefault(name, {})[rnd] = _row_green(row)
+    # import the registry of the repo under derivation, not this tool's own
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from bigdatatiler_spark.registry import load_all
 
     registered = list(load_all())
@@ -66,10 +83,11 @@ def build_ledger(repo: str = REPO) -> dict:
         "generated_from": [os.path.basename(p) for p in files],
         "registered_count": len(registered),
         "ever_held_slot": {
-            n: sorted(r for r in rounds) for n, rounds in sorted(held.items())
+            n: [f"{r:02d}" for r in sorted(rounds)]
+            for n, rounds in sorted(held.items())
         },
         "certified_green": {
-            n: sorted(r for r, ok in rounds.items() if ok)
+            n: [f"{r:02d}" for r in sorted(r for r, ok in rounds.items() if ok)]
             for n, rounds in sorted(held.items())
         },
         # sorted: the raw registration order of the tail is import-order-
