@@ -63,6 +63,18 @@ def money_sum(expr: Column, alias: str, ndigits: int = 2) -> Column:
     return F.round(F.sum(expr), ndigits).cast("double").alias(alias)
 
 
+def finite_or_null(col: str | Column) -> Column:
+    """NULL out NaN/±Inf — the explicit-universe guard for order-statistics
+    and quantile kernels over raw doubles. Spark sorts NaN GREATEST and
+    its percentile kernels propagate it, while DuckDB's quantile_* skip
+    it, so a non-finite measure must leave the universe symmetrically
+    (SQL mirror: CASE WHEN isfinite(x) THEN x END; both engines' quantile
+    aggregates then ignore the NULL). Fuzz round 9: NaN o_totalprice /
+    l_extendedprice."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & ~c.isin(float("inf"), float("-inf")), c)
+
+
 # SQL-side mirrors (DuckDB) of the same discipline, for oracle strings.
 SQL_PRICE = "DECIMAL(10,2)"
 SQL_RATE = "DECIMAL(3,2)"

@@ -41,11 +41,13 @@ BLOCKED_COSINE_THRESHOLD = 0.35  # blocked variant keeps a fatter tail (bucketin
 #: point at the LSH-blocked sibling rather than launch an O(n²) join
 EXACT_PAIRS_MAX_INPUT = 50_000
 
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# ASCII-only case fold — same rationale as text.py's _NORM_SQL (fuzz 9:
+# JVM vs utf8proc Unicode case mappings diverge on İ / final sigma).
+_NORM_SQL = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
 
 def _norm_col() -> Column:
-    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:

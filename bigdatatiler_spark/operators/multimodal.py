@@ -549,7 +549,10 @@ _AHASH_PX_ORACLE = f"""
 WITH px AS (
   SELECT doc_id,
          [{_PIX_SQL} for i in generate_series(0, 255)] AS p
-  FROM documents
+  -- DISTINCT: the image is a closed form of doc_id (one image per id),
+  -- so a duplicated doc_id row (fuzz 9) must not fan out the verify
+  -- joins into duplicate pairs
+  FROM (SELECT DISTINCT doc_id FROM documents) documents
 ),
 blocks AS (
   SELECT doc_id, list_sum(p) AS tot,
@@ -598,7 +601,8 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
     """Near-duplicate image pairs by pixel aHash (Hamming ≤ 8 of 64,
     ``AHASH_PX_THRESH``) — the decode → hash → band-block → verify
     pipeline on real PNG bytes (see block comment)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # distinct: one image per doc_id (closed form) — fuzz 9 duplicate ids
+    docs = table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def _hash(batches: Iterator[Any]) -> Iterator[Any]:
         import pandas as pd

@@ -138,7 +138,7 @@ def _oracle() -> str:
     ).format(off="cb.sub * 16")
     return f"""
     WITH quant AS (
-      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, 64)]) < 1e12)
+      SELECT vec_id, {qemb} AS q FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND isfinite(list_reduce([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)], (x, y) -> x + y)) AND list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, 64)]) < 1e12 QUALIFY count(*) OVER (PARTITION BY vec_id) = 1)
     ),
     ranked AS (
       SELECT vec_id, q,
@@ -232,6 +232,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offset PQ slicing crashes on them
     from .similarity import DIM
 
+    # fuzz round 9 (ambiguous PK): a vec_id delivered twice with different
+    # embeddings breaks the codebook-seed ranking's total order (it ties
+    # on both md5(vec_id) and vec_id) — quarantine, as in similarity.nz_base
+    from pyspark.sql import Window
+
     base = e.where(
         F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
     ).select(
@@ -240,7 +245,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.isnan("_cs")
         & (F.abs("_cs") != float("inf"))
         & (F.col("_ma") < F.lit(1e12))
-    ).select("vec_id", "embedding")
+    ).withColumn(
+        "_n_ids", F.count("*").over(Window.partitionBy("vec_id"))
+    ).where(F.col("_n_ids") == 1).select("vec_id", "embedding")
     codes = encode_pq(base)
     cb = _codebook_row(base)
     # per-query ADC lookup table: map (sub*KSUB + code) → exact distance

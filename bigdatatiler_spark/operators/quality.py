@@ -537,7 +537,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_benford_audit",
     oracle="""
     WITH d AS (
-      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      SELECT CAST(substr(CAST(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
       FROM orders
       WHERE o_totalprice > 0

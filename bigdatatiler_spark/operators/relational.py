@@ -31,15 +31,15 @@ from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ts_
       l_returnflag,
       l_linestatus,
       CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_base_price,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
       (CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_qty_e4,
-      (CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
+      (CAST(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_price_e4,
       (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_disc_e4,
@@ -83,7 +83,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o_orderkey,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
       epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       o_orderpriority
@@ -136,7 +136,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -190,7 +190,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     oracle="""
     SELECT
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
       count(*) AS n_items
     FROM lineitem
@@ -223,7 +223,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c_custkey,
       c_name,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
       round(CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE), 2) AS c_acctbal,
       n_name
@@ -465,7 +465,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT) AS q,
-             CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS p
+             CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2)) * 100 AS BIGINT) AS p
       FROM lineitem
     ),
     s AS (
@@ -577,7 +577,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS c_custkey,
              max(epoch_ms(date_trunc('milliseconds', o_orderdate))) AS last_order_ms,
              count(*) AS frequency,
-             sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(12,2)) * 100 AS BIGINT))
                AS monetary_cents
       FROM orders GROUP BY 1
     ),
@@ -637,10 +637,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT o_custkey,
-             sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+             sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
       FROM orders GROUP BY o_custkey
     ),
-    vals AS (SELECT x, count(*) AS c FROM rev GROUP BY x),
+    -- x IS NULL = customer with no usable (finite) revenue at all —
+    -- unknown, not zero, so it leaves the inequality universe (fuzz 9:
+    -- a NULL x would also sort FIRST in Spark's rank window and LAST in
+    -- DuckDB's)
+    vals AS (SELECT x, count(*) AS c FROM rev WHERE x IS NOT NULL GROUP BY x),
     pref AS (
       SELECT x, c,
              sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c AS prefix
@@ -681,6 +685,8 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", cents.alias("c0"))
         .groupBy("o_custkey")
         .agg(F.sum("c0").alias("x"))
+        # all-NaN customer → NULL revenue: unknown, leaves the universe
+        .where(F.col("x").isNotNull())
     )
     vals = rev.groupBy("x").agg(F.count("*").alias("c"))
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
@@ -775,7 +781,7 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
       SELECT o_custkey,
-             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             CAST(sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT)) AS BIGINT) AS rev
       FROM orders GROUP BY 1
     ),
@@ -857,12 +863,12 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS ca
+             CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2)) * 100 AS BIGINT) AS ca
       FROM orders WHERE o_orderkey % 2 = 0
     ),
     b AS (
       SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT)
+             CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2)) * 100 AS BIGINT)
                + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS cb
       FROM orders WHERE o_orderkey % 3 = 0
     ),

@@ -96,6 +96,15 @@ def _self_norm(alias: str) -> str:
 #: The universe therefore requires len(embedding) = DIM EXPLICITLY on
 #: both engines — a wrong-dimension vector is an invalid row, exactly
 #: like a non-finite one.
+#: Fuzz round 9 added the AMBIGUOUS-PK class: the SAME vec_id delivered
+#: twice with DIFFERENT embeddings (at-least-once ingest where the retry
+#: carried new data). vec_id is the identity every ranking/seed/join in
+#: this module tiebreaks or partitions on, so a duplicated id makes those
+#: total orders partial — k-means seed selection picked different rows
+#: per engine. Conflicting-id rows are QUARANTINED from the universe
+#: (count over the otherwise-valid rows = 1): unlike the tiling arbiter
+#: (which must keep one payload to reassemble), a similarity index has no
+#: principled way to say which of two contradictory vectors IS vec_id N.
 _EMB_NZ = (
     "(SELECT * FROM embeddings WHERE len(embedding) = 64"
     " AND isfinite(list_reduce("
@@ -104,23 +113,32 @@ _EMB_NZ = (
     "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
     " for i in generate_series(1, 64)], (x, y) -> x + y) > 0"
     " AND list_max([abs(CAST(embedding[i] AS DOUBLE))"
-    " for i in generate_series(1, 64)]) < 1e12)"
+    " for i in generate_series(1, 64)]) < 1e12"
+    " QUALIFY count(*) OVER (PARTITION BY vec_id) = 1)"
 )
 
 
 def nz_base(e: "DataFrame") -> "DataFrame":
     """(vec_id, embedding, nrm) frame with zero-norm, non-finite,
-    huge-component and WRONG-DIMENSION (ragged/empty/NULL — class 18)
-    vectors excluded — the canonical input of every cosine-scoring ANN
-    query (see _EMB_NZ)."""
+    huge-component, WRONG-DIMENSION (ragged/empty/NULL — class 18) and
+    AMBIGUOUS-PK (duplicated vec_id — fuzz 9) vectors excluded — the
+    canonical input of every cosine-scoring ANN query (see _EMB_NZ).
+    The ambiguity count runs over the otherwise-valid rows (a duplicate
+    whose sibling already failed the finiteness gates is unambiguous),
+    mirroring the oracle's QUALIFY placement; one exchange on vec_id,
+    which the downstream index build reuses."""
+    from pyspark.sql import Window
+
     max_abs = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
-    return (
+    valid = (
         e.where(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
         .where(~F.isnan("nrm") & (F.col("nrm") > 0) & (max_abs < F.lit(1e12)))
     )
+    n_ids = F.count("*").over(Window.partitionBy("vec_id"))
+    return valid.withColumn("_n_ids", n_ids).where(F.col("_n_ids") == 1).drop("_n_ids")
 
 
 @register(

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ._util import ms
+from ._util import finite_or_null, ms
 from ..registry import register
 from ..tables import table
 
@@ -126,7 +126,7 @@ FREQ_SUPPORT = 0.02
     oracle=f"""
     WITH t AS (
       SELECT unnest(string_split(
-               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     c AS (SELECT token, count(*) AS occurrences FROM t GROUP BY token)
@@ -150,7 +150,7 @@ def sketch_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             F.explode(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+                F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
             ).alias("token")
         )
     )
@@ -201,9 +201,9 @@ QUANTILE_ACCURACY = 100_000
     "sketch_quantile_gk",
     oracle="""
     SELECT o_orderpriority,
-           quantile_disc(o_totalprice, 0.5)  AS p50,
-           quantile_disc(o_totalprice, 0.9)  AS p90,
-           quantile_disc(o_totalprice, 0.99) AS p99
+           quantile_disc(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5)  AS p50,
+           quantile_disc(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.9)  AS p90,
+           quantile_disc(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.99) AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -216,9 +216,10 @@ def sketch_quantile_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash compare validates the sketch path; at 100 TB the identical
     expression keeps a fixed memory budget per group with rank error
     ≤ 1/accuracy, where the exact form (order_price_percentiles) needs a
-    per-group sort. One partial-agg shuffle, sketches merged map-side."""
+    per-group sort. One partial-agg shuffle, sketches merged map-side.
+    Non-finite prices leave the universe (finite_or_null — fuzz 9)."""
     q = F.percentile_approx(
-        "o_totalprice", [0.5, 0.9, 0.99], QUANTILE_ACCURACY
+        finite_or_null("o_totalprice"), [0.5, 0.9, 0.99], QUANTILE_ACCURACY
     )
     return (
         table(spark, sf_dir, "orders")
@@ -269,7 +270,7 @@ def _cms_oracle() -> str:
     return f"""
     WITH t AS (
       SELECT unnest(string_split(
-               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token),
@@ -312,7 +313,7 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary agg."""
     toks = table(spark, sf_dir, "documents").select(
         F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+            F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
         ).alias("token")
     )
     cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
@@ -520,14 +521,17 @@ HIST_BUCKETS = 20
     oracle=f"""
     WITH cust AS (
       SELECT o_custkey,
-             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             CAST(sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT)) AS BIGINT) AS rev
       FROM orders GROUP BY 1
     ),
     b AS (
       SELECT rev,
              ntile({HIST_BUCKETS}) OVER (ORDER BY rev, o_custkey) AS bucket
-      FROM cust
+      -- NULL rev = no usable (finite) revenue: unknown, not zero —
+      -- leaves the histogram universe (fuzz 9; NULL also sorts FIRST in
+      -- Spark's ntile order and LAST in DuckDB's)
+      FROM cust WHERE rev IS NOT NULL
     )
     SELECT bucket, count(*) AS n_customers,
            min(rev) AS lo_cents, max(rev) AS hi_cents
@@ -556,7 +560,7 @@ def customer_revenue_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .cast("long")
         .alias("rev")
-    )
+    ).where(F.col("rev").isNotNull())  # all-NaN customer: unknown revenue
     w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
     return (
         cust.select("rev", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
@@ -589,10 +593,10 @@ def _sel_hist_sql() -> str:
                ntile({HIST_BUCKETS}) OVER (ORDER BY rev, o_custkey) AS bucket
         FROM (
           SELECT o_custkey,
-                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 CAST(sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
                       AS BIGINT)) AS BIGINT) AS rev
           FROM orders GROUP BY 1
-        )
+        ) WHERE rev IS NOT NULL
       ) GROUP BY bucket
     """
 
@@ -624,7 +628,7 @@ def _sel_hist_sql() -> str:
       SELECT p.pred_id, count(*) AS actual_rows
       FROM preds p
       JOIN (
-        SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        SELECT CAST(sum(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
                     AS BIGINT)) AS BIGINT) AS rev
         FROM orders GROUP BY o_custkey
       ) c ON c.rev BETWEEN p.p_lo AND p.p_hi
@@ -655,7 +659,7 @@ def orders_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .cast("long")
         .alias("rev")
-    )
+    ).where(F.col("rev").isNotNull())  # all-NaN customer: unknown revenue
     w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
     hist = (
         cust.select("rev", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))

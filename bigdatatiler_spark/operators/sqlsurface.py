@@ -445,13 +445,13 @@ def merge_upsert(
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_custkey, o_orderstatus AS status,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS total_cents
       FROM orders WHERE o_orderkey % 10 <> 0
     ),
     chg AS (
       SELECT o_orderkey, o_custkey, 'U' AS status,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+             CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
                AS total_cents
       FROM orders WHERE o_orderkey % 3 = 0
     )

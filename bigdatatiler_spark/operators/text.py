@@ -17,14 +17,21 @@ from ..registry import register
 from ..tables import table
 from ._util import int_ratio
 
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# ASCII-only case fold, NOT lower(): full Unicode case mapping is
+# locale/library-defined and legitimately differs between engines (JVM
+# lower('İ') → 'i'+U+0307 combining dot, utf8proc → 'i'; Java applies the
+# contextual final-sigma rule to 'ΣΙΣΥΦΟΣ', utf8proc does not — fuzz 9).
+# A reproducible 100 TB pipeline needs tokenizer keys that do not depend
+# on which Unicode tailoring the executor links, so the normalizer folds
+# [A-Z] only and leaves non-ASCII case as content.
+_NORM_SQL = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 #: words treated as English function-word markers by the heuristic
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 STOPWORD_RATIO_EN = 0.05
 
 
 def _norm_col():
-    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
 @register(
@@ -738,7 +745,7 @@ TFIDF_TOPK = 5
     WITH t AS (
       SELECT doc_id,
              unnest(string_split(
-               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -780,7 +787,7 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+            F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
         ).alias("token"),
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -823,7 +830,7 @@ PMI_TOPK = 25
     oracle=f"""
     WITH norm AS (
       SELECT doc_id, string_split(
-               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS toks
       FROM documents
     ),
     bg0 AS (
@@ -838,7 +845,7 @@ PMI_TOPK = 25
     ),
     uni AS (
       SELECT unnest(string_split(
-               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
       FROM documents
     ),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
@@ -877,7 +884,7 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride a broadcast scalar row; the global top-k compiles to
     TakeOrderedAndProject. Nothing all-pairs over documents."""
     docs = table(spark, sf_dir, "documents")
-    toks_arr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    toks_arr = F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
     norm = docs.select("doc_id", toks_arr.alias("toks"))
     # Guard the bigram expansion: Spark's sequence(1, 0) DESCENDS ([1, 0],
     # default step -1) while DuckDB's generate_series(1, 0) is empty — a
@@ -951,10 +958,16 @@ def _rake_oracle() -> str:
     stop_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
     return f"""
     WITH toks AS (
-      -- zipped unnests (DuckDB has no WITH ORDINALITY)
+      -- zipped unnests (DuckDB has no WITH ORDINALITY). Conflicting
+      -- duplicate doc_ids resolve via the content arbiter (fuzz 9):
+      -- RAKE's running-stopword phrase segmentation orders by (doc_id,
+      -- pos), and a second text under the same id makes every pos a
+      -- tie — an order left partial is resolved differently per engine.
       SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
       FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
-            FROM documents)
+            FROM (SELECT doc_id, arg_max(text, md5(text)) AS text
+                  FROM documents WHERE text IS NOT NULL GROUP BY doc_id)
+              AS documents)
     ),
     marked AS (
       SELECT doc_id, w, pos,
@@ -1009,8 +1022,18 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     word stats, phrase score) and a doc-keyed top-k window — every
     shuffle keys on doc_id, the natural high-cardinality key, so the
     shape is embarrassingly parallel at corpus scale; phrases and
-    scores never leave the document."""
-    docs = table(spark, sf_dir, "documents")
+    scores never leave the document.
+
+    Conflicting duplicate doc_ids resolve via the content arbiter
+    (max md5(text), same rule as tiling — fuzz 9): the running-stopword
+    segmentation orders by (doc_id, pos), and a second text under the
+    same id would tie every pos."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max_by("text", F.md5("text")).alias("text"))
+    )
     t = docs.select(
         "doc_id", F.posexplode(F.split(_norm_col(), " ")).alias("pos", "w")
     )

@@ -17,6 +17,27 @@ from ..tables import table
 
 CHUNK = 120  # chars — small enough that most docs split into several tiles
 
+# Conflicting-id arbiter (fuzz 9): the tile/reassemble record id is the
+# PK (the reference's ULID `id`, LogChange.cs:29-43, is unique by
+# construction), but at-least-once ingest can deliver the SAME id with
+# DIFFERENT payloads. Reassembly keyed on a non-unique id would
+# interleave chunks of two documents, so the ingest path resolves
+# conflicts deterministically first: keep the payload with the greatest
+# md5 (content-based, engine-portable — max(text) would hinge on each
+# engine's collation). SQL mirror: arg_max(text, md5(text)).
+_DEDUP_IDS_SQL = """
+    SELECT doc_id, arg_max(text, md5(text)) AS text
+    FROM documents WHERE text IS NOT NULL GROUP BY doc_id
+"""
+
+
+def _dedupe_conflicting_ids(docs: DataFrame) -> DataFrame:
+    return (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max_by("text", F.md5("text")).alias("text"))
+    )
+
 # byte-cap scaled to the test corpus (the reference's 1.5 MB cap with
 # 50k/10k floors would never trigger on ~1k-char docs): same policy,
 # proportional constants.
@@ -36,8 +57,9 @@ BYTECAP_RESPLIT_FLOOR = 15
       CASE WHEN length(text) > {CHUNK} THEN doc_id END AS parent_id
     -- NULL body -> no tiles (fuzz 6): Spark's sequence() fan-out skips
     -- NULL text while DuckDB's greatest() IGNORES the NULL ceil() and
-    -- would emit one NULL chunk
-    FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents,
+    -- would emit one NULL chunk; conflicting duplicate ids resolve via
+    -- the content arbiter (fuzz 9 — see _DEDUP_IDS_SQL)
+    FROM ({_DEDUP_IDS_SQL}) documents,
          unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
     """,
 )
@@ -45,7 +67,7 @@ def doc_tile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O23/O29: fixed-size chunk fan-out. sequence+transform+posexplode —
     one narrow stage, no shuffle, no UDF; row count multiplies but bytes
     don't (each chunk is a substring view)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _dedupe_conflicting_ids(table(spark, sf_dir, "documents"))
     return tile(docs, "text", "doc_id", chunk_chars=CHUNK).select(
         "doc_id",
         "split_index",
@@ -58,12 +80,13 @@ def doc_tile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_tile_roundtrip",
     oracle=f"""
-    WITH chunks AS (
+    WITH documents_1 AS ({_DEDUP_IDS_SQL}),
+    chunks AS (
       SELECT
         doc_id,
         CAST(i AS INT) AS split_index,
         substr(text, i * {CHUNK} + 1, {CHUNK}) AS chunk
-      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents,
+      FROM documents_1,
            unnest(generate_series(0, greatest(CAST(ceil(length(text) / {CHUNK}.0) AS INT), 1) - 1)) AS t(i)
     ),
     merged AS (
@@ -75,14 +98,14 @@ def doc_tile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.n_chunks,
            length(m.payload) AS payload_len,
            CASE WHEN m.payload = d.text THEN 1 ELSE 0 END AS roundtrip_ok
-    FROM merged m JOIN documents d ON m.doc_id = d.doc_id
+    FROM merged m JOIN documents_1 d ON m.doc_id = d.doc_id
     """,
 )
 def doc_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17/O19 + the §2.9 round-trip invariant: tile → reassemble → compare
     with the original. Ordered merge via array_sort(collect_list(struct)) —
     order-correct regardless of partitioning; one shuffle on the record id."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _dedupe_conflicting_ids(table(spark, sf_dir, "documents"))
     tiled = tile(docs, "text", "doc_id", chunk_chars=CHUNK)
     merged = reassemble(tiled, id_col="doc_id")
     return (
@@ -98,9 +121,9 @@ def doc_tile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_tile_bytecap_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS record_id, md5(text) AS payload_md5, 1 AS within_cap
-    FROM documents WHERE text IS NOT NULL
+    FROM ({_DEDUP_IDS_SQL}) documents
     """,
 )
 def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +136,8 @@ def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side guarantee (every emitted archive ≤ cap — the floors are
     scaled so forcing can't occur on this corpus) checked against the
     oracle's constant truth."""
-    # NULL body -> no tiles, same rule as doc_tile_chunks (fuzz 6)
-    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # NULL body -> no tiles (fuzz 6); conflicting ids arbitered (fuzz 9)
+    docs = _dedupe_conflicting_ids(table(spark, sf_dir, "documents"))
     tiled = tile_bytecap(
         docs,
         "text",

@@ -36,7 +36,7 @@ from ..tables import table
 from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, ts_lit
 
 _DISC_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(10,2))"
+    "TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))"
     " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 )
 
@@ -399,7 +399,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2))) / 7.0, 2) AS DOUBLE)
+    SELECT CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))) / 7.0, 2) AS DOUBLE)
            AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -580,7 +580,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(o_orderpriority, 'ALL') AS priority,
       coalesce(o_orderstatus, 'ALL') AS status,
       count(*) AS n_orders,
-      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,

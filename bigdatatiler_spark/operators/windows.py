@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import dec, int_ratio, money_sum, ms, ts_lit
+from ._util import dec, finite_or_null, int_ratio, money_sum, ms, ts_lit
 
 
 @register(
@@ -24,10 +24,10 @@ from ._util import dec, int_ratio, money_sum, ms, ts_lit
       SELECT
         n_name,
         c_custkey,
-        CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_spend,
+        CAST(round(sum(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_spend,
         rank() OVER (
           PARTITION BY n_name
-          ORDER BY round(sum(CAST(o_totalprice AS DECIMAL(10,2))), 2) DESC, c_custkey ASC
+          ORDER BY round(sum(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2))), 2) DESC, c_custkey ASC
         ) AS rnk
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -70,7 +70,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_custkey,
       o_orderkey,
       epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
-      CAST(round(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2))) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -149,7 +149,10 @@ def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       ntile(4) OVER (
         PARTITION BY o_orderstatus
-        ORDER BY CAST(o_totalprice AS DECIMAL(10,2)) ASC, o_orderkey ASC
+        -- NULLS FIRST pinned (fuzz 9: NaN price → NULL decimal leaves
+        -- the engines' default NULL placement divergent, as with the
+        -- fuzz-8 o_orderpriority class below)
+        ORDER BY TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(10,2)) ASC NULLS FIRST, o_orderkey ASC
       ) AS quartile,
       -- NULLS FIRST pinned (fuzz 8: NULL o_orderpriority - Spark ASC
       -- defaults to NULLS FIRST, DuckDB to NULLS LAST)
@@ -281,8 +284,8 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       count(DISTINCT o_custkey) AS n_distinct_customers,
-      round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50_price,
-      round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90_price
+      round(quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5), 4) AS p50_price,
+      round(quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.9), 4) AS p90_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -292,9 +295,12 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` (exact) matches DuckDB's quantile_cont interpolation;
     at 100 TB swap in approx_percentile (t-digest sketch, one pass,
     mergeable) — exact percentile needs a per-group sort. The distinct
-    count adds the two-shuffle distinct-agg plan (expand → partial)."""
+    count adds the two-shuffle distinct-agg plan (expand → partial).
+    Non-finite prices leave the quantile universe on both engines
+    (finite_or_null / isfinite mirror — fuzz 9: Spark's percentile
+    sorts NaN greatest, DuckDB's quantile_cont skips it)."""
     o = table(spark, sf_dir, "orders")
-    price = F.col("o_totalprice").cast("double")
+    price = finite_or_null(F.col("o_totalprice").cast("double"))
     return o.groupBy("o_orderpriority").agg(
         F.count_distinct(F.col("o_custkey")).alias("n_distinct_customers"),
         F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50_price"),
@@ -2062,7 +2068,7 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT l_returnflag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(floor(l_quantity) AS BIGINT) AS wq,
              l_orderkey, l_linenumber

@@ -191,6 +191,41 @@ HOSTILE_PINNED = (
     "rangejoin_error_bursts",          # class 30: symmetric ns clamp
     "sketch_kmv_distinct",             # class 32: NULL not a sketch element
     "order_value_quartiles",           # class 33: NULLS FIRST pin
+    # fuzz round 9 (classes 34-38): NaN prices, locale case folding,
+    # duplicated PKs.
+    # (34) NaN o_totalprice / l_extendedprice: DuckDB 1.0.0's TRY_CAST
+    #      (NaN AS DECIMAL) is ITSELF an Invalid Input Error (inf and
+    #      overflow correctly give NULL) — the only safe oracle mirror of
+    #      Spark's NULL-on-NaN cast is TRY_CAST(CASE WHEN isfinite(x)
+    #      THEN x END AS DECIMAL), applied to all 28 price-cast sites;
+    # (35) NaN in quantile kernels: Spark's percentile/percentile_approx
+    #      sort NaN GREATEST (p99 = NaN) while DuckDB's quantile_* skip
+    #      it — non-finite measures leave the quantile universe on both
+    #      engines (finite_or_null / isfinite CASE);
+    # (36) Unicode case folding is locale/library-defined: JVM
+    #      lower('İ') → 'i'+combining-dot vs utf8proc 'i'; Java applies
+    #      the contextual final-sigma rule, utf8proc does not — the
+    #      tokenizer normalizer now folds ASCII [A-Z] ONLY (translate),
+    #      reproducible regardless of linked Unicode tables;
+    # (37) duplicate doc_id with different text: reassembly keyed on a
+    #      non-unique id interleaves two documents — the tile ingest
+    #      arbiters conflicts by max md5(text) (tiling), and the
+    #      closed-form image pipeline hashes DISTINCT ids so verify
+    #      joins don't fan out (ahash);
+    # (38) duplicate vec_id with different embeddings breaks every
+    #      ranking/seed total order that tiebreaks on vec_id — the
+    #      embedding universe quarantines ambiguous PKs (QUALIFY
+    #      count(*) OVER (PARTITION BY vec_id) = 1 both engines).
+    "tpch_q6_forecast_revenue",        # class 34: revenue cast guard
+    "orders_benford_audit",            # class 34: substr-of-cents digits
+    "order_price_percentiles",         # class 35: exact percentile
+    "sketch_quantile_gk",              # class 35: GK sketch path
+    "doc_token_stats",                 # class 36: token keys + lengths
+    "doc_tfidf_keywords",              # class 36: vocabulary keys
+    "doc_unigram_logprob",             # class 36: LM vocabulary
+    "doc_tile_bytecap_roundtrip",      # class 37: conflicting-id arbiter
+    "multimodal_image_ahash_near_dup", # class 37: distinct-id pair joins
+    "embedding_kmeans_cells",          # class 38: ambiguous-PK quarantine
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the
