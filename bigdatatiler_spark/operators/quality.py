@@ -131,9 +131,15 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       (SELECT count(*) FROM lineitem) AS n_rows,
-      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS nonpos_quantity,
+      -- NaN handling pinned explicitly (fuzz 10): DuckDB's vectorized
+      -- scan comparisons disagree with its own scalar path (and with
+      -- Spark) on NaN vs range predicates, so each rule states its NaN
+      -- semantics: a NaN discount IS a bad discount; a NaN quantity is
+      -- unknown, not non-positive
       (SELECT count(*) FROM lineitem
-        WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+        WHERE NOT isnan(l_quantity) AND l_quantity <= 0) AS nonpos_quantity,
+      (SELECT count(*) FROM lineitem
+        WHERE isnan(l_discount) OR l_discount < 0 OR l_discount > 1) AS bad_discount,
       (SELECT count(*) FROM (
          SELECT l_orderkey, l_linenumber FROM lineitem
          GROUP BY 1, 2 HAVING count(*) > 1
@@ -155,9 +161,16 @@ def lineitem_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     row_pass = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("nonpos_quantity"),
+        # NaN semantics pinned per rule — see the oracle comment (fuzz 10)
         F.sum(
-            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+            (~F.isnan("l_quantity") & (F.col("l_quantity") <= 0)).cast("bigint")
+        ).alias("nonpos_quantity"),
+        F.sum(
+            (
+                F.isnan("l_discount")
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+            ).cast("bigint")
         ).alias("bad_discount"),
     )
     dup = duplicate_key_count(li, ("l_orderkey", "l_linenumber"))

@@ -30,18 +30,18 @@ from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ts_
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty,
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_base_price,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+                     * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                     * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
-      (CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
+                     * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))
+                     * (CAST(1 AS DECIMAL(3,2)) + TRY_CAST(CASE WHEN isfinite(l_tax) THEN l_tax END AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+      (CAST(sum(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_qty_e4,
       (CAST(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_price_e4,
-      (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) * 100 AS BIGINT) * 100)
+      (CAST(sum(TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2))) * 100 AS BIGINT) * 100)
         // count(*) AS avg_disc_e4,
       count(*) AS count_order
     FROM lineitem
@@ -84,7 +84,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderkey,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+                     * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
       epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       o_orderpriority
     FROM customer
@@ -137,7 +137,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       n_name,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+                     * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,7 +191,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+                     * TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
       count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -224,8 +224,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_custkey,
       c_name,
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
-      round(CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE), 2) AS c_acctbal,
+                     * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+      round(CAST(TRY_CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(10,2)) AS DOUBLE), 2) AS c_acctbal,
       n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -324,7 +324,7 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(r_name, 'ALL')       AS region_name,
       coalesce(c_mktsegment, 'ALL') AS segment,
       count(*)                      AS n_customers,
-      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_acctbal,
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_acctbal,
       CAST(grouping(r_name) AS INT) + CAST(grouping(c_mktsegment) AS INT) AS grouping_level
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -464,7 +464,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT l_returnflag,
-             CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT) AS q,
+             CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2)) * 100 AS BIGINT) AS q,
              CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2)) * 100 AS BIGINT) AS p
       FROM lineitem
     ),
@@ -715,13 +715,19 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_pareto_frontier",
     oracle="""
     WITH g AS (
+      -- unknown brand or unknown (non-finite) price cannot participate
+      -- in a price/size trade-off (fuzz 10): a NULL brand never matches
+      -- the dominance anti-join's equality while Spark's window happily
+      -- groups the NULL partition, and a NULL price poisons the
+      -- dominance comparisons — excluded from the universe both engines
       SELECT p_brand,
-             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(TRY_CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS price_cents,
              p_size,
              count(*) AS n_parts,
              min(p_partkey) AS min_partkey
       FROM part
+      WHERE p_brand IS NOT NULL AND isfinite(p_retailprice)
       GROUP BY 1, 2, 3
     )
     SELECT a.p_brand, a.price_cents, a.p_size, a.n_parts, a.min_partkey
@@ -751,7 +757,12 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped frame is catalog-sized (distinct price/size combos per brand),
     so the window input stays tiny regardless of fact growth.
     """
-    p = table(spark, sf_dir, "part")
+    p = table(spark, sf_dir, "part").where(
+        # unknown brand / non-finite price: outside the frontier universe
+        F.col("p_brand").isNotNull()
+        & ~F.isnan("p_retailprice")
+        & ~F.col("p_retailprice").isin(float("inf"), float("-inf"))
+    )
     g = p.groupBy(
         "p_brand",
         (dec("p_retailprice", "decimal(18,2)") * 100)

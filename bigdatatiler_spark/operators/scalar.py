@@ -71,7 +71,10 @@ def event_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
       substr(p_name, 1, 12)                      AS name_prefix,
       length(p_name)                             AS name_len,
       replace(p_brand, 'Brand#', 'B')            AS brand_short,
-      concat(p_brand, '/', p_type)               AS brand_type,
+      -- concat_ws, not concat (fuzz 10: NULL p_brand) — Spark's concat
+      -- NULLs the whole result on any NULL arg while DuckDB's skips it;
+      -- concat_ws has identical skip-NULL semantics on both engines
+      concat_ws('/', p_brand, p_type)            AS brand_type,
       strpos(p_name, 'row')                      AS pos_row,
       trim(p_name)                               AS name_trimmed,
       lpad(CAST(p_size AS VARCHAR), 4, '0')      AS size_padded,
@@ -90,7 +93,7 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 12).alias("name_prefix"),
         F.length("p_name").alias("name_len"),
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
-        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         F.instr(F.col("p_name"), "row").alias("pos_row"),
         F.trim("p_name").alias("name_trimmed"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
@@ -140,13 +143,15 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       p_partkey,
       abs(p_size - 25)                                   AS size_dev,
-      CAST(ceil(CAST(p_retailprice AS DECIMAL(10,2))) AS BIGINT)  AS price_ceil,
-      CAST(floor(CAST(p_retailprice AS DECIMAL(10,2))) AS BIGINT) AS price_floor,
-      round(sqrt(CAST(p_size AS DOUBLE)), 6)             AS size_sqrt,
+      CAST(ceil(TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(10,2))) AS BIGINT)  AS price_ceil,
+      CAST(floor(TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(10,2))) AS BIGINT) AS price_floor,
+      -- sqrt domain pinned (fuzz 10: negative p_size) — Spark yields NaN
+      -- where DuckDB hard-errors; out-of-domain is NULL on both engines
+      round(sqrt(CASE WHEN p_size >= 0 THEN CAST(p_size AS DOUBLE) END), 6) AS size_sqrt,
       p_partkey % 7                                      AS key_mod7,
       greatest(p_size, 10)                               AS size_floor10,
       least(p_size, 40)                                  AS size_cap40,
-      CAST(round(CAST(p_retailprice AS DECIMAL(10,2)) * 2, 2) AS DOUBLE) AS price_x2
+      CAST(round(TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(10,2)) * 2, 2) AS DOUBLE) AS price_x2
     FROM part
     """,
 )
@@ -160,7 +165,9 @@ def part_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         F.ceil(dec("p_retailprice")).cast("bigint").alias("price_ceil"),
         F.floor(dec("p_retailprice")).cast("bigint").alias("price_floor"),
-        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(
+            F.sqrt(F.when(F.col("p_size") >= 0, F.col("p_size").cast("double"))), 6
+        ).alias("size_sqrt"),
         (F.col("p_partkey") % 7).alias("key_mod7"),
         F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
         F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),

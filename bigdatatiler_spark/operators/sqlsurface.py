@@ -67,7 +67,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(n_name, 'ALL') AS nation,
       coalesce(c_mktsegment, 'ALL') AS segment,
       count(*) AS n_customers,
-      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
     """,
@@ -84,7 +84,11 @@ def nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           coalesce(n_name, 'ALL') AS nation,
           coalesce(c_mktsegment, 'ALL') AS segment,
           count(*) AS n_customers,
-          CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
+          -- Spark SQL has no isfinite(); NOT isnan + |x| != Inf is the
+          -- same finite-or-NULL guard as the DuckDB oracle (fuzz 10)
+          CAST(round(sum(TRY_CAST(CASE WHEN NOT isnan(c_acctbal)
+                                        AND abs(c_acctbal) != CAST('Infinity' AS DOUBLE)
+                                       THEN c_acctbal END AS DECIMAL(10,2))), 2) AS DOUBLE) AS total_bal
         FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
         """
@@ -357,7 +361,7 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     UNION ALL
     SELECT p_partkey, 'p_retailprice_cents' AS measure,
-           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+           CAST(TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
     FROM part
     """,
 )

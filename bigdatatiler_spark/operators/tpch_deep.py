@@ -37,7 +37,7 @@ from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, ts_lit
 
 _DISC_SQL = (
     "TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+    " * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2)))"
 )
 
 
@@ -239,8 +239,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       sn.n_name AS nation,
       year(o_orderdate) AS o_year,
       CAST(round(sum({_DISC_SQL}
-                     - CAST(p_retailprice AS DECIMAL(10,2))
-                       * CAST(l_quantity AS DECIMAL(10,2))
+                     - TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(10,2))
+                       * TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))
                        * CAST(0.10 AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part      ON l_partkey = p_partkey
@@ -448,13 +448,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
       c_name, c_custkey, o_orderkey,
       epoch_ms(date_trunc('milliseconds', o_orderdate)) AS o_orderdate_ms,
       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-      CAST(round(sum(CAST(l_quantity AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))), 2) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(10,2))) > 140
+      HAVING sum(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))) > 140
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     """,
@@ -496,12 +496,17 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 1 AND 15)
-       OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25
-           AND l_quantity BETWEEN 10 AND 30)
-       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
-           AND l_quantity BETWEEN 20 AND 50)
+    -- NOT isnan pinned (fuzz 10): DuckDB's VECTORIZED filter evaluates
+    -- NaN <= k as TRUE (total-order scan comparison) while its scalar
+    -- path and Spark both say FALSE — a NaN quantity must fail every
+    -- range arm on both engines
+    WHERE NOT isnan(l_quantity)
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 15)
+        OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 50))
     """,
 )
 def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,7 +536,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c_custkey % 10 AS cohort,
       count(*) AS numcust,
-      CAST(round(sum(CAST(c_acctbal AS DECIMAL(10,2))), 2) AS DOUBLE) AS totacctbal
+      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(10,2))), 2) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
         SELECT avg(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE c_acctbal > 0
@@ -852,9 +857,9 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT l_suppkey,
              sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-                      THEN CAST(l_quantity AS DECIMAL(10,2))
+                      THEN TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))
                       ELSE CAST(0 AS DECIMAL(10,2)) END) AS q97,
-             sum(CAST(l_quantity AS DECIMAL(10,2))) AS qall
+             sum(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(10,2))) AS qall
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_name LIKE 'red%'
       GROUP BY l_suppkey, l_partkey

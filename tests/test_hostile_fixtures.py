@@ -226,6 +226,31 @@ HOSTILE_PINNED = (
     "doc_tile_bytecap_roundtrip",      # class 37: conflicting-id arbiter
     "multimodal_image_ahash_near_dup", # class 37: distinct-id pair joins
     "embedding_kmeans_cells",          # class 38: ambiguous-PK quarantine
+    # fuzz round 10 (classes 39-43): NaN spread to every decimal-cast
+    # double (l_quantity/l_discount/l_tax/c_acctbal/s_acctbal/
+    # p_retailprice) and the first dimension-side mutations.
+    # (39) the class-34 guard generalized to all 28 remaining decimal
+    #      casts; the one Spark-side SQL string (grouping sets) needed
+    #      Spark's own spelling (NOT isnan + |x| != Inf — no isfinite);
+    # (40) DuckDB's VECTORIZED scan comparisons disagree with its own
+    #      scalar path (and Spark) on NaN range predicates (NaN <= k
+    #      TRUE in the scan, FALSE scalar) — range predicates over
+    #      possibly-NaN measures pin NOT isnan explicitly, and audits
+    #      state per-rule NaN semantics (NaN discount IS bad; NaN
+    #      quantity is unknown, not non-positive);
+    # (41) sqrt out-of-domain: Spark NaN vs DuckDB hard error — NULL on
+    #      both via an explicit domain guard;
+    # (42) concat NULL semantics: Spark NULLs the result on any NULL
+    #      arg, DuckDB skips it — concat_ws (identical skip-NULL rule
+    #      on both engines) replaces concat where args are nullable;
+    # (43) NULL brand / non-finite price leave the skyline-dominance
+    #      universe (NULL never matches the anti-join equality while
+    #      Spark's window groups the NULL partition).
+    "nation_grouping_sets",            # class 39: Spark-side guard spelling
+    "tpch_q19_disjunctive_revenue",    # class 40: range-arm NaN pin
+    "part_math_functions",             # class 41: sqrt domain
+    "part_string_functions",           # class 42: concat_ws NULL rule
+    "part_pareto_frontier",            # class 43: frontier universe
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

@@ -392,6 +392,12 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_totalprice"][i] = float("nan")
         elif k == 13:
             d["o_orderstatus"][i] = ""  # empty-string enum (≠ NULL k=7)
+        # fuzz round 10 classes
+        elif k == 14 and i > 0:
+            # DUPLICATE o_orderkey with a different payload: the orders
+            # PK collides — lineitem joins fan out, keyset pagination and
+            # (price, orderkey) tiebreaks gain genuine ties
+            d["o_orderkey"][i] = d["o_orderkey"][i - 1]
     return pa.table(d, schema=tbl.schema)
 
 
@@ -448,6 +454,61 @@ def _mutate_lineitem(tbl: pa.Table) -> pa.Table:
             # NULL in one engine, an error or NaN in another
         elif k == 14:
             d["l_linenumber"][i] = 0  # zero ordinal (1-based assumptions)
+        # fuzz round 10 classes: the class-34 NaN probe on EVERY other
+        # decimal-cast double column (round 9 only poisoned the price)
+        elif k == 15:
+            d["l_quantity"][i] = float("nan")
+        elif k == 16:
+            d["l_discount"][i] = float("nan")
+        elif k == 17:
+            d["l_tax"][i] = float("nan")
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_customer(tbl: pa.Table) -> pa.Table:
+    """Fuzz round 10: first mutations of the dimension side."""
+    d = tbl.to_pydict()
+    n = len(d["c_custkey"])
+    for i in range(n):
+        k = i % 19
+        if k == 0:
+            d["c_acctbal"][i] = float("nan")  # class-34 probe (q10/q22)
+        elif k == 1:
+            d["c_acctbal"][i] = float("inf")
+        elif k == 2:
+            d["c_mktsegment"][i] = None  # NULL dim attribute
+        elif k == 3:
+            d["c_name"][i] = "Çustömer#İ‍"  # unicode + ZWJ name
+        elif k == 4:
+            d["c_nationkey"][i] = None  # NULL FK to nation
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_supplier(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["s_suppkey"])
+    for i in range(n):
+        k = i % 17
+        if k == 0:
+            d["s_acctbal"][i] = float("nan")  # class-34 probe (q2-shape)
+        elif k == 1:
+            d["s_nationkey"][i] = None  # NULL FK
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_part(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["p_partkey"])
+    for i in range(n):
+        k = i % 17
+        if k == 0:
+            d["p_retailprice"][i] = float("nan")  # class-34 probe (q9)
+        elif k == 1:
+            d["p_brand"][i] = None  # NULL group/filter key
+        elif k == 2:
+            d["p_type"][i] = ""  # empty-string LIKE/prefix probe
+        elif k == 3:
+            d["p_size"][i] = -1  # negative size (range predicates)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -457,6 +518,9 @@ _MUTATORS = {
     "embeddings": _mutate_embeddings,
     "orders": _mutate_orders,
     "lineitem": _mutate_lineitem,
+    "customer": _mutate_customer,
+    "supplier": _mutate_supplier,
+    "part": _mutate_part,
 }
 
 
