@@ -549,11 +549,18 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_benford_audit",
     oracle="""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
-                              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    WITH cents AS (
+      -- universe = POSITIVE INTEGER CENTS, not raw price > 0 (fuzz 11):
+      -- a denormal 5e-324 price passes > 0 but rounds to 0 cents, whose
+      -- "first digit" is 0 and sends 1/digit to a division by zero —
+      -- Benford's law is defined on first SIGNIFICANT digits only
+      SELECT CAST(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS c
       FROM orders
-      WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents WHERE c > 0
     ),
     c AS (
       SELECT digit, count(*) AS observed FROM d GROUP BY digit
@@ -575,15 +582,18 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     law, with per-digit chi-square contributions (see block comment).
     The first digit comes from the exact integer cents string — no float
     log extraction, so digit assignment is engine-exact."""
-    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    digit = F.substring(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .cast("string"),
-        1,
-        1,
-    ).cast("bigint")
-    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+    # universe = positive integer cents (fuzz 11) — see the oracle comment
+    cents = (
+        table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+        .where(F.col("c") > 0)
+    )
+    digit = F.substring(F.col("c").cast("string"), 1, 1).cast("bigint")
+    c = cents.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("observed")
     )
     t = c.agg(F.sum("observed").cast("bigint").alias("n"))

@@ -112,7 +112,11 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       quarter(o_orderdate)                               AS order_quarter,
       epoch_ms(date_trunc('milliseconds', date_trunc('month', o_orderdate)))         AS month_start_ms,
       epoch_ms(date_trunc('milliseconds', CAST(last_day(o_orderdate) AS TIMESTAMP))) AS month_end_ms,
-      epoch_ms(date_trunc('milliseconds', o_orderdate + INTERVAL 3 MONTH))           AS plus3m_ms,
+      -- +3 months on the DATE part (fuzz 11: a sub-day order timestamp):
+      -- Spark's add_months returns a DATE (time-of-day dropped) while
+      -- raw ts + INTERVAL keeps it — pin calendar-month arithmetic by
+      -- casting to DATE first on both engines
+      epoch_ms(date_trunc('milliseconds', CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP))) AS plus3m_ms,
       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
     FROM orders
     WHERE o_custkey <= 40

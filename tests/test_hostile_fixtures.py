@@ -251,6 +251,19 @@ HOSTILE_PINNED = (
     "part_math_functions",             # class 41: sqrt domain
     "part_string_functions",           # class 42: concat_ws NULL rule
     "part_pareto_frontier",            # class 43: frontier universe
+    # fuzz round 11 (classes 44-45): denormal metrics, sub-day date
+    # arithmetic; plus first-ever nation/region mutations (NULL dim
+    # name/FK, trailing-space filter literal) — zero reds from those,
+    # the NULL-key join rules from earlier rounds already cover them.
+    # (44) a denormal 5e-324 price passes `> 0` but rounds to 0 cents,
+    #      whose "first digit" is 0 → 1/digit divides by zero (ANSI
+    #      Spark errors, DuckDB floats to inf): Benford's universe is
+    #      POSITIVE INTEGER CENTS, pinned on both engines;
+    # (45) Spark's add_months returns a DATE (time-of-day dropped)
+    #      while DuckDB's ts + INTERVAL keeps it — exposed by the first
+    #      sub-day o_orderdate; month arithmetic pinned to the DATE part
+    #      by explicit casts on both engines.
+    "order_date_functions",            # class 45: add_months date pin
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

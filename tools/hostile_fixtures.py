@@ -144,6 +144,13 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["lang"][i] = "EN"  # case-variant of the dominant 'en'
             # group: case-sensitive grouping keeps it distinct; any
             # kernel lowercasing lang on ONE engine only diverges
+        # fuzz round 11 classes
+        elif k == 27:
+            d["text"][i] = "﻿"  # BOM-only body (1 code point,
+            # 3 UTF-8 bytes: char-vs-byte length and trim edges)
+        elif k == 28:
+            d["text"][i] = "x" * 120  # EXACTLY one tile (chunk=120)
+            # boundary: ceil(120/120)=1 vs the >CHUNK split predicate
 
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
@@ -278,6 +285,12 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
         elif k == 40:
             d["event_id"][i] = 2**63 - 1  # max int64 id: any +1/interval
             # tiebreak or keyset-pagination bound overflows BIGINT
+        # fuzz round 11 classes (k rolls modulo 41, so round-11 events
+        # mutations reuse k slots via the secondary residue below)
+        if i % 43 == 41:
+            d["props"][i] = ""  # EMPTY-string props: not NULL, not JSON
+        elif i % 43 == 42:
+            d["props"][i] = "123"  # valid JSON, top-level NUMBER scalar
     return pa.table(d, schema=tbl.schema)
 
 
@@ -398,6 +411,14 @@ def _mutate_orders(tbl: pa.Table) -> pa.Table:
             # PK collides — lineitem joins fan out, keyset pagination and
             # (price, orderkey) tiebreaks gain genuine ties
             d["o_orderkey"][i] = d["o_orderkey"][i - 1]
+        # fuzz round 11 classes
+        elif k == 15:
+            # sub-millisecond PRE-epoch instant on the ORDER date axis
+            # (the class-26 floor-vs-trunc probe moved from events.ts)
+            d["o_orderdate"][i] = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+        elif k == 16:
+            d["o_totalprice"][i] = 5e-324  # denormal price: cents cast
+            # rounds to 0.00 — must do so identically both engines
     return pa.table(d, schema=tbl.schema)
 
 
@@ -512,6 +533,28 @@ def _mutate_part(tbl: pa.Table) -> pa.Table:
     return pa.table(d, schema=tbl.schema)
 
 
+def _mutate_nation(tbl: pa.Table) -> pa.Table:
+    """Fuzz round 11: the join dimensions get hostile. nation is 25 rows
+    and broadcast into almost every TPC-H join, so one bad row hits
+    many queries at once."""
+    d = tbl.to_pydict()
+    n = len(d["n_nationkey"])
+    if n >= 3:
+        d["n_name"][1] = None          # NULL dimension NAME (group key)
+        d["n_regionkey"][2] = None     # NULL FK to region
+    return pa.table(d, schema=tbl.schema)
+
+
+def _mutate_region(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["r_regionkey"])
+    if n >= 2:
+        d["r_name"][1] = "ASIA "       # trailing-space variant of a
+        # filtered literal: r_name = 'ASIA' must NOT match it on either
+        # engine (probes any trimming/padding divergence)
+    return pa.table(d, schema=tbl.schema)
+
+
 _MUTATORS = {
     "documents": _mutate_documents,
     "events": _mutate_events,
@@ -521,6 +564,8 @@ _MUTATORS = {
     "customer": _mutate_customer,
     "supplier": _mutate_supplier,
     "part": _mutate_part,
+    "nation": _mutate_nation,
+    "region": _mutate_region,
 }
 
 
