@@ -66,6 +66,7 @@ HEADLINE = (
     "skew_salted_user_activity",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_tfidf_cosine",
     "dedup_edit_distance",
     "dedup_incremental_minhash",
     "sketch_kmv_distinct",

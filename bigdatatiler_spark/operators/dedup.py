@@ -1133,3 +1133,182 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_permille",
         F.abs(F.col("est_permille") - F.col("exact_permille")).cast("bigint"),
     )
+
+
+# ── TF-IDF cosine near-dup (lexical-profile pairs) ──────────────────────
+# The fourth near-dup modality: MinHash catches shared SHINGLE SETS,
+# embedding-cosine catches SEMANTIC paraphrase, SimHash catches hash-
+# profile proximity — TF-IDF cosine catches documents with the same
+# WEIGHTED VOCABULARY (boilerplate variants, template expansions,
+# re-ordered copies) even when word order (shingles) differs entirely.
+#
+# Candidate generation is RARE-BIGRAM blocking, never all-pairs: only
+# bigrams shared by 2..TFIDF_PAIR_DF_CAP documents generate pairs (a
+# phrase shared by few documents is discriminative evidence; one shared
+# by everyone is not — and bigram document-frequency is sparse even when
+# the unigram vocabulary is tiny, as in the driver corpus, where NO
+# unigram is rare). Each blocking bigram yields at most DF_CAP^2 pairs,
+# so candidates scale linearly in the bigram vocabulary, never
+# quadratically in corpus — the standard blocking trade-off, recall
+# bounded exactly like the LSH family (a near-dup pair sharing only
+# ubiquitous phrases is boilerplate, not duplication).
+#
+# Determinism (registry rules): idf is floored to integer MICRO-units
+# BEFORE any product (the bm25/tfidf ulp discipline), weights are exact
+# tf·idf_micro BIGINTs, dot products and squared norms ride
+# DECIMAL(38,0)/HUGEINT (hostile tf ~ 1e3 · idf ~ 1e7 squares past
+# int64 — the corr moment discipline), and the final cosine is floored
+# to e6 from exact integer moments (sqrt/divide are correctly rounded
+# IEEE on identical inputs).
+
+TFIDF_PAIR_DF_CAP = 10       #: blocking bigrams: shared by 2..10 documents
+TFIDF_PAIR_THRESHOLD_E6 = 600_000  #: emit pairs with cosine >= 0.6
+
+_TFIDF_W_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token, df.df,
+             tf.tf * CAST(floor((ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                                * 1000000) AS BIGINT) AS wt
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, sum(CAST(wt AS HUGEINT) * wt) AS norm2
+      FROM w GROUP BY 1
+    )
+"""
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH {_TFIDF_W_SQL},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i + 1]
+                                   for i in generate_series(1, len(t) - 1)])) AS b
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(t) >= 2
+    ),
+    bdf AS (SELECT b, count(*) AS bdf FROM bg GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bg x JOIN bdf USING (b)
+      JOIN bg y ON x.b = y.b AND x.doc_id < y.doc_id
+      WHERE bdf.bdf BETWEEN 2 AND {TFIDF_PAIR_DF_CAP}
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b,
+             sum(CAST(wa.wt AS HUGEINT) * wb.wt) AS num,
+             count(*) AS n_shared_terms
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.token = wa.token
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+           CAST(floor(CAST(d.num AS DOUBLE)
+                      / (sqrt(CAST(na.norm2 AS DOUBLE))
+                         * sqrt(CAST(nb.norm2 AS DOUBLE))) * 1000000)
+                AS BIGINT) AS cosine_e6
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(floor(CAST(d.num AS DOUBLE)
+                     / (sqrt(CAST(na.norm2 AS DOUBLE))
+                        * sqrt(CAST(nb.norm2 AS DOUBLE))) * 1000000)
+               AS BIGINT) >= {TFIDF_PAIR_THRESHOLD_E6}
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by TF-IDF cosine over the weighted
+    vocabulary, with rare-term candidate blocking (see block comment).
+
+    Plan shape: tf/df/norms are the doc- and vocab-keyed aggregates the
+    keyword extractor already uses; candidates come from ONE equi-join
+    on the df-capped blocking BIGRAMS (bounded fan-out per bigram,
+    linear in the bigram vocabulary); the exact rerank joins each
+    candidate pair back to its two unigram weight vectors on
+    (doc, token) — every join equi-keyed, nothing all-pairs, the 1-row
+    corpus count broadcast. At 100 TB the blocking join IS the LSH-band
+    pattern with bigram document-frequency as the band-occupancy cap."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.floor(
+        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+         + F.lit(1.0)) * 1_000_000
+    ).cast("bigint")
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "df", (F.col("tf") * idf_micro).alias("wt"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("norm2")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("wt").alias("wt_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("wt").alias("wt_b")
+    )
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split(_norm_col(), " ").alias("t")
+    ).where(F.size("t") >= 2)
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)),
+        )
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("b"))
+    bdf = bg.groupBy("b").agg(F.count("*").alias("bdf"))
+    blocked = bg.join(
+        bdf.where(F.col("bdf").between(2, TFIDF_PAIR_DF_CAP)), "b"
+    )
+    cand = (
+        blocked.select(F.col("doc_id").alias("doc_a"), "b")
+        .join(blocked.select(F.col("doc_id").alias("doc_b"), "b"), "b")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wt_a").cast("decimal(38,0)") * F.col("wt_b")).alias("num"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("n2b"))
+    cos = F.floor(
+        F.col("num").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")))
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared_terms", cos.alias("cosine_e6"))
+        .where(F.col("cosine_e6") >= TFIDF_PAIR_THRESHOLD_E6)
+    )

@@ -264,6 +264,8 @@ HOSTILE_PINNED = (
     #      sub-day o_orderdate; month arithmetic pinned to the DATE part
     #      by explicit casts on both engines.
     "order_date_functions",            # class 45: add_months date pin
+    # round-8 new op, pinned on hostile content from day one
+    "dedup_tfidf_cosine",              # rare-bigram blocked TF-IDF cosine
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the

@@ -47,6 +47,7 @@ BNLJ_BY_DESIGN = {
     "basket_part_pairs",  # 1-row total-baskets crossJoin for support denominator
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
     "doc_tfidf_keywords",  # 1-row corpus-count crossJoin for the idf term
+    "dedup_tfidf_cosine",  # same 1-row corpus-count idf broadcast (x4 lineage replays)
     "corpus_pmi_collocations",  # 1-row (T, B) totals crossJoin for the PMI term
     "events_type_drift_psi",  # 1-row midpoint + 1-row totals crossJoins
     "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
