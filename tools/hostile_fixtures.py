@@ -502,6 +502,9 @@ def _mutate_customer(tbl: pa.Table) -> pa.Table:
             d["c_name"][i] = "Çustömer#İ‍"  # unicode + ZWJ name
         elif k == 4:
             d["c_nationkey"][i] = None  # NULL FK to nation
+        # fuzz round 12: customer PK collision (different payloads)
+        elif k == 5 and i > 0:
+            d["c_custkey"][i] = d["c_custkey"][i - 1]
     return pa.table(d, schema=tbl.schema)
 
 
@@ -530,6 +533,11 @@ def _mutate_part(tbl: pa.Table) -> pa.Table:
             d["p_type"][i] = ""  # empty-string LIKE/prefix probe
         elif k == 3:
             d["p_size"][i] = -1  # negative size (range predicates)
+        # fuzz round 12 classes
+        elif k == 4:
+            d["p_name"][i] = None  # NULL name: split/array kernels
+        elif k == 5:
+            d["p_name"][i] = ""  # empty name: [''] token lists
     return pa.table(d, schema=tbl.schema)
 
 
@@ -539,19 +547,23 @@ def _mutate_nation(tbl: pa.Table) -> pa.Table:
     many queries at once."""
     d = tbl.to_pydict()
     n = len(d["n_nationkey"])
-    if n >= 3:
+    if n >= 4:
         d["n_name"][1] = None          # NULL dimension NAME (group key)
         d["n_regionkey"][2] = None     # NULL FK to region
+        # fuzz round 12: dimension PK COLLISION — two nations share a
+        # key with different names; every broadcast equi-join fans out
+        d["n_nationkey"][3] = d["n_nationkey"][0]
     return pa.table(d, schema=tbl.schema)
 
 
 def _mutate_region(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["r_regionkey"])
-    if n >= 2:
+    if n >= 3:
         d["r_name"][1] = "ASIA "       # trailing-space variant of a
         # filtered literal: r_name = 'ASIA' must NOT match it on either
         # engine (probes any trimming/padding divergence)
+        d["r_name"][2] = None          # fuzz round 12: NULL region name
     return pa.table(d, schema=tbl.schema)
 
 
