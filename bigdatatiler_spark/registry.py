@@ -103,80 +103,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: by tools/check_oracle.py — rotation loses no local coverage, only moves the
 #: driver's independent certification to names that never had one.
 #:
-#: ROUND-8 ROTATION: all 23 round-7 fresh rows went driver-green (50/50), so
-#: every one of them rotates out; 15 of the 27 round-7 sentinels rotate out
-#: too (their modules gain a never-certified representative instead), and the
-#: freed 38 slots go to never-certified names (12 + 38 = 50). 12 sentinels remain — exactly
-#: one for each module that has NO never-certified query left (tokenize,
-#: logstore, asof, pq, rangejoin, scalar, setops, skew, tiling, tpch_deep,
-#: sources.layout, sources.rollup). After round 8 certifies, 33 never-held names remain for round 9 (windows x7, quality x5, relational/text/
-#: sketches x3 each, sqlsurface/multimodal/sampling x2 each, streaming x1,
-#: dedup x1, cleaning x1, similarity x1, plus sketch_hll_native's rows-only
-#: check and the remaining product-analytics windows).
+#: ROUND-9 ROTATION: all 38 round-8 fresh rows went driver-green (50/50,
+#: fourth consecutive perfect board), so every one rotates out and the final
+#: 34 never-driver-certified names take the fresh slots — after this round
+#: certifies, EVERY registered query has held a driver slot at least once.
+#: The 16 sentinels (one per module with no never-certified query left) are
+#: chosen by the STALENESS policy now encoded in
+#: ``tools/window_ledger.py::next_window`` (r8 verdict item 6): each module's
+#: query whose most recent green round is OLDEST re-certifies first, so the
+#: r1-era greens (events_gather_disjunctive, event_id_generation,
+#: union_priority_tiers, priority_status_cube) get re-checked against eight
+#: rounds of engine drift. This list is EXACTLY next_window()'s output at the
+#: commit that introduced it, and tests/test_contract.py pins that equality.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # — sentinels (12): one per module with no never-certified query left —
-    "events_filtered_topk",            # logstore flagship scan shape
-    "tpch_q12_late_shipment",          # relational join+agg (the r1-red fix class)
-    "setops_customer_cohorts",         # set operations
-    "asof_forward_click_to_purchase",  # as-of join, forward + tiebreak
-    "rangejoin_error_bursts",          # banded range join
-    "ann_pq_adc_topk",                 # ANN PQ-ADC (pq.py's only entry)
-    "doc_bpe_token_counts",            # BPE tokenizer (functions.tokenize)
-    "skew_salted_user_activity",       # skew salting (module's only entry)
-    "events_xml_inspection",           # XML round-trip (scalar's entry)
-    "events_zorder_key",               # lakehouse layout
-    "events_hourly_rollup",            # hypertable rollup
-    "doc_tile_chunks",                 # fixed-size tiling (tiling's entry)
-    # — round-8 rotation: 38 never-driver-certified names (fresh slots) —
-    # windows (8 of 16 fresh)
-    "events_funnel_windowed",          # windowed multi-step funnel
-    "events_session_paths",            # per-session ordered path strings
-    "events_user_lifecycle",           # new/retained/resurrected/churned
-    "events_first_touch_attribution",  # first-touch credit assignment
-    "events_time_weighted_value",      # time-weighted average value
-    "orders_priority_scd2",            # SCD2 effective-range reconstruction
-    "events_hourly_gapfill",           # dense hourly spine + interpolation
-    "events_rolling_7d_active_users",  # rolling 7d distinct actives
-    # quality (4 of 10 fresh)
-    "events_cusum_changepoint",        # CUSUM drift detection
-    "orders_benford_audit",            # Benford first-digit audit
-    "events_k_anonymity",              # k-anonymity quasi-identifier audit
-    "events_chi2_independence",        # chi-square independence test
-    # relational (3 of 6 fresh)
-    "customer_revenue_gini",           # Gini coefficient over revenue
-    "orders_abc_classification",       # cumulative-share ABC classes
-    "events_value_histogram",          # fixed-width histogram binning
-    # text (3 of 6 fresh)
-    "doc_gopher_quality_rules",        # Gopher quality-rule battery
-    "doc_tfidf_keywords",              # per-doc TF-IDF top keywords
-    "corpus_zipf_slope",               # Zipf rank-frequency slope
-    # sketches (3 of 6 fresh)
-    "sketch_topk_native",              # space-saving top-k
-    "sketch_kmv_join_estimate",        # KMV join-cardinality estimate
-    "events_sliding_bitmap_distinct",  # sliding bitmap exact distinct
-    # sqlsurface (3 of 5 fresh)
-    "events_orc_roundtrip",            # ORC writer/reader parity
-    "part_unpivot_measures",           # UNPIVOT/stack
-    "orders_profile",                  # column-profile summary
-    # multimodal (2 of 4 fresh)
-    "multimodal_video_scene_cuts",     # frame-delta scene-cut detection
-    "multimodal_audio_quality_gate",   # clipping/silence audio gate
-    # sampling (2 of 4 fresh)
-    "sample_stratified_by_lang",       # stratified exact-rate sampling
-    "events_ab_test_readout",          # two-proportion A/B readout
-    # dedup (2 of 3 fresh)
-    "dedup_simhash",                   # SimHash hamming near-dup
-    "dedup_embedding_cosine",          # embedding-cosine near-dup (blocked)
-    # streaming (2 of 3 fresh)
-    "events_streaming_dedup_parity",   # streaming dropDuplicates parity
-    "events_streaming_stateful_parity",# applyInPandasWithState parity
-    # one each: cleaning, similarity, graph, linkgraph, retrieval, udaf
-    "doc_unigram_logprob",             # unigram LM log-prob scoring
-    "decontaminate_embedding_cosine",  # eval-decontamination cosine filter
-    "dedup_components_two_star",       # two-star connected components
-    "graph_degree_assortativity",      # degree assortativity coefficient
-    "doc_phrase_proximity",            # positional phrase-proximity search
-    "events_iqm_udaf",                 # interquartile-mean UDAF
+    # — sentinels (16): stalest-certified per module with no fresh name —
+    "doc_bpe_token_counts",            # functions.tokenize (r8; only entry)
+    "events_gather_disjunctive",       # logstore.queries (r1-era green)
+    "asof_purchase_to_click",          # operators.asof (r6)
+    "dedup_clusters_verified",         # operators.graph (r2)
+    "graph_pagerank_docs",             # operators.linkgraph (r7)
+    "ann_pq_adc_topk",                 # operators.pq (r8; only entry)
+    "rangejoin_error_bursts",          # operators.rangejoin (r8; only entry)
+    "hybrid_search_rrf",               # operators.retrieval (r5)
+    "event_id_generation",             # operators.scalar (r1-era green)
+    "union_priority_tiers",            # operators.setops (r1-era green)
+    "skew_salted_user_activity",       # operators.skew (r8; only entry)
+    "doc_tile_bytecap_roundtrip",      # operators.tiling (r2)
+    "priority_status_cube",            # operators.tpch_deep (r1-era green)
+    "events_zscore_grouped",           # operators.udaf (r6)
+    "events_zorder_key",               # sources.layout (r8; only entry)
+    "events_hourly_rollup",            # sources.rollup (r8; only entry)
+    # — the final 34 never-driver-certified names (alphabetical) —
+    "corpus_pmi_collocations",         # PMI collocation mining (text)
+    "customer_revenue_equidepth",      # equi-depth histogram (sketches)
+    "customer_rfm_segments",           # RFM quintile segmentation (relational)
+    "dedup_shingle_containment",       # shingle containment near-dup (dedup)
+    "dedup_tfidf_cosine",              # rare-bigram TF-IDF cosine (dedup, new r8)
+    "doc_length_rank_deciles",         # length-rank deciles (text)
+    "doc_rolling_hash",                # rolling-hash fingerprinting (text)
+    "embedding_norm_stats",            # embedding norm stats (similarity)
+    "events_bucket_checksums",         # per-bucket checksum audit (quality)
+    "events_decayed_engagement",       # exponential-decay engagement (windows)
+    "events_ewma_hourly",              # EWMA smoothing (quality)
+    "events_hazard_curve",             # discrete hazard curve (quality)
+    "events_hourly_acf",               # autocorrelation function (quality)
+    "events_hourly_anomaly",           # hourly anomaly z-scores (sqlsurface)
+    "events_hourly_trend_ols",         # OLS trend fit (quality)
+    "events_linear_attribution",       # linear multi-touch credit (windows)
+    "events_seasonal_backtest",        # seasonal-naive backtest (windows)
+    "events_streaming_sliding_parity", # sliding-window streaming parity
+    "events_trailing_hour_stats",      # trailing-hour range stats (windows)
+    "events_type_transitions",         # type-transition matrix (windows)
+    "events_value_mad_outliers",       # MAD outlier flags (windows)
+    "events_value_winsorized",         # winsorized values (cleaning)
+    "events_weekly_seasonality",       # weekly seasonality profile (windows)
+    "lineitem_pit_priority",           # point-in-time join (windows)
+    "lineitem_price_quantity_corr",    # Pearson correlation (relational)
+    "multimodal_phash_near_dup",       # perceptual-hash near-dup (multimodal)
+    "multimodal_wav_decode_stats",     # WAV decode stats (multimodal)
+    "orders_page_offset",              # O15 offset/limit variant (sqlsurface)
+    "orders_selectivity_report",       # predicate selectivity (sketches)
+    "part_pareto_frontier",            # Pareto skyline (relational)
+    "sample_fixed_per_stratum",        # fixed-n per stratum (sampling)
+    "sample_temperature_mixture",      # temperature-weighted mixture (sampling)
+    "sketch_hll_native",               # native HLL (rows-only by design)
+    "user_type_entropy",               # per-user Shannon entropy (quality)
 )
 
 

@@ -82,6 +82,30 @@ def test_window_rotates_fresh_names():
         )
 
 
+def test_window_matches_staleness_policy():
+    """Re-certification cadence gate (r8 verdict item 6): the curated
+    window must be EXACTLY tools/window_ledger.py::next_window()'s output —
+    never-certified names first-class, then one stalest-certified sentinel
+    per uncovered module, then oldest-certified fill. Like
+    test_window_rotates_fresh_names, this is red at each round start (the
+    driver's committed CORRECTNESS_r{N}.json changes the derivation) until
+    the builder's first rotation commit, which is the intended cadence."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from window_ledger import build_ledger, next_window
+
+    from bigdatatiler_spark import registry
+
+    if not build_ledger(REPO)["generated_from"]:
+        return  # round 1: no driver files yet, no staleness to rotate by
+    assert list(registry._WINDOW_PRIORITY) == next_window(REPO), (
+        "window diverges from the staleness policy — regenerate "
+        "registry._WINDOW_PRIORITY from `python tools/window_ledger.py "
+        "--next-window`"
+    )
+
+
 def test_window_ledger_artifact_current():
     """The committed ledger must match a fresh derivation (regenerate with
     `python tools/window_ledger.py --write` after each driver round)."""

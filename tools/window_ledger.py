@@ -100,7 +100,70 @@ def build_ledger(repo: str = REPO) -> dict:
     }
 
 
+def next_window(repo: str = REPO, size: int = 50) -> list[str]:
+    """Emit the next round's 50-slot window under the staleness policy
+    (r8 verdict item 6), from the git-tracked CORRECTNESS history:
+
+    1. every never-driver-certified name gets a slot (certification
+       breadth first — the r7/r8 program);
+    2. every operator module with no never-certified representative gets
+       ONE sentinel: its query whose most recent green round is OLDEST
+       (ties broken by name), so long-uncertified rows (r1-era greens)
+       re-certify against current engine drift;
+    3. remaining slots fill oldest-certified-first across all modules.
+
+    Once never_certified is empty this degenerates to pure
+    oldest-first rotation with per-module coverage, re-certifying every
+    registered query roughly every ceil(registered/size) rounds.
+    """
+    ledger = build_ledger(repo)
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from bigdatatiler_spark.registry import load_all
+
+    specs = load_all()
+    module_of = {n: s.fn.__module__ for n, s in specs.items()}
+    # most recent GREEN round per certified name (held-but-never-green
+    # falls back to held — defensive; every board to date is all-green)
+    last = {
+        n: max(int(r) for r in rs)
+        for n, rs in ledger["certified_green"].items()
+        if rs
+    }
+    for n, rs in ledger["ever_held_slot"].items():
+        last.setdefault(n, max(int(r) for r in rs))
+
+    fresh = [n for n in ledger["never_certified"] if n in module_of]
+    covered = {module_of[n] for n in fresh}
+    sentinels = []
+    for mod in sorted({m for m in module_of.values()} - covered):
+        cands = sorted(
+            (last[n], n) for n in module_of if module_of[n] == mod and n in last
+        )
+        if cands:
+            sentinels.append(cands[0][1])
+    window = sentinels + fresh
+    # overflow: drop fresh names whose module keeps another fresh
+    # representative (coverage is never sacrificed to fit)
+    while len(window) > size:
+        for n in reversed(fresh):
+            if sum(1 for m in fresh if module_of[m] == module_of[n]) > 1:
+                fresh.remove(n)
+                window = sentinels + fresh
+                break
+        else:
+            break
+    if len(window) < size:
+        fill = sorted((r, n) for n, r in last.items() if n not in set(window))
+        window += [n for _, n in fill[: size - len(window)]]
+    return window[:size]
+
+
 def main() -> int:
+    if "--next-window" in sys.argv:
+        for n in next_window():
+            print(n)
+        return 0
     ledger = build_ledger()
     if "--write" in sys.argv:
         os.makedirs(os.path.dirname(LEDGER_PATH), exist_ok=True)
