@@ -216,17 +216,12 @@ def resize_nearest(
     floor mapping; deterministic and engine-independent."""
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
-    out = bytearray(tw * th * channels)
-    for ty in range(th):
-        sy = (ty * height) // th
-        src_row = sy * width * channels
-        dst_row = ty * tw * channels
-        for tx in range(tw):
-            sx = (tx * width) // tw
-            s = src_row + sx * channels
-            d = dst_row + tx * channels
-            out[d : d + channels] = pixels[s : s + channels]
-    return bytes(out)
+    import numpy as np
+
+    src = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    sy = (np.arange(th, dtype=np.int64) * height) // th
+    sx = (np.arange(tw, dtype=np.int64) * width) // tw
+    return src[sy][:, sx].tobytes()
 
 
 def ahash64(width: int, height: int, channels: int, pixels: bytes) -> int:
@@ -234,31 +229,30 @@ def ahash64(width: int, height: int, channels: int, pixels: bytes) -> int:
     (block means), set bit i when block i's mean exceeds the global mean.
     Integer-exact: comparisons use cross-products (sum*N > total*n), no
     division — the same discipline as the SQL aHash in multimodal.py."""
+    import numpy as np
+
     # luminance via integer Rec.601-ish weights (77R + 150G + 29B) >> 8
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
     if channels == 1:
-        luma = pixels
+        luma = px
     else:
-        luma = bytes(
-            (
-                77 * pixels[i]
-                + 150 * pixels[i + 1]
-                + 29 * pixels[i + 2]
-            )
-            >> 8
-            for i in range(0, len(pixels), channels)
-        )
-    sums = [0] * 64
-    counts = [0] * 64
-    for y in range(height):
-        by = (y * 8) // height
-        for x in range(width):
-            b = by * 8 + (x * 8) // width
-            sums[b] += luma[y * width + x]
-            counts[b] += 1
-    total = sum(sums)
+        px = px.reshape(-1, channels)
+        luma = (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2]) >> 8
+    luma = luma.reshape(height, width)
+    bx = (np.arange(width, dtype=np.int64) * 8) // width
+    by = (np.arange(height, dtype=np.int64) * 8) // height
+    block = (by[:, None] * 8 + bx[None, :]).ravel()
+    # int64 scatter-adds (np.add.at), not bincount-with-weights: weighted
+    # bincount accumulates in float64, which would break integer exactness
+    # on pathologically large images — the same cross-product discipline
+    # as the SQL aHash
+    sums = np.zeros(64, dtype=np.int64)
+    np.add.at(sums, block, luma.ravel())
+    counts = np.bincount(block, minlength=64)
+    total = int(sums.sum())
     n = width * height
     code = 0
     for i in range(64):
-        if counts[i] and sums[i] * n > total * counts[i]:
+        if counts[i] and int(sums[i]) * n > total * int(counts[i]):
             code |= 1 << i
     return code

@@ -1,4 +1,4 @@
-"""Minimal WAV (RIFF/PCM) codec on the standard library (struct only).
+"""Minimal WAV (RIFF/PCM) codec on the standard library (struct + zlib-free).
 
 Companion to ``png.py``: WAV's canonical form is uncompressed PCM in a
 RIFF container — pure header parsing, no external audio library needed —
@@ -6,7 +6,11 @@ so the multimodal AUDIO decode slot can run on real bytes in this
 environment. Scope: PCM (format tag 1), 16-bit signed little-endian
 samples, any channel count / sample rate; other format tags or bit
 depths raise ValueError (the honest boundary — compressed codecs need
-ffmpeg).
+ffmpeg). The sample path is numpy-vectorized (r8 verdict item 4: the
+per-sample Python loops were the hot path of the audio bench lines);
+integer-typed input takes the vectorized branch, anything numpy would
+coerce lossily (floats, bigints → object dtype) falls back to the
+original per-sample loop so the validation semantics are unchanged.
 
 Format reference: the public RIFF/WAVE specification ("RIFF" +
 "WAVE" + "fmt " + "data" chunks, little-endian).
@@ -16,6 +20,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 
 def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     """Encode interleaved 16-bit signed samples as a canonical PCM WAV.
@@ -24,10 +30,20 @@ def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
         raise ValueError("channels must be >= 1")
     if len(samples) % channels:
         raise ValueError("sample count not a multiple of channel count")
-    for s in samples:
-        if not -32768 <= s <= 32767:
+    arr = np.asarray(samples)
+    if arr.dtype.kind in "iu":
+        bad = (arr < -32768) | (arr > 32767)
+        if bad.any():
+            s = int(arr[int(np.argmax(bad))])
             raise ValueError(f"sample {s} outside int16 range")
-    data = struct.pack(f"<{len(samples)}h", *samples)
+        data = arr.astype("<i2").tobytes()
+    else:
+        # non-integer dtype (floats / out-of-int64 values): keep the exact
+        # per-sample validation + struct errors of the original path
+        for s in samples:
+            if not -32768 <= s <= 32767:
+                raise ValueError(f"sample {s} outside int16 range")
+        data = struct.pack(f"<{len(samples)}h", *samples)
     byte_rate = sample_rate * channels * 2
     block_align = channels * 2
     fmt = struct.pack(
@@ -72,7 +88,7 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError(f"unsupported bit depth {bits} (16 only)")
             if length % 2:
                 raise ValueError("odd data-chunk length for 16-bit samples")
-            samples = list(struct.unpack(f"<{length // 2}h", body))
+            samples = np.frombuffer(body, dtype="<i2").tolist()
         # chunks are word-aligned: odd-length bodies carry a pad byte
         pos += 8 + length + (length & 1)
     if samples is None:
@@ -85,11 +101,12 @@ def audio_stats(samples: list[int]) -> tuple[int, int, int]:
     integer-exact feature triple the decode-stats query reports. A zero
     crossing is a sign change between consecutive samples, with 0
     counted as non-negative (s < 0 flips)."""
-    sum_abs = sum(abs(s) for s in samples)
-    peak = max((abs(s) for s in samples), default=0)
-    zc = sum(
-        1
-        for a, b in zip(samples, samples[1:])
-        if (a < 0) != (b < 0)
+    if not samples:
+        return 0, 0, 0
+    a = np.abs(np.asarray(samples, dtype=np.int64))
+    neg = np.asarray(samples, dtype=np.int64) < 0
+    return (
+        int(a.sum()),
+        int(a.max()),
+        int((neg[:-1] != neg[1:]).sum()),
     )
-    return sum_abs, peak, zc

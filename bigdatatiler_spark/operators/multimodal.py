@@ -484,21 +484,26 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _roundtrip(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.png import decode_image, encode_png
 
+        sev = (7 * np.arange(PNG_W * PNG_H, dtype=np.int64)) % 256
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                pixels = bytes((d * 31 + i * 7) % 256 for i in range(PNG_W * PNG_H))
+                pixels = (
+                    (((d * 31) % 256 + sev) % 256).astype(np.uint8).tobytes()
+                )
                 blob = encode_png(PNG_W, PNG_H, 1, pixels)
                 w, h, ch, decoded = decode_image(blob)
+                a = np.frombuffer(decoded, dtype=np.uint8)
                 rows.append(
                     (
                         d, w, h, ch,
-                        sum(decoded), min(decoded), max(decoded),
+                        int(a.sum(dtype=np.int64)), int(a.min()), int(a.max()),
                     )
                 )
             yield pd.DataFrame(
@@ -605,19 +610,23 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
     docs = table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def _hash(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.png import ahash64, decode_image, encode_png
 
+        idx = np.arange(256, dtype=np.int64)
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                pixels = bytes(
-                    (i * (3 + d % 50)) % 197
-                    + ((d * 13) % 7 if (i + d) % 29 == 0 else 0)
-                    for i in range(256)
-                )
+                # vectorized closed form; doc_id-keyed mods stay in PYTHON
+                # int (floor-mod, overflow-proof), only the small residues
+                # enter the int64 vector math
+                pixels = (
+                    (idx * (3 + d % 50)) % 197
+                    + np.where((idx + d % 29) % 29 == 0, (d * 13) % 7, 0)
+                ).astype(np.uint8).tobytes()
                 w, h, ch, decoded = decode_image(encode_png(16, 16, 1, pixels))
                 code = ahash64(w, h, ch, decoded)
                 rows.append((d, [(code >> (8 * k)) & 255 for k in range(8)]))
@@ -707,15 +716,17 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _roundtrip(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.wav import audio_stats, decode_wav, encode_wav
 
+        j13 = (13 * np.arange(WAV_N, dtype=np.int64)) % 4096
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                samples = (((d * 7) % 4096 + j13) % 4096) - 2048
                 rate, ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
                 sum_abs, peak, zc = audio_stats(decoded)
                 rows.append(
@@ -803,12 +814,16 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def _sample(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.framepack import frame_count, iter_frames, pack_frames
         from ..media.png import decode_image, encode_png
 
         npx = PNG_W * PNG_H
+        # numpy fixture synthesis + stats (r8 verdict item 4); base offset
+        # folded mod 256 in Python int so doc_id magnitude can't overflow
+        sev = (7 * np.arange(npx, dtype=np.int64)) % 256
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -819,10 +834,9 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
                             PNG_W,
                             PNG_H,
                             1,
-                            bytes(
-                                (d * 31 + f * 101 + i * 7) % 256
-                                for i in range(npx)
-                            ),
+                            ((((d * 31 + f * 101) % 256) + sev) % 256)
+                            .astype(np.uint8)
+                            .tobytes(),
                         )
                         for f in range(VIDEO_N_FRAMES)
                     ]
@@ -830,8 +844,10 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
                 n = frame_count(blob)
                 for fi, frame in iter_frames(blob, VIDEO_STRIDE):
                     w, h, _ch, decoded = decode_image(frame)
+                    a = np.frombuffer(decoded, dtype=np.uint8)
                     rows.append(
-                        (d, fi, n, w, h, sum(decoded), min(decoded), max(decoded))
+                        (d, fi, n, w, h,
+                         int(a.sum(dtype=np.int64)), int(a.min()), int(a.max()))
                     )
             yield pd.DataFrame(
                 rows,
@@ -900,24 +916,28 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _frames(batches: Iterator[Any]) -> Iterator[Any]:
         import math
 
+        import numpy as np
         import pandas as pd
 
         from ..media.wav import decode_wav, encode_wav
 
+        j13 = (13 * np.arange(WAV_N, dtype=np.int64)) % 4096
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                samples = (((d * 7) % 4096 + j13) % 4096) - 2048
                 _rate, _ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
+                wins = np.asarray(decoded, dtype=np.int64).reshape(-1, WAV_WIN)
+                energies = (wins * wins).sum(axis=1)
+                peaks = np.abs(wins).max(axis=1)
                 for wi in range(WAV_N // WAV_WIN):
-                    win = decoded[wi * WAV_WIN : (wi + 1) * WAV_WIN]
-                    energy = sum(x * x for x in win)
+                    energy = int(energies[wi])
                     rows.append(
                         (
                             d, wi, WAV_WIN, energy,
                             math.floor(math.sqrt(energy / WAV_WIN)),
-                            max(abs(x) for x in win),
+                            int(peaks[wi]),
                         )
                     )
             yield pd.DataFrame(
@@ -982,20 +1002,29 @@ def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def _resize(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.png import decode_image, encode_png, resize_nearest
 
         npx = PNG_W * PNG_H
+        sev = (7 * np.arange(npx, dtype=np.int64)) % 256
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                pixels = bytes((d * 31 + i * 7) % 256 for i in range(npx))
+                pixels = (
+                    (((d * 31) % 256 + sev) % 256).astype(np.uint8).tobytes()
+                )
                 w, h, ch, decoded = decode_image(encode_png(PNG_W, PNG_H, 1, pixels))
-                small = resize_nearest(w, h, ch, decoded, RESIZE_TW, RESIZE_TH)
+                small = np.frombuffer(
+                    resize_nearest(w, h, ch, decoded, RESIZE_TW, RESIZE_TH),
+                    dtype=np.uint8,
+                )
                 rows.append(
-                    (d, RESIZE_TW, RESIZE_TH, sum(small), min(small), max(small))
+                    (d, RESIZE_TW, RESIZE_TH,
+                     int(small.sum(dtype=np.int64)),
+                     int(small.min()), int(small.max()))
                 )
             yield pd.DataFrame(
                 rows,
@@ -1065,18 +1094,21 @@ def multimodal_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def _gate(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.wav import decode_wav, encode_wav
 
+        j13 = (13 * np.arange(WAV_N, dtype=np.int64)) % 4096
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                samples = [((d * 7 + j * 13) % 4096) - 2048 for j in range(WAV_N)]
+                samples = (((d * 7) % 4096 + j13) % 4096) - 2048
                 _rate, _ch, decoded = decode_wav(encode_wav(WAV_RATE, 1, samples))
-                n_clip = sum(1 for x in decoded if abs(x) >= AUDIO_CLIP_ABS)
-                n_sil = sum(1 for x in decoded if abs(x) <= AUDIO_SILENCE_ABS)
+                mag = np.abs(np.asarray(decoded, dtype=np.int64))
+                n_clip = int((mag >= AUDIO_CLIP_ABS).sum())
+                n_sil = int((mag <= AUDIO_SILENCE_ABS).sum())
                 clip_e6 = n_clip * 1_000_000 // WAV_N
                 sil_e6 = n_sil * 1_000_000 // WAV_N
                 rows.append(
@@ -1162,12 +1194,18 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _cuts(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
         import pandas as pd
 
         from ..media.framepack import iter_frames, pack_frames
         from ..media.png import decode_image, encode_png
 
         npx = PNG_W * PNG_H
+        # numpy fixture synthesis + L1 (r8 verdict item 4): the quadratic
+        # term is doc/frame-independent, so precompute it once; the base
+        # offset is folded mod 256 in PYTHON int first so a pathological
+        # doc_id can never overflow the int64 vector math
+        quad = (3 * np.arange(npx, dtype=np.int64) ** 2) % 256
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -1178,10 +1216,9 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             PNG_W,
                             PNG_H,
                             1,
-                            bytes(
-                                (d * 31 + f * 101 + 3 * i * i) % 256
-                                for i in range(npx)
-                            ),
+                            ((((d * 31 + f * 101) % 256) + quad) % 256)
+                            .astype(np.uint8)
+                            .tobytes(),
                         )
                         for f in range(VIDEO_N_FRAMES)
                     ]
@@ -1189,14 +1226,13 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prev = None
                 for fi, frame in iter_frames(blob, 1):
                     _w, _h, _ch, decoded = decode_image(frame)
+                    cur = np.frombuffer(decoded, dtype=np.uint8).astype(np.int16)
                     if prev is not None:
-                        l1 = sum(
-                            abs(a - b) for a, b in zip(decoded, prev)
-                        )
+                        l1 = int(np.abs(cur - prev).sum(dtype=np.int64))
                         rows.append(
                             (d, fi - 1, l1, 1 if l1 > SCENE_CUT_L1 else 0)
                         )
-                    prev = decoded
+                    prev = cur
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_from", "l1_diff", "is_cut"]
             )
