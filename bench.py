@@ -305,7 +305,10 @@ def main() -> None:
             budget_status = "ok"
     except OSError as e:
         budget_status = f"skipped: budget file unreadable ({e.__class__.__name__})"
-    except (KeyError, ValueError) as e:
+    # TypeError/AttributeError: budget parses but has the wrong SHAPE
+    # (top-level array, budget_sec not a dict) — ADVICE r8; without them
+    # budget_status stays unbound and the summary print dies on NameError
+    except (KeyError, ValueError, TypeError, AttributeError) as e:
         budget_status = f"skipped: budget file malformed ({e.__class__.__name__})"
 
     # Full per-query detail (for humans / PLANS.md diffing) — NOT last.

@@ -63,6 +63,20 @@ def money_sum(expr: Column, alias: str, ndigits: int = 2) -> Column:
     return F.round(F.sum(expr), ndigits).cast("double").alias(alias)
 
 
+def money_sum0(expr: Column, alias: str, ndigits: int = 2) -> Column:
+    """money_sum with an EMPTY-input value of 0 instead of NULL — for
+    GLOBAL (ungrouped) revenue aggregates, where a zero-row qualifying
+    set means zero revenue, not unknown (fuzz 13, class 47/48; the 0 also
+    keeps the pandas dtype engine-identical on degenerate corpora). The
+    SQL mirror is coalesce(sum(...), 0). Grouped sums never see an empty
+    group, so they keep the plain form."""
+    return (
+        F.round(F.coalesce(F.sum(expr), F.lit(0)), ndigits)
+        .cast("double")
+        .alias(alias)
+    )
+
+
 def finite_or_null(col: str | Column) -> Column:
     """NULL out NaN/±Inf — the explicit-universe guard for order-statistics
     and quantile kernels over raw doubles. Spark sorts NaN GREATEST and
@@ -102,15 +116,22 @@ def e_int(x: Column, scale: int, alias: str) -> Column:
 
 def int_ratio(num: Column, den: Column, scale: int, alias: str) -> Column:
     """floor((num·10^scale) / den) for exact-integer num/den — the SQL
-    mirror is ``(num * 10^scale) // den``. The double intermediate is
-    safe: the product is exact below 2^53, and a rational p/q is never
-    within an ulp of an integer it doesn't exactly equal (distance ≥ 1/q
-    ≫ ulp for any realistic q), so floor cannot land on the wrong side.
+    mirror is ``(num * 10^scale) // nullif(den, 0)``. The double
+    intermediate is safe: the product is exact below 2^53, and a rational
+    p/q is never within an ulp of an integer it doesn't exactly equal
+    (distance ≥ 1/q ≫ ulp for any realistic q), so floor cannot land on
+    the wrong side. Zero denominators yield NULL (fuzz 13, class 47):
+    under ANSI, / 0 would ERROR on a degenerate input (empty funnel step,
+    single-row stratum) where the ratio is simply undefined — the mirror
+    is nullif on the oracle side, since DuckDB's // 0 errors the same way.
     """
     n = num if isinstance(num, Column) else F.col(num)
     d = den if isinstance(den, Column) else F.col(den)
     return (
-        F.floor((n.cast("double") * F.lit(float(10**scale))) / d)
+        F.floor(
+            (n.cast("double") * F.lit(float(10**scale)))
+            / F.when(d != 0, d)
+        )
         .cast("bigint")
         .alias(alias)
     )

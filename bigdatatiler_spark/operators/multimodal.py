@@ -798,7 +798,13 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     """Every 3rd frame of each document's 12-frame FPK1 container,
     decoded from real PNG bytes, with per-frame pixel statistics (see
     block comment above)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # 12 encodes + 4 sampled decodes per doc — same single-split
+    # serialization risk as the scene-cut stage; doc_id-only exchange
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
@@ -1182,7 +1188,15 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-frame L1 distance for every adjacent frame pair of each
     document's 12-frame FPK1 container, decoded from real PNG bytes,
     with a fixed-threshold scene-cut gate (see block comment)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # per-doc cost is 12 PNG encodes + 12 decodes — the round-3 aHash
+    # lesson applies: a single-split fixture would run the whole corpus
+    # on one core. The conditional repartition ships only doc_id longs
+    # (no payloads) and is a no-op on a real multi-file corpus.
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [

@@ -112,7 +112,13 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     row_pass = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[F.sum((~cond).cast("bigint")).alias(nm) for nm, cond in rules.items()],
+        # coalesce: SUM over an EMPTY table is NULL in Spark while the
+        # oracle's scalar COUNT subqueries give 0 — zero violations over
+        # zero rows is 0, not unknown (fuzz 13, class 47)
+        *[
+            F.coalesce(F.sum((~cond).cast("bigint")), F.lit(0)).alias(nm)
+            for nm, cond in rules.items()
+        ],
     )
     dup = duplicate_key_count(o, ("o_orderkey",))
     orphan = fk_orphan_count(o, c, "o_custkey", "c_custkey")
@@ -161,16 +167,26 @@ def lineitem_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     row_pass = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        # NaN semantics pinned per rule — see the oracle comment (fuzz 10)
-        F.sum(
-            (~F.isnan("l_quantity") & (F.col("l_quantity") <= 0)).cast("bigint")
+        # NaN semantics pinned per rule — see the oracle comment (fuzz 10).
+        # coalesce: empty-table SUM is NULL vs the oracle's COUNT 0
+        # (fuzz 13, class 47)
+        F.coalesce(
+            F.sum(
+                (~F.isnan("l_quantity") & (F.col("l_quantity") <= 0)).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
         ).alias("nonpos_quantity"),
-        F.sum(
-            (
-                F.isnan("l_discount")
-                | (F.col("l_discount") < 0)
-                | (F.col("l_discount") > 1)
-            ).cast("bigint")
+        F.coalesce(
+            F.sum(
+                (
+                    F.isnan("l_discount")
+                    | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1)
+                ).cast("bigint")
+            ),
+            F.lit(0),
         ).alias("bad_discount"),
     )
     dup = duplicate_key_count(li, ("l_orderkey", "l_linenumber"))

@@ -21,7 +21,17 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import RATE, dec, int_ratio, money_sum, ms, one_minus, one_plus, ts_lit
+from ._util import (
+    RATE,
+    dec,
+    int_ratio,
+    money_sum,
+    money_sum0,
+    ms,
+    one_minus,
+    one_plus,
+    ts_lit,
+)
 
 
 @register(
@@ -190,8 +200,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     oracle="""
     SELECT
-      CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
-                     * TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+      -- coalesce: zero-row qualifying set -> 0 revenue (fuzz 13, 47/48)
+      CAST(round(coalesce(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))
+                     * TRY_CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(3,2))), 0), 2) AS DOUBLE) AS revenue,
       count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -212,7 +223,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        money_sum(dec("l_extendedprice") * dec("l_discount", RATE), "revenue"),
+        money_sum0(dec("l_extendedprice") * dec("l_discount", RATE), "revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -330,6 +341,11 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, c_mktsegment)
+    -- fuzz 13 class 46: on EMPTY input Spark's ROLLUP emits NO rows
+    -- (it drops even the () grouping set) while DuckDB emits the
+    -- standard grand-total row with count 0; count(*) > 0 holds for
+    -- every non-degenerate group, so this pins Spark's behavior exactly
+    HAVING count(*) > 0
     """,
 )
 def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +494,14 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m GROUP BY 1
     )
     SELECT l_returnflag, n,
+           -- zero-variance guard (fuzz 13): a single-row (or constant)
+           -- group has no defined correlation — NULL on both engines
+           -- instead of Spark's ANSI /0 error vs DuckDB's NaN float
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) > 0
+           THEN
            CAST(floor(
              (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
                 - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
@@ -485,7 +509,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                     * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
                        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
-             * 1000000) AS BIGINT) AS corr_e6
+             * 1000000) AS BIGINT) END AS corr_e6
     FROM s
     """,
 )
@@ -519,14 +543,18 @@ def lineitem_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q").cast("decimal(38,0)") * F.col("p")).alias("sqp"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    corr = (d("n") * d("sqp") - d("sq") * d("sp")) / F.sqrt(
-        (d("n") * d("sqq") - d("sq") * d("sq"))
-        * (d("n") * d("spp") - d("sp") * d("sp"))
-    )
+    varq = d("n") * d("sqq") - d("sq") * d("sq")
+    varp = d("n") * d("spp") - d("sp") * d("sp")
+    corr = (d("n") * d("sqp") - d("sq") * d("sp")) / F.sqrt(varq * varp)
     return s.select(
         "l_returnflag",
         "n",
-        F.floor(corr * 1_000_000).cast("bigint").alias("corr_e6"),
+        # zero-variance guard (fuzz 13): single-row/constant groups have
+        # no defined correlation — NULL, mirroring the oracle's CASE
+        # (Spark's ANSI division would error, DuckDB would float to NaN)
+        F.when((varq > 0) & (varp > 0), F.floor(corr * 1_000_000))
+        .cast("bigint")
+        .alias("corr_e6"),
     )
 
 

@@ -486,8 +486,15 @@ def sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = j.agg(
         F.count("*").alias("exact_union"),
-        F.sum(
-            (F.col("ka").isNotNull() & F.col("kb").isNotNull()).cast("bigint")
+        # coalesce: empty-join SUM is NULL vs the oracle's INTERSECT
+        # count 0 (fuzz 13, class 47)
+        F.coalesce(
+            F.sum(
+                (F.col("ka").isNotNull() & F.col("kb").isNotNull()).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
         ).alias("exact_intersection"),
     )
     k_, hs = KMV_K, _HASH_SPACE_INT

@@ -295,7 +295,7 @@ _PROFILE_COLS = (
 @register(
     "orders_profile",
     oracle="""
-    SELECT col, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct
+    SELECT col, n_rows, CAST(coalesce(n_nulls, 0) AS BIGINT) AS n_nulls, n_distinct
     FROM (
     SELECT 'o_orderkey' AS col, count(*) AS n_rows,
            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
@@ -339,7 +339,12 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         aggs += [
             F.count("*").alias(f"{c}__rows"),
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            # coalesce: empty-table SUM is NULL where the oracle's
+            # conditional SUM... is also NULL, but 0 nulls in 0 rows is 0
+            # on both engines and dtype-stable (fuzz 13, class 47/48)
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
         ]
     wide = o.agg(*aggs)

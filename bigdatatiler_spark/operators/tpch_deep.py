@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import table
-from ._util import PRICE, RATE, dec, money_sum, ms, one_minus, ts_lit
+from ._util import PRICE, RATE, dec, money_sum, money_sum0, ms, one_minus, ts_lit
 
 _DISC_SQL = (
     "TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))"
@@ -399,7 +399,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(round(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))) / 7.0, 2) AS DOUBLE)
+    -- coalesce: revenue lost over an EMPTY qualifying set is 0, and the
+    -- stable BIGINT-backed 0 keeps the pandas dtype engine-identical on
+    -- degenerate corpora (fuzz 13, class 47/48)
+    SELECT CAST(round(coalesce(sum(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(10,2))), 0) / 7.0, 2) AS DOUBLE)
            AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -434,7 +437,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum(dec("l_extendedprice")) / F.lit(7.0), 2)
+            # coalesce: 0 revenue over an empty qualifying set, mirroring
+            # the oracle (fuzz 13, class 47/48)
+            F.round(
+                F.coalesce(F.sum(dec("l_extendedprice")), F.lit(0))
+                / F.lit(7.0),
+                2,
+            )
             .cast("double")
             .alias("avg_yearly")
         )
@@ -493,7 +502,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST(round(sum({_DISC_SQL}), 2) AS DOUBLE) AS revenue
+    -- coalesce: zero-row qualifying set -> 0 revenue (fuzz 13, 47/48)
+    SELECT CAST(round(coalesce(sum({_DISC_SQL}), 0), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     -- NOT isnan pinned (fuzz 10): DuckDB's VECTORIZED filter evaluates
@@ -526,7 +536,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
-        .agg(money_sum(_disc_price(), "revenue"))
+        .agg(money_sum0(_disc_price(), "revenue"))
     )
 
 
@@ -588,6 +598,10 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(round(sum(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    -- fuzz 13 class 46: Spark's CUBE on EMPTY input emits no rows (not
+    -- even the () grand-total row DuckDB produces); count(*) > 0 is a
+    -- no-op on any non-empty group and pins Spark's behavior exactly
+    HAVING count(*) > 0
     """,
 )
 def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

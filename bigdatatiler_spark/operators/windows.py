@@ -363,7 +363,13 @@ def _funnel_chain(evs, step_ms: int | None = None):
 
 
 def _funnel_report(chain):
-    reached = lambda k: F.sum(F.col(f"c.t{k}").isNotNull().cast("bigint"))
+    # coalesce: SUM over an EMPTY input is NULL in Spark while the
+    # oracle's step counts are COUNT(*) subqueries (0) — a zero-user
+    # corpus must report 0 at every step, not NULL (fuzz 13, class 47);
+    # the rate stays NULL when n_signup = 0 (int_ratio is zero-den-safe)
+    reached = lambda k: F.coalesce(
+        F.sum(F.col(f"c.t{k}").isNotNull().cast("bigint")), F.lit(0)
+    )
     return chain.agg(
         reached(1).alias("n_signup"),
         reached(2).alias("n_view"),
@@ -393,7 +399,8 @@ def _funnel_report(chain):
       (SELECT count(*) FROM s2) AS n_view,
       (SELECT count(*) FROM s3) AS n_click,
       (SELECT count(*) FROM s4) AS n_purchase,
-      ((SELECT count(*) FROM s4) * 10000) // (SELECT count(*) FROM s1)
+      ((SELECT count(*) FROM s4) * 10000)
+        // nullif((SELECT count(*) FROM s1), 0)
         AS signup_to_purchase_rate_e4
     """,
 )
@@ -1597,7 +1604,8 @@ _FUNNEL_STEP_MS = 86_400_000
       (SELECT count(*) FROM s2) AS n_view,
       (SELECT count(*) FROM s3) AS n_click,
       (SELECT count(*) FROM s4) AS n_purchase,
-      ((SELECT count(*) FROM s4) * 10000) // (SELECT count(*) FROM s1)
+      ((SELECT count(*) FROM s4) * 10000)
+        // nullif((SELECT count(*) FROM s1), 0)
         AS signup_to_purchase_rate_e4
     """,
 )

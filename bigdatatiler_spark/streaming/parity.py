@@ -45,13 +45,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a DIRECTORY basePath; the fixture is a
-    # single file, so stream the containing dir filtered to that file.
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-shaped events table (multi-file): stream the directory
+        # itself, ONE FILE PER MICRO-BATCH — this is the multi-batch parity
+        # shape (fuzz round 13): every parity query must produce the batch
+        # answer regardless of how AvailableNow splits the source, so state
+        # merges across 2+ real micro-batch transitions are exercised, not
+        # just the single-batch degenerate case the one-file fixture gives.
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+    else:
+        # FileStreamSource requires a DIRECTORY basePath; the fixture is a
+        # single file, so stream the containing dir filtered to that file.
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     dt = schema["ts"].dataType
     if isinstance(dt, LongType):  # legacy int64-nanos encoding
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -244,3 +244,80 @@ def test_wav_single_sample_and_empty():
     empty = encode_wav(8000, 1, [])
     assert decode_wav(empty) == (8000, 1, [])
     assert audio_stats([]) == (0, 0, 0)
+
+
+# --- fuzz round 13 (d): WELL-FORMED files outside the supported subset ----
+# The earlier boundary tests byte-patch a valid blob (so the error could in
+# principle come from structural damage rather than the documented subset
+# check). These construct fully VALID PNG containers — correct signature,
+# chunk layout, CRCs, and a decompressible IDAT — whose IHDR declares a
+# format the codec does not support: the decode must fail LOUDLY at the
+# subset check (error parity), never fall through to silently-wrong pixels.
+
+
+def _valid_png(width, height, depth, color_type, interlace, raw_rows, extra=b""):
+    import struct
+    import zlib
+
+    from bigdatatiler_spark.media.png import _chunk
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw_rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_well_formed_rejected():
+    from bigdatatiler_spark.media.png import _chunk
+
+    # 2x2 palette image: PLTE with 2 entries, 1 index byte/px + filter 0
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    blob = _valid_png(2, 2, 8, 3, 0, b"\x00\x00\x01" * 2, extra=plte)
+    with pytest.raises(ValueError, match="color type 3"):
+        decode_png(blob)
+
+
+def test_png_16bit_well_formed_rejected():
+    # 2x1 grayscale, 16-bit: 2 bytes/px, valid CRCs and IDAT
+    blob = _valid_png(2, 1, 16, 0, 0, b"\x00" + b"\x12\x34\x56\x78")
+    with pytest.raises(ValueError, match="bit depth 16"):
+        decode_png(blob)
+
+
+def test_png_gray_alpha_well_formed_rejected():
+    # color type 4 (gray+alpha) is outside the {0, 2, 6} subset
+    blob = _valid_png(1, 1, 8, 4, 0, b"\x00\x80\xff")
+    with pytest.raises(ValueError, match="color type 4"):
+        decode_png(blob)
+
+
+def test_png_interlaced_well_formed_rejected():
+    blob = _valid_png(1, 1, 8, 0, 1, b"\x00\x42")
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(blob)
+
+
+def test_fpk1_mixed_channel_frames_error_loudly():
+    """A container whose frames change channel count mid-stream: the
+    scene-cut differencing contract requires equal-shape buffers, so the
+    pairwise diff must raise (shape mismatch), never broadcast or
+    silently compare prefixes."""
+    import numpy as np
+
+    from bigdatatiler_spark.media.framepack import iter_frames, pack_frames
+
+    gray = encode_png(4, 4, 1, _pattern(4, 4, 1))
+    rgb = encode_png(4, 4, 3, _pattern(4, 4, 3))
+    blob = pack_frames([gray, rgb])
+    decoded = [
+        np.frombuffer(decode_image(fr)[3], dtype=np.uint8).astype(np.int16)
+        for _i, fr in iter_frames(blob, 1)
+    ]
+    with pytest.raises(ValueError):
+        np.abs(decoded[1] - decoded[0])

@@ -46,6 +46,9 @@ VARIANTS: dict[str, dict[str, str]] = {
     "baseline": {},
     "tz_nyc": {"spark.sql.session.timeZone": "America/New_York"},
     "tz_tokyo": {"spark.sql.session.timeZone": "Asia/Tokyo"},
+    # half-hour-offset zone: unlike whole-hour zones, a session-tz leak
+    # into HOUR truncation changes answers here, not only day buckets
+    "tz_kolkata": {"spark.sql.session.timeZone": "Asia/Kolkata"},
     "ansi_on": {"spark.sql.ansi.enabled": "true"},
     "ansi_off": {"spark.sql.ansi.enabled": "false"},
     "arrow_off": {"spark.sql.execution.arrow.pyspark.enabled": "false"},

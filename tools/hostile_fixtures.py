@@ -291,6 +291,24 @@ def _mutate_events(tbl: pa.Table) -> pa.Table:
             d["props"][i] = ""  # EMPTY-string props: not NULL, not JSON
         elif i % 43 == 42:
             d["props"][i] = "123"  # valid JSON, top-level NUMBER scalar
+        # fuzz round 13 classes (tertiary residue axis — k and i%43 are
+        # exhausted): DST-transition instants. The engine pins UTC
+        # (tune_session) and the env sweep re-runs every query under
+        # America/New_York and Asia/Tokyo sessions — these rows make a
+        # session-tz LEAK actually change answers: an instant inside the
+        # US spring-forward gap buckets to a different local hour/day,
+        # and the fall-back hour is AMBIGUOUS in local time, so any
+        # date_trunc/dayofweek that resolves via session tz diverges.
+        if i % 47 == 44:
+            # 2021-03-14 07:00:00Z == 02:00 EST -> 03:00 EDT gap start
+            d["ts"][i] = dt.datetime(2021, 3, 14, 7, 0, 0)
+        elif i % 47 == 45:
+            # first of the two instants that both read 01:30 local in
+            # the US fall-back hour (2021-11-07, EDT side)
+            d["ts"][i] = dt.datetime(2021, 11, 7, 5, 30, 0)
+        elif i % 47 == 46:
+            # 1 µs before the EU CET->CEST jump (2021-03-28 01:00Z)
+            d["ts"][i] = dt.datetime(2021, 3, 28, 0, 59, 59, 999999)
     return pa.table(d, schema=tbl.schema)
 
 
@@ -598,9 +616,33 @@ def build(src: str, dest: str) -> None:
         print(f"mutated {name}: {tbl.num_rows} rows")
 
 
+def build_truncated(src: str, dest: str, n: int) -> None:
+    """Fuzz round 13 (c): DEGENERATE-CARDINALITY variant — every table
+    truncated to its first ``n`` rows (n=0: the empty-table axis every
+    aggregate/window/seeded operator must survive; n=1: the single-row
+    axis that zeroes every variance, pairs every self-join with itself,
+    and collapses every quantile). Schemas are preserved exactly (slice,
+    not filter), so the differential isolates CARDINALITY semantics —
+    empty-input aggregates, 0-denominator guards, seed collection from
+    empty frames — from content effects."""
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        pq.write_table(tbl.slice(0, n), os.path.join(dest, fname))
+        print(f"truncated {fname[:-8]}: {tbl.num_rows} -> {min(n, tbl.num_rows)} rows")
+
+
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_sf0.001"
-    build(src, dest)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.001"
+    dest = args[1] if len(args) > 1 else "/tmp/hostile_sf0.001"
+    if "--truncate0" in sys.argv:
+        build_truncated(src, dest, 0)
+    elif "--truncate1" in sys.argv:
+        build_truncated(src, dest, 1)
+    else:
+        build(src, dest)
     print(f"hostile fixtures at {dest}; now run: "
           f"python tools/check_oracle.py {dest}")

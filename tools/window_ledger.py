@@ -44,7 +44,12 @@ def correctness_files(repo: str = REPO) -> list[str]:
             ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
             capture_output=True, text=True, check=True,
         ).stdout.split()
-        return sorted(os.path.join(repo, p) for p in out)
+        # ls-files also lists tracked-but-deleted paths (ADVICE r8) —
+        # keep only files that exist so json.load can't FileNotFoundError
+        return sorted(
+            p for p in (os.path.join(repo, f) for f in out)
+            if os.path.exists(p)
+        )
     except (OSError, subprocess.CalledProcessError):
         return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
 
@@ -65,6 +70,11 @@ def build_ledger(repo: str = REPO) -> dict:
     memory (lexicographic '10' < '2' misorders double-digit rounds — r7
     ADVICE) and zero-padded 2-digit strings in the serialized artifact so
     JSON keeps them sorted."""
+    # NOTE: single-repo-per-process (ADVICE r8) — the registry import below
+    # is cached in sys.modules, so calling build_ledger for a DIFFERENT
+    # repo path in the same process would silently reuse the first repo's
+    # registry. Every caller (CLI, tests) passes the one repo this file
+    # lives in, so the cache is correct by construction here.
     held: dict[str, dict[int, bool]] = {}
     files = correctness_files(repo)
     for path in files:
