@@ -9,7 +9,10 @@ from bigdatatiler_spark.operators.relational import (
     tpch_q6_forecast_revenue,
 )
 
+import os
+
 SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _executed_plan(df) -> str:
@@ -189,3 +192,31 @@ def test_domain_mixture_broadcasts_rates(spark):
     plan = _executed_plan(sample_domain_mixture(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_pins_top_bench_lines(spark):
+    """EXPLAIN-diff gate (r8 verdict stretch): the shuffle budget catches
+    an ADDED exchange but not a join-strategy flip at fixed exchange
+    count (BHJ→SMJ from a stats/conf drift, SMJ→BNLJ from a lost
+    equi-condition). The 10 most expensive bench lines pin their physical
+    join-strategy counts in plans/join_strategy.json — regenerate with
+    `python tools/plan_audit.py --write-joins <path>` after an
+    intentional plan change and justify the diff in review."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from plan_audit import join_strategies
+
+    pin_path = os.path.join(
+        REPO, "bigdatatiler_spark", "plans", "join_strategy.json"
+    )
+    pinned = json.load(open(pin_path))
+    actual = join_strategies(spark, SF)
+    diffs = {
+        name: (pinned.get(name), actual.get(name))
+        for name in set(pinned) | set(actual)
+        if pinned.get(name) != actual.get(name)
+    }
+    assert not diffs, f"join-strategy flips on top bench lines: {diffs}"

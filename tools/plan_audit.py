@@ -56,9 +56,61 @@ BNLJ_BY_DESIGN = {
 }
 
 
+#: the 10 most expensive bench lines (BENCH solo r9, streaming parities
+#: excluded — their fn() runs the streaming engine and the post-sink plan
+#: is not the scored dataflow). plans/join_strategy.json pins each one's
+#: PHYSICAL JOIN STRATEGY counts: the shuffle budget catches an ADDED
+#: exchange but not a strategy flip at fixed exchange count (BHJ→SMJ from
+#: a stats/conf change, SMJ→BNLJ from a lost equi-condition) — the r8
+#: verdict's EXPLAIN-diff gate. Regenerate with --write-joins after an
+#: intentional plan change.
+JOIN_PINNED = (
+    "multimodal_video_scene_cuts",
+    "doc_tile_bytecap_roundtrip",
+    "dedup_components_two_star",
+    "dedup_prefix_filter_jaccard",
+    "sample_leakage_safe_split",
+    "dedup_connected_components",
+    "dedup_tfidf_cosine",
+    "multimodal_video_frame_sample",
+    "graph_bfs_hops",
+    "bm25_topk",
+)
+
+
+def join_strategies(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+    """{query: {bhj, smj, shj, bnlj}} over JOIN_PINNED from the same
+    initial-plan audit surface the shuffle budget uses (deterministic at
+    fixed SF/conf — AQE runtime conversions are not pinned)."""
+    specs = load_all()
+    out: dict[str, dict[str, int]] = {}
+    for name in JOIN_PINNED:
+        spark.catalog.clearCache()
+        a = audit(specs[name].fn(spark, sf_dir))
+        out[name] = {
+            "bhj": a.broadcast_joins,
+            "smj": a.sortmerge_joins,
+            "shj": a.shuffledhash_joins,
+            "bnlj": a.nestedloop_joins,
+        }
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     budget_path = None
+    if args and args[0] == "--write-joins":
+        import json
+
+        spark = get_spark("plan-audit")
+        spark.sparkContext.setLogLevel("ERROR")
+        sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.001"
+        joins = join_strategies(spark, sf_dir)
+        with open(args[1], "w") as f:
+            json.dump(joins, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote join strategies for {len(joins)} queries to {args[1]}")
+        return 0
     if args and args[0] == "--write-budget":
         budget_path = args[1]
         args = args[2:]
