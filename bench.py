@@ -311,8 +311,7 @@ def main() -> None:
     except (KeyError, ValueError, TypeError, AttributeError) as e:
         budget_status = f"skipped: budget file malformed ({e.__class__.__name__})"
 
-    # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_detail",
         "value": total,
         "unit": "sec",
@@ -320,7 +319,19 @@ def main() -> None:
         "sf": sf_val,
         "budget_violations": budget_violations,
         "budget_status": budget_status,
-    }))
+    }
+    # Solo-bench protocol (r8 verdict item 7): driver bench runs share the
+    # box and measure 10-15% noisier than solo runs — every "regression"
+    # scare since r5 came from that gap. `--solo-artifact PATH` writes the
+    # full detail map to a tracked BENCH_solo_r0N.json so round-over-round
+    # comparison is like-for-like.
+    if "--solo-artifact" in sys.argv:
+        path = sys.argv[sys.argv.index("--solo-artifact") + 1]
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
+    print(json.dumps(detail))
     # Compact, bounded summary as the FINAL stdout line (driver-parseable).
     out = {
         "metric": "headline_queries_total",

@@ -1127,3 +1127,87 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * sy) div k AS BIGINT)"
         ).alias("mean_e6"),
     )
+
+
+# --- multi-pattern blocklist filter -----------------------------------------
+# The content-policy stage every large text-corpus pipeline runs (the
+# C4 "bad words" filter): documents matching ANY of a curated phrase
+# blocklist are flagged and gated out of the training mixture. With a
+# constant-size blocklist the scan is PURE COLUMNAR — one contains()
+# per pattern folded into the same codegen stage as the read, no join,
+# no shuffle, no regex compilation per row. At 100 TB this is a map-only
+# pass that merges into ingest; a 10^4-entry production blocklist swaps
+# the unrolled contains() for one compiled Aho-Corasick pandas_udf with
+# the same row-local semantics.
+#
+# Matching is over the tokenizer normalization (ASCII-only case fold +
+# whitespace collapse — text.py's fuzz-9 rule: full-Unicode lower() is
+# locale/library-defined), so "Slow   Query" matches "slow query" but
+# 'İ'-style Unicode case aliasing never enters the match.  NULL text →
+# no matches → gate passes, symmetric via CASE/otherwise on both engines.
+
+#: fixed phrase blocklist, alphabetical (order defines the matched-list
+#: rendering); "drop table" never occurs in the corpus — the zero-hit
+#: pattern keeps the all-patterns-miss path exercised
+BLOCKLIST = ("big table", "drop table", "fast scan", "slow query")
+
+_BL_NORM = (
+    "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')),"
+    " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+)
+_BL_FLAGS = ", ".join(
+    f"CASE WHEN contains(norm, '{p}') THEN 1 ELSE 0 END AS f{i}"
+    for i, p in enumerate(BLOCKLIST)
+)
+_BL_MATCHED = ", ".join(
+    f"CASE WHEN f{i} = 1 THEN '{p}' END" for i, p in enumerate(BLOCKLIST)
+)
+
+
+@register(
+    "doc_blocklist_filter",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_BL_NORM} AS norm FROM documents),
+    f AS (SELECT doc_id, {_BL_FLAGS} FROM n)
+    SELECT doc_id,
+           CAST({' + '.join(f'f{i}' for i in range(len(BLOCKLIST)))} AS BIGINT)
+             AS n_matched,
+           concat_ws(',', {_BL_MATCHED}) AS matched,
+           CAST(CASE WHEN {' + '.join(f'f{i}' for i in range(len(BLOCKLIST)))} = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS gate_pass
+    FROM f
+    """,
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist content filter: per document, how many blocklist
+    phrases match the normalized text, the matched phrases (fixed
+    blocklist order, comma-joined — concat_ws skips non-matches
+    identically on both engines, fuzz-10 class 42), and the keep gate.
+    Map-only columnar scan; see block comment for the 100 TB shape."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.translate(
+        F.trim(F.regexp_replace("text", r"\s+", " ")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    flags = [
+        F.when(norm.contains(p), 1).otherwise(0).alias(f"f{i}")
+        for i, p in enumerate(BLOCKLIST)
+    ]
+    f = docs.select("doc_id", *flags)
+    n_matched = reduce(
+        lambda a, b: a + b, [F.col(f"f{i}") for i in range(len(BLOCKLIST))]
+    )
+    matched = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col(f"f{i}") == 1, F.lit(p))
+            for i, p in enumerate(BLOCKLIST)
+        ],
+    )
+    return f.select(
+        "doc_id",
+        n_matched.cast("bigint").alias("n_matched"),
+        matched.alias("matched"),
+        F.when(n_matched == 0, 1).otherwise(0).cast("bigint").alias("gate_pass"),
+    )

@@ -115,6 +115,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: union_priority_tiers, priority_status_cube) get re-checked against eight
 #: rounds of engine drift. This list is EXACTLY next_window()'s output at the
 #: commit that introduced it, and tests/test_contract.py pins that equality.
+#: Names registered AFTER the current round's window was frozen and
+#: locally verified: they stay OUT of this round's 50 slots (evicting a
+#: name mid-round would cost it the certification this rotation exists to
+#: finish) and join the rotation first thing next round, when
+#: ``next_window`` stops excluding them. The contract test pins that only
+#: genuinely-new names (never held a slot) may be deferred, and the next
+#: rotation commit empties this tuple.
+_WINDOW_DEFER: tuple[str, ...] = (
+    "doc_blocklist_filter",  # registered mid-r9, after the r9 window froze
+)
+
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # — sentinels (16): stalest-certified per module with no fresh name —
     "doc_bpe_token_counts",            # functions.tokenize (r8; only entry)

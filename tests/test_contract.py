@@ -106,6 +106,33 @@ def test_window_matches_staleness_policy():
     )
 
 
+def test_window_defer_only_new_names():
+    """_WINDOW_DEFER exists so an operator registered MID-round (after
+    the window froze and was verified) queues for the NEXT rotation
+    instead of evicting a name this round must certify. Abuse guard:
+    only names that have NEVER held a driver slot may be deferred —
+    deferring a rotation-due name would stall its re-certification."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from window_ledger import build_ledger
+
+    from bigdatatiler_spark import registry
+
+    deferred = set(getattr(registry, "_WINDOW_DEFER", ()))
+    if not deferred:
+        return
+    specs = registry.load_all()
+    unknown = deferred - set(specs)
+    assert not unknown, f"_WINDOW_DEFER names not registered: {unknown}"
+    held = set(build_ledger(REPO)["ever_held_slot"])
+    stale = deferred & held
+    assert not stale, (
+        f"_WINDOW_DEFER holds already-certified names {stale} — defer is "
+        "only for mid-round NEW registrations; remove them at rotation"
+    )
+
+
 def test_window_ledger_artifact_current():
     """The committed ledger must match a fresh derivation (regenerate with
     `python tools/window_ledger.py --write` after each driver round)."""

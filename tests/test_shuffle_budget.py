@@ -40,6 +40,7 @@ MAP_ONLY = (
     "doc_rolling_hash",
     "doc_fingerprint_bottomk",
     "dedup_simhash",
+    "doc_blocklist_filter",
     "multimodal_payload_stats",
     "events_point_read",
     "events_filtered_topk",

@@ -129,9 +129,14 @@ def next_window(repo: str = REPO, size: int = 50) -> list[str]:
     ledger = build_ledger(repo)
     if repo not in sys.path:
         sys.path.insert(0, repo)
+    from bigdatatiler_spark import registry
     from bigdatatiler_spark.registry import load_all
 
     specs = load_all()
+    # mid-round registrations defer to the NEXT rotation (registry
+    # comment on _WINDOW_DEFER): excluded from fresh here so the frozen,
+    # already-verified window keeps every name this round must certify
+    deferred = set(getattr(registry, "_WINDOW_DEFER", ()))
     module_of = {n: s.fn.__module__ for n, s in specs.items()}
     # most recent GREEN round per certified name (held-but-never-green
     # falls back to held — defensive; every board to date is all-green)
@@ -143,7 +148,11 @@ def next_window(repo: str = REPO, size: int = 50) -> list[str]:
     for n, rs in ledger["ever_held_slot"].items():
         last.setdefault(n, max(int(r) for r in rs))
 
-    fresh = [n for n in ledger["never_certified"] if n in module_of]
+    fresh = [
+        n
+        for n in ledger["never_certified"]
+        if n in module_of and n not in deferred
+    ]
     covered = {module_of[n] for n in fresh}
     sentinels = []
     for mod in sorted({m for m in module_of.values()} - covered):
