@@ -141,15 +141,27 @@ def tile_bytecap(
     entry = F.concat(F.col(id_col).cast("string"), F.lit(".xml"))
     keep = [F.col(c) for c in keep_cols]
 
-    # NOT split-normalized (unlike the shingle/trigram/aHash passes):
-    # measured at sf0.1, the fixpoint's per-round fixed costs dominate —
-    # a repartition here bought nothing and multiplied the audited
-    # exchange count via per-round lineage replays of the cached frame
+    # Split-normalized + lineage-cut since r9. Two measured pathologies
+    # at bench SF: (1) the upstream conflict-arbiter groupBy's tiny
+    # shuffle output gets AQE-coalesced to ONE partition, serializing
+    # every zip round onto one core (5.1 s for a single whole-zip pass,
+    # 0.2 s split-normalized — the round-3 aHash lesson again); (2) a
+    # persist()-only frame re-enters the STATIC plan of every downstream
+    # branch (fits + each round's done part), so any upstream exchange
+    # multiplies ~30× in the audited node count. localCheckpoint (the
+    # graph-ops lineage-cut pattern) materializes the zipped frame once
+    # and truncates the plan, fixing both: each branch reads the RDD
+    # directly. On a real multi-file corpus the repartition is a no-op
+    # decision; the checkpoint is executor-local, same as graph.py.
+    from ..operators._util import ensure_parallelism
+
     whole = (
-        df.select(F.col(id_col), *keep, F.col(payload_col).alias("chunk"))
+        ensure_parallelism(
+            df.select(F.col(id_col), *keep, F.col(payload_col).alias("chunk"))
+        )
         .withColumn("zipped", zip_payload(F.col("chunk"), entry))
         .withColumn("zip_bytes", F.length("zipped"))
-        .persist()
+        .localCheckpoint()
     )
     # null payloads ride the unsplit path (single row, null chunk/zip)
     fits = whole.where(
@@ -183,10 +195,13 @@ def tile_bytecap(
 
     done = [fits.select(F.col(id_col), *keep, "idx", "chunk", "zipped", "zip_bytes")]
     for _ in range(max_rounds):
+        # localCheckpoint, not persist: same lineage-cut rationale as
+        # `whole` — each round's archives are zipped exactly once and no
+        # downstream branch replays the round's plan
         z = (
             state.withColumn("zipped", zip_payload(F.col("chunk"), entry))
             .withColumn("zip_bytes", F.length("zipped"))
-            .persist()
+            .localCheckpoint()
         )
         new_cc = F.greatest(
             F.floor(
@@ -201,7 +216,10 @@ def tile_bytecap(
             )
         )
         bad = z.where(needs_resplit)
-        if bad.isEmpty():
+        # count() over the checkpointed z: a cheap metadata-sized scan of
+        # already-materialized archives (localCheckpoint above is eager).
+        # Still a 1-long driver result, never a data collect.
+        if bad.count() == 0:
             break
         # stage the shrunk size under a fresh name: aliasing it back to
         # "cc" in the same select that reads old "cc" inside the explode
