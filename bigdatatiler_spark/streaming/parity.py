@@ -42,8 +42,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed schema, then the ts branch normalizes to a timestamp."""
     import os
 
+    from ..tables import _readable_path
+
     tune_session(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    # same layout repair as the batch loaders (fuzz 14 class 49: the
+    # vectorized reader, which FileStreamSource also uses, cannot decode
+    # BYTE_STREAM_SPLIT — transcode-once instead of a mid-stream crash)
+    path = _readable_path(os.path.join(sf_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
         # directory-shaped events table (multi-file): stream the directory
@@ -59,11 +64,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         # FileStreamSource requires a DIRECTORY basePath; the fixture is a
-        # single file, so stream the containing dir filtered to that file.
+        # single file, so stream the containing dir filtered to that file
+        # (by the RESOLVED basename — a transcoded repair copy lives in
+        # the temp dir under a different name).
         src = (
             spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
         )
     dt = schema["ts"].dataType
     if isinstance(dt, LongType):  # legacy int64-nanos encoding

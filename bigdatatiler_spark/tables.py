@@ -131,6 +131,91 @@ def _as_timestamp(name: str, col: str, dt: DataType) -> Column | None:
     )
 
 
+#: (abs path, mtime_ns, size) → readable path (original or transcoded).
+#: BYTE_STREAM_SPLIT float columns (fuzz 14, class 49): Spark's
+#: VECTORIZED parquet reader throws `Unsupported encoding:
+#: BYTE_STREAM_SPLIT` mid-query while DuckDB decodes the same file fine —
+#: a fixture regenerated with BSS floats would crash every float-reading
+#: query with a cryptic FAILED_READ_FILE. The repair transcodes the file
+#: ONCE through Arrow into a session-temp copy with default encodings
+#: (values bit-identical — BSS is a lossless byte-shuffle) and reads
+#: that, keeping the vectorized scan + pushdown. Footer sniff + decision
+#: are cached per (path, mtime, size) so steady-state calls cost a dict
+#: lookup.
+_LAYOUT_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _readable_path(path: str) -> str:
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    out = path
+    for f in files:
+        st = os.stat(f)
+        key = (os.path.abspath(f), st.st_mtime_ns, st.st_size)
+        cached = _LAYOUT_CACHE.get(key)
+        if cached is None:
+            md = pq.read_metadata(f)
+            bss = any(
+                "BYTE_STREAM_SPLIT" in md.row_group(rg).column(ci).encodings
+                for rg in range(md.num_row_groups)
+                for ci in range(md.row_group(rg).num_columns)
+            )
+            if bss:
+                # own subdirectory, original basename: a streaming
+                # consumer can list dirname(dst) without tripping over
+                # unrelated temp files (CONFLICTING_DIRECTORY_STRUCTURES)
+                ddir = os.path.join(
+                    tempfile.gettempdir(), f"bdt_transcode_{abs(hash(key))}"
+                )
+                os.makedirs(ddir, exist_ok=True)
+                dst = os.path.join(ddir, os.path.basename(f))
+                if not os.path.exists(dst):
+                    pq.write_table(pq.read_table(f), dst)
+                cached = dst
+            else:
+                cached = f
+            _LAYOUT_CACHE[key] = cached
+        if cached != f:
+            # any transcoded member → point the scan at a rebuilt dir/file
+            out = None
+    if out is not None:
+        return out
+    if len(files) == 1 and not os.path.isdir(path):
+        return _LAYOUT_CACHE[
+            (
+                os.path.abspath(files[0]),
+                os.stat(files[0]).st_mtime_ns,
+                os.stat(files[0]).st_size,
+            )
+        ]
+    # directory with ≥1 transcoded member: materialize a shadow dir of
+    # per-file resolved paths (symlinks keep untouched members shared)
+    import tempfile
+
+    shadow = os.path.join(
+        tempfile.gettempdir(), f"bdt_shadow_{abs(hash(os.path.abspath(path)))}"
+    )
+    os.makedirs(shadow, exist_ok=True)
+    for f in files:
+        st = os.stat(f)
+        src = _LAYOUT_CACHE[(os.path.abspath(f), st.st_mtime_ns, st.st_size)]
+        dst = os.path.join(shadow, os.path.basename(f))
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    return shadow
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain parquet scan → full Catalyst pushdown.
 
@@ -139,7 +224,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are normalized to timestamps only when they are not already.
     """
     tune_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(
+        _readable_path(os.path.join(sf_dir, f"{name}.parquet"))
+    )
     _canary(name, df)
     if name == "events":
         dt = df.schema["ts"].dataType

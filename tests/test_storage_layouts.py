@@ -1,0 +1,78 @@
+"""Fuzz round 14: parquet PHYSICAL-LAYOUT differential pins.
+
+The driver regenerates the fixtures between rounds and has already
+changed the time encoding twice (tables.py header). This axis recodes
+the SAME data through the remaining writer knobs a regeneration could
+plausibly flip — ``tools/hostile_fixtures.py --recode=<variant>`` — and
+runs Spark and DuckDB over the same recoded files, so a divergence is a
+reader-level decode difference:
+
+- ``nodict_bss``      — dictionary off + BYTE_STREAM_SPLIT floats.
+  **Class 49 (real, found this round):** Spark's vectorized parquet
+  reader throws ``Unsupported encoding: BYTE_STREAM_SPLIT`` mid-query
+  (batch AND FileStreamSource) while DuckDB decodes the file fine. The
+  repair in ``tables._readable_path`` sniffs the footer and transcodes
+  the file ONCE through Arrow (lossless — BSS is a byte shuffle) into a
+  session-temp copy, keeping the vectorized scan + pushdown; the
+  streaming source routes through the same repair.
+- ``tiny_rowgroups_v2`` — 97-row row groups + DataPage V2 + zstd.
+- ``gzip_reordered_extra`` — reversed column order + an EXTRA column
+  (schema evolution: select-by-name, ignore unknowns) + gzip.
+- ``ts_ms``           — millisecond-coerced timestamps.
+
+Full 213-query sweeps over all four variants were green at the pinning
+commit; this test keeps a representative subset (float scan, time
+bucketing, text tokens, streaming) red-on-regression.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from bigdatatiler_spark.registry import load_all
+from bigdatatiler_spark.tables import TABLES
+from tools.check_oracle import table_hash
+from tools.hostile_fixtures import RECODE_VARIANTS, build_recoded
+
+#: float-heavy scan, hour bucketing, tokenizer, and the streaming engine
+PINNED_QUERIES = (
+    "tpch_q6_forecast_revenue",
+    "events_hourly_rollup",
+    "doc_token_stats",
+    "events_streaming_hourly_parity",
+)
+
+
+@pytest.fixture(scope="module", params=RECODE_VARIANTS)
+def recoded_dir(request, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp(f"recode_{request.param}"))
+    build_recoded("/root/testdata/sf0.001", dest, request.param)
+    return dest
+
+
+@pytest.fixture(scope="module")
+def oracle_con(recoded_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(recoded_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", PINNED_QUERIES)
+def test_layout_differential(name, spark, recoded_dir, oracle_con):
+    spec = load_all()[name]
+    sdf = spec.fn(spark, recoded_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    sn, sh = table_hash(list(sdf.columns), srows)
+    on, oh = table_hash(ocols, orows)
+    assert sn == on, f"{name}: rowcount {sn} != {on} on recoded layout"
+    assert sh == oh, f"{name}: value hash diverges on recoded layout"

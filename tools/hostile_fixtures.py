@@ -634,14 +634,83 @@ def build_truncated(src: str, dest: str, n: int) -> None:
         print(f"truncated {fname[:-8]}: {tbl.num_rows} -> {min(n, tbl.num_rows)} rows")
 
 
+#: Fuzz round 14 (storage axis): same DATA, different PHYSICAL parquet
+#: layout. The driver regenerates fixtures between rounds and has already
+#: changed time encodings twice (tables.py header); these variants cover
+#: the remaining writer knobs a regeneration could plausibly flip. The
+#: differential then runs Spark AND DuckDB over the SAME recoded files —
+#: a divergence is a reader-level decode difference, the class that
+#: round-2's nanos change exposed.
+RECODE_VARIANTS = ("nodict_bss", "tiny_rowgroups_v2", "gzip_reordered_extra", "ts_ms")
+
+
+def build_recoded(src: str, dest: str, variant: str) -> None:
+    import pyarrow.types as pt
+
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        out = os.path.join(dest, fname)
+        if variant == "nodict_bss":
+            # plain encoding everywhere + BYTE_STREAM_SPLIT for floats —
+            # the layout a column-stats-optimizing writer emits
+            enc = {
+                f.name: "BYTE_STREAM_SPLIT"
+                for f in tbl.schema
+                if pt.is_floating(f.type)
+            }
+            pq.write_table(
+                tbl, out,
+                use_dictionary=False,
+                column_encoding=enc or None,
+                compression="snappy",
+            )
+        elif variant == "tiny_rowgroups_v2":
+            # many tiny row groups (scan/split boundaries inside every
+            # table) + DataPage V2 + zstd
+            pq.write_table(
+                tbl, out,
+                row_group_size=97,
+                data_page_version="2.0",
+                compression="zstd",
+            )
+        elif variant == "gzip_reordered_extra":
+            # reversed column order + an EXTRA column (schema evolution:
+            # engines must select by NAME and ignore unknowns) + gzip
+            rev = tbl.select(list(reversed(tbl.column_names)))
+            extra = pa.array(
+                [f"m{i % 7}" for i in range(tbl.num_rows)], type=pa.string()
+            )
+            rev = rev.append_column("_extra_meta", extra)
+            pq.write_table(rev, out, compression="gzip")
+        elif variant == "ts_ms":
+            # millisecond-coerced timestamps (a plausible future fixture
+            # precision change; µs components truncate identically for
+            # both readers since the FILE is the shared truth)
+            pq.write_table(
+                tbl, out,
+                coerce_timestamps="ms",
+                allow_truncated_timestamps=True,
+                compression="snappy",
+            )
+        else:
+            raise ValueError(f"unknown recode variant {variant!r}")
+        print(f"recoded {fname[:-8]} [{variant}]: {tbl.num_rows} rows")
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.001"
     dest = args[1] if len(args) > 1 else "/tmp/hostile_sf0.001"
+    recode = [a for a in sys.argv if a.startswith("--recode=")]
     if "--truncate0" in sys.argv:
         build_truncated(src, dest, 0)
     elif "--truncate1" in sys.argv:
         build_truncated(src, dest, 1)
+    elif recode:
+        build_recoded(src, dest, recode[0].split("=", 1)[1])
     else:
         build(src, dest)
     print(f"hostile fixtures at {dest}; now run: "
