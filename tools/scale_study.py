@@ -1,0 +1,149 @@
+"""10× scaling study: measure how headline plans scale with data volume.
+
+The correctness gates prove the engine RIGHT at small SF; this tool
+measures whether the plans SCALE — the 100 TB question. It synthesizes a
+10× replica of the sf0.1 fixture (10 copies of each fact table with
+disjoint key ranges, so cardinalities, group counts, and join fan-outs
+scale honestly; dimensions stay fixed like a real star schema), then
+times a representative query slice at 1× and 10× on the same session
+and reports the scaling factor per query.
+
+Reading the factors: a scan/map/agg plan should scale ≤ ~10× (sublinear
+when fixed overheads amortize); a factor ≫ 10× exposes a super-linear
+stage (an accidental all-pairs, a driver bottleneck, a skew collapse)
+that small-SF benches can't see.
+
+Usage: python tools/scale_study.py [--rebuild] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DEST = "/tmp/scale10"
+COPIES = 10
+
+#: fact tables replicated with shifted keys; everything else copies as-is
+_FACT_KEYS: dict[str, tuple[str, ...]] = {
+    # (key columns whose value space must stay DISJOINT per copy)
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "orders": ("o_orderkey",),  # o_custkey stays — dims are fixed
+    "lineitem": ("l_orderkey",),  # l_partkey/l_suppkey stay
+}
+
+#: representative slice: scan+agg, join+topk, window, dedup (banded),
+#: media (map-only), rollup, graph (bounded-iteration), ANN (bucketed)
+QUERIES = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "events_hourly_rollup",
+    "events_funnel_windowed",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_bpe_token_counts",
+    "multimodal_video_scene_cuts",
+    "events_rolling_7d_active_users",
+    "doc_tile_chunks",
+)
+
+
+def build(src: str = SRC, dest: str = DEST, copies: int = COPIES) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        name = fname[: -len(".parquet")]
+        tbl = pq.read_table(os.path.join(src, fname))
+        out = os.path.join(dest, fname)
+        keys = _FACT_KEYS.get(name)
+        if not keys:
+            pq.write_table(tbl, out)
+            print(f"copied {name}: {tbl.num_rows} rows")
+            continue
+        # shift each copy's key space by copy_i * stride (stride > max key
+        # so copies never collide); ts columns are left as-is so the time
+        # axis gains DENSITY, matching how a real corpus grows
+        strides = {
+            k: int(pc.max(pc.abs(tbl[k])).as_py() or 0) + 1 for k in keys
+        }
+        parts = []
+        for i in range(copies):
+            if i == 0:
+                parts.append(tbl)
+                continue
+            cols = {}
+            for cname in tbl.column_names:
+                if cname in keys:
+                    base = tbl[cname]
+                    cols[cname] = pc.add(base, i * strides[cname])
+                else:
+                    cols[cname] = tbl[cname]
+            parts.append(pa.table(cols, schema=tbl.schema))
+        big = pa.concat_tables(parts)
+        pq.write_table(big, out, row_group_size=200_000)
+        print(f"replicated {name}: {tbl.num_rows} -> {big.num_rows} rows")
+
+
+def main() -> int:
+    out_path = next(
+        (a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/scale10.json"
+    )
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(DEST, "events.parquet")
+    ):
+        build()
+
+    from bigdatatiler_spark.registry import load_all
+    from bigdatatiler_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-study", extra_conf={"spark.driver.memory": "16g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    def run(name: str, sf_dir: str) -> float:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    # warmup (JVM + python workers)
+    run("events_filtered_topk", SRC)
+
+    report = {}
+    for name in QUERIES:
+        t1 = run(name, SRC)
+        t10 = run(name, DEST)
+        report[name] = {
+            "t_1x_sec": t1,
+            "t_10x_sec": t10,
+            "factor": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+        print(f"{name}: 1x={t1}s 10x={t10}s factor={report[name]['factor']}")
+
+    with open(out_path, "w") as f:
+        json.dump({"copies": COPIES, "queries": report}, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
