@@ -61,6 +61,9 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.shuffle.partitions": "7",
     },
     "no_aqe": {"spark.sql.adaptive.enabled": "false"},
+    # identifier resolution: a driver harness with case-sensitive
+    # analysis must resolve every column reference identically
+    "case_sensitive": {"spark.sql.caseSensitive": "true"},
     "legacy_nanos": {"spark.sql.legacy.parquet.nanosAsLong": "true"},
     # the scalar (row-at-a-time) parquet decode path — a driver harness
     # on exotic storage may fall back to it; decode differences would

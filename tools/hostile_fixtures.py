@@ -616,6 +616,28 @@ def build(src: str, dest: str) -> None:
         print(f"mutated {name}: {tbl.num_rows} rows")
 
 
+def build_shuffled(src: str, dest: str) -> None:
+    """Fuzz round 14 (order axis): every table's rows in a DIFFERENT,
+    deterministic permutation (md5 of the row index). No query may
+    depend on file row order — every LIMIT carries a total-order sort,
+    every reassembly orders explicitly — so the full differential must
+    be byte-identical to the canonical run's semantics on both engines."""
+    import hashlib
+
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        n = tbl.num_rows
+        order = sorted(
+            range(n),
+            key=lambda i: hashlib.md5(f"{fname}:{i}".encode()).hexdigest(),
+        )
+        pq.write_table(tbl.take(order), os.path.join(dest, fname))
+        print(f"shuffled {fname[:-8]}: {n} rows")
+
+
 def build_truncated(src: str, dest: str, n: int) -> None:
     """Fuzz round 13 (c): DEGENERATE-CARDINALITY variant — every table
     truncated to its first ``n`` rows (n=0: the empty-table axis every
@@ -705,7 +727,9 @@ if __name__ == "__main__":
     src = args[0] if args else "/root/testdata/sf0.001"
     dest = args[1] if len(args) > 1 else "/tmp/hostile_sf0.001"
     recode = [a for a in sys.argv if a.startswith("--recode=")]
-    if "--truncate0" in sys.argv:
+    if "--shuffle-rows" in sys.argv:
+        build_shuffled(src, dest)
+    elif "--truncate0" in sys.argv:
         build_truncated(src, dest, 0)
     elif "--truncate1" in sys.argv:
         build_truncated(src, dest, 1)
