@@ -1298,3 +1298,86 @@ def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(pa, "pass_alpha"),
         flag(pw & pm & ps & pl & pa, "gate_pass"),
     )
+
+
+# --- training-sequence packing ----------------------------------------------
+# The concat-and-chunk packing every causal-LM data pipeline runs before
+# training: documents are laid end-to-end in a deterministic order and
+# the token stream is cut into fixed-budget sequences; each document
+# lands at a byte-exact position (sequence id + offset), possibly
+# spanning a boundary. The per-doc placement is a PREFIX SUM of token
+# counts over the packing order — here one ordered window over
+# doc-count-sized rows (2 ints/doc, metadata not corpus data). At 100 TB
+# the same prefix sum runs as the standard two-phase distributed scan:
+# per-range-partition token subtotals (tiny) broadcast back as offsets —
+# the plan is a range shuffle, never a single-partition sort of
+# payloads. Duplicate doc_ids (at-least-once ingest, fuzz 9 class 37)
+# are arbitered by content hash first, exactly like the tile ingest, so
+# the packing order is total and engine-portable.
+
+SEQ_LEN = 256  #: tokens per packed training sequence
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, arg_max(text, md5(text)) AS text
+      FROM documents WHERE text IS NOT NULL GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id,
+             len(list_filter(string_split({_NORM_SQL}, ' '), x -> x != ''))
+               AS n_tokens
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           start // {SEQ_LEN} AS first_seq,
+           (start + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+           (start + n_tokens - 1) // {SEQ_LEN} - start // {SEQ_LEN} + 1
+             AS n_seqs,
+           start % {SEQ_LEN} AS seq_offset
+    FROM p
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (see block comment): per document,
+    its token count, the first/last packed sequence it occupies, how
+    many sequences it spans, and its offset inside the first one —
+    integer-exact prefix-sum placement in doc_id order."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max_by("text", F.md5("text")).alias("text"))
+    )
+    n_tokens = F.size(
+        F.filter(F.split(_norm_col(), " "), lambda x: x != "")
+    ).cast("long")
+    t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    p = t.select("doc_id", "n_tokens", start.alias("start"))
+    first_seq = F.expr(f"start div {SEQ_LEN}")
+    last_seq = F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}")
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+        (F.col("start") % SEQ_LEN).alias("seq_offset"),
+    )

@@ -123,7 +123,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: genuinely-new names (never held a slot) may be deferred, and the next
 #: rotation commit empties this tuple.
 _WINDOW_DEFER: tuple[str, ...] = (
-    "doc_blocklist_filter",  # registered mid-r9, after the r9 window froze
+    "doc_blocklist_filter",       # registered mid-r9, after the r9 window froze
+    "pack_training_sequences",    # registered mid-r9, after the r9 window froze
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (

@@ -266,8 +266,9 @@ HOSTILE_PINNED = (
     "order_date_functions",            # class 45: add_months date pin
     # round-8 new op, pinned on hostile content from day one
     "dedup_tfidf_cosine",              # rare-bigram blocked TF-IDF cosine
-    # round-9 new op, pinned on hostile content from day one
+    # round-9 new ops, pinned on hostile content from day one
     "doc_blocklist_filter",            # phrase-blocklist content filter
+    "pack_training_sequences",         # token-budget sequence packing
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the
