@@ -15,12 +15,17 @@ micro-batch), runs all six streaming parity queries through the real
 micro-batch engine over 4 genuine batch transitions, and hash-compares
 against the batch DuckDB oracle over the SAME split files.
 
-Two hostile split orders:
+Three hostile split orders:
 - ``rr`` (round-robin): every batch spans the full time range, so each
   key's state is revisited in every batch (maximum state churn);
 - ``rev`` (reverse-time quarters): batch 1 holds the LATEST events and
   each later batch is entirely "late" relative to everything already in
-  state — the worst case for any hidden watermark/late-drop assumption.
+  state — the worst case for any hidden watermark/late-drop assumption;
+- ``hostile_rr`` (fuzz 15: content × batching COMPOSITION): the
+  round-robin split applied to the HOSTILE-mutated fixture, so NULL
+  keys, NaN metrics, pre-epoch/far-future timestamps, and duplicate
+  rows cross micro-batch boundaries — each axis was green alone; this
+  pins the product.
 """
 
 from __future__ import annotations
@@ -52,9 +57,16 @@ STREAMING_PARITIES = (
 def _build_split(dest: str, order: str) -> None:
     """Copy the fixture with events split into N_SPLITS part files under
     a directory-shaped events.parquet."""
+    src = SRC
+    if order.startswith("hostile_"):
+        from tools.hostile_fixtures import build as build_hostile
+
+        src = os.path.join(dest, "_hostile_src")
+        build_hostile(SRC, src)
+        order = order[len("hostile_") :]
     os.makedirs(dest, exist_ok=True)
     for t in TABLES:
-        p = os.path.join(SRC, f"{t}.parquet")
+        p = os.path.join(src, f"{t}.parquet")
         if t != "events":
             if os.path.exists(p):
                 shutil.copyfile(p, os.path.join(dest, f"{t}.parquet"))
@@ -84,7 +96,7 @@ def _build_split(dest: str, order: str) -> None:
             pq.write_table(part, os.path.join(evdir, f"part-{k:02d}.parquet"))
 
 
-@pytest.fixture(scope="module", params=["rr", "rev"])
+@pytest.fixture(scope="module", params=["rr", "rev", "hostile_rr"])
 def split_dir(request, tmp_path_factory):
     dest = str(tmp_path_factory.mktemp(f"mbatch_{request.param}"))
     _build_split(dest, request.param)
