@@ -326,10 +326,16 @@ def main() -> None:
     # full detail map to a tracked BENCH_solo_r0N.json so round-over-round
     # comparison is like-for-like.
     if "--solo-artifact" in sys.argv:
-        path = sys.argv[sys.argv.index("--solo-artifact") + 1]
-        with open(path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
+        idx = sys.argv.index("--solo-artifact")
+        # trailing flag with no PATH: skip the artifact, never lose the
+        # run's printed results to an IndexError (ADVICE r9)
+        if idx + 1 < len(sys.argv):
+            with open(sys.argv[idx + 1], "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
+        else:
+            print("bench: --solo-artifact needs a PATH; artifact skipped",
+                  file=sys.stderr)
     # Full per-query detail (for humans / PLANS.md diffing) — NOT last.
     print(json.dumps(detail))
     # Compact, bounded summary as the FINAL stdout line (driver-parseable).

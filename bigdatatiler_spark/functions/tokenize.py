@@ -22,8 +22,11 @@ from ..registry import register
 from ..tables import table
 
 #: GPT-2-ish pre-tokenizer: letter runs | single digits | symbol runs.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
-_BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+#: Whitespace is excluded via the EXPLICIT class, not \s: Java's \s is
+#: [ \t\n\x0B\f\r] but RE2's lacks \x0B, so a vertical tab would join a
+#: symbol run on DuckDB only (ADVICE r9 — same class as _NORM_SQL).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\x0B\f]+"
+_BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]+"
 
 
 def whitespace_tokens(text: Column) -> Column:

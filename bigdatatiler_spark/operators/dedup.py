@@ -43,11 +43,12 @@ EXACT_PAIRS_MAX_INPUT = 50_000
 
 # ASCII-only case fold — same rationale as text.py's _NORM_SQL (fuzz 9:
 # JVM vs utf8proc Unicode case mappings diverge on İ / final sigma).
-_NORM_SQL = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+# Explicit whitespace class, not \s: RE2's \s lacks \x0B (ADVICE r9).
+_NORM_SQL = "translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
 
 def _norm_col() -> Column:
-    return F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    return F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:

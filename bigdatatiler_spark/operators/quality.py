@@ -1152,7 +1152,7 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKLIST = ("big table", "drop table", "fast scan", "slow query")
 
 _BL_NORM = (
-    "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')),"
+    "translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')),"
     " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 )
 _BL_FLAGS = ", ".join(
@@ -1186,7 +1186,7 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only columnar scan; see block comment for the 100 TB shape."""
     docs = table(spark, sf_dir, "documents")
     norm = F.translate(
-        F.trim(F.regexp_replace("text", r"\s+", " ")),
+        F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")),
         "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
         "abcdefghijklmnopqrstuvwxyz",
     )

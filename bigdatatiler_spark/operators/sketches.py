@@ -126,7 +126,7 @@ FREQ_SUPPORT = 0.02
     oracle=f"""
     WITH t AS (
       SELECT unnest(string_split(
-               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
+               translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     c AS (SELECT token, count(*) AS occurrences FROM t GROUP BY token)
@@ -150,7 +150,7 @@ def sketch_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             F.explode(
-                F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
+                F.split(F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
             ).alias("token")
         )
     )
@@ -270,7 +270,7 @@ def _cms_oracle() -> str:
     return f"""
     WITH t AS (
       SELECT unnest(string_split(
-               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
+               translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token),
@@ -313,7 +313,7 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary agg."""
     toks = table(spark, sf_dir, "documents").select(
         F.explode(
-            F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
+            F.split(F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
         ).alias("token")
     )
     cnt = toks.groupBy("token").agg(F.count("*").alias("c"))

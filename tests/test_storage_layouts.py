@@ -76,3 +76,46 @@ def test_layout_differential(name, spark, recoded_dir, oracle_con):
     on, oh = table_hash(ocols, orows)
     assert sn == on, f"{name}: rowcount {sn} != {on} on recoded layout"
     assert sh == oh, f"{name}: value hash diverges on recoded layout"
+
+
+def test_bss_shadow_refreshes_after_in_place_regeneration(spark, tmp_path):
+    """ADVICE r9 (medium): the shadow dir for BSS-repaired directory
+    tables was keyed on the directory PATH alone with create-if-absent
+    symlinks, so an in-place fixture regeneration kept serving the OLD
+    transcoded data. The fix keys the shadow on the resolved member set
+    (abspath, mtime_ns, size, target) and re-points symlinks
+    unconditionally — this test is the reproduced scenario."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatatiler_spark.tables import _readable_path
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+
+    def write(vals):
+        tbl = pa.table({"v": pa.array(vals, pa.float64())})
+        pq.write_table(
+            tbl,
+            str(d / "part-0.parquet"),
+            use_dictionary=False,
+            column_encoding={"v": "BYTE_STREAM_SPLIT"},
+            compression="snappy",
+        )
+
+    write([1.5, 2.5])
+    p1 = _readable_path(str(d))
+    assert p1 != str(d)  # BSS member → repaired path
+    assert sorted(r.v for r in spark.read.parquet(p1).collect()) == [1.5, 2.5]
+
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    write([9.9, 8.8])
+    p2 = _readable_path(str(d))
+    got = sorted(r.v for r in spark.read.parquet(p2).collect())
+    assert got == [8.8, 9.9], (
+        f"stale shadow after in-place regeneration: {got}"
+    )
+    # idempotent re-resolution (symlink replacement must not raise)
+    assert _readable_path(str(d)) == p2

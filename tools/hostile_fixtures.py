@@ -66,7 +66,10 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
             d["text"][i] = "   "  # whitespace-only document
         # fuzz round 4 classes
         elif k == 10:
-            d["text"][i] = "line1\nline2\ttabbed\rcarriage"  # control ws
+            # control ws incl. \x0B (vertical tab) + \x0C (form feed):
+            # Java \s has \x0B, RE2 \s does not — the normalizer pins an
+            # explicit class so both engines collapse it (ADVICE r9)
+            d["text"][i] = "line1\nline2\ttabbed\rcarriage\x0bvtab\x0cff"
         elif k == 11:
             d["text"][i] = "!!! ??? ... ;;; ---"  # punctuation-only
         elif k == 12:
