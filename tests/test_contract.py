@@ -210,3 +210,28 @@ def test_no_hash_hostile_output_types(spark):
             ):
                 bad.append((name, f.name, str(f.dataType)))
     assert not bad, f"hash-hostile output columns: {bad}"
+
+
+def test_no_oracle_names_stay_out_of_window():
+    """Terminal adjudication of oracle-less queries (r9 verdict item 3):
+    the driver's checker has no rows-only mode — a registered query with
+    ``oracle=None`` in the window is a GUARANTEED non-green board row
+    (sketch_hll_native r9: ``err: no_oracle``). Such names stay
+    registered and locally rows-only-checked, but may never occupy a
+    window slot, never count as rotation backlog, and never re-enter via
+    sentinel/fill (policy lives in tools/window_ledger.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from window_ledger import build_ledger
+
+    from bigdatatiler_spark import registry
+
+    specs = registry.load_all()
+    no_oracle = {n for n, s in specs.items() if s.oracle is None}
+    assert no_oracle, "expected at least sketch_hll_native"
+    leaked = no_oracle & set(registry._WINDOW_PRIORITY)
+    assert not leaked, f"oracle-less names hold window slots: {leaked}"
+    ledger = build_ledger(REPO)
+    assert sorted(no_oracle) == ledger["no_oracle_excluded"]
+    assert not no_oracle & set(ledger["never_certified"])

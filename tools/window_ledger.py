@@ -86,12 +86,21 @@ def build_ledger(repo: str = REPO) -> dict:
         sys.path.insert(0, repo)
     from bigdatatiler_spark.registry import load_all
 
-    registered = list(load_all())
+    specs = load_all()
+    registered = list(specs)
     window = registered[:50]
-    never = [n for n in registered if n not in held]
+    # Oracle-less queries are TERMINALLY excluded from the certification
+    # program (r9 verdict item 3): the driver's checker has no rows-only
+    # mode — a no-oracle name in the window is a GUARANTEED non-green row
+    # (sketch_hll_native, r9: `err: no_oracle`). They stay registered and
+    # locally rows-only-checked by tools/check_oracle.py, but never count
+    # as rotation backlog and never take a slot.
+    no_oracle = sorted(n for n in registered if specs[n].oracle is None)
+    never = [n for n in registered if n not in held and n not in no_oracle]
     return {
         "generated_from": [os.path.basename(p) for p in files],
         "registered_count": len(registered),
+        "no_oracle_excluded": no_oracle,
         "ever_held_slot": {
             n: [f"{r:02d}" for r in sorted(rounds)]
             for n, rounds in sorted(held.items())
@@ -137,7 +146,14 @@ def next_window(repo: str = REPO, size: int = 50) -> list[str]:
     # comment on _WINDOW_DEFER): excluded from fresh here so the frozen,
     # already-verified window keeps every name this round must certify
     deferred = set(getattr(registry, "_WINDOW_DEFER", ()))
-    module_of = {n: s.fn.__module__ for n, s in specs.items()}
+    # terminal exclusion (r9 verdict item 3): a no-oracle name can never
+    # go driver-green, so it is barred from fresh, sentinel, AND fill —
+    # one wasted slot per round otherwise (contract-gated in
+    # tests/test_contract.py::test_no_oracle_names_stay_out_of_window)
+    terminal = set(ledger["no_oracle_excluded"])
+    module_of = {
+        n: s.fn.__module__ for n, s in specs.items() if n not in terminal
+    }
     # most recent GREEN round per certified name (held-but-never-green
     # falls back to held — defensive; every board to date is all-green)
     last = {
@@ -173,7 +189,11 @@ def next_window(repo: str = REPO, size: int = 50) -> list[str]:
         else:
             break
     if len(window) < size:
-        fill = sorted((r, n) for n, r in last.items() if n not in set(window))
+        fill = sorted(
+            (r, n)
+            for n, r in last.items()
+            if n not in set(window) and n not in terminal
+        )
         window += [n for _, n in fill[: size - len(window)]]
     return window[:size]
 
