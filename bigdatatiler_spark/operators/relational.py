@@ -24,10 +24,12 @@ from ..tables import table
 from ._util import (
     RATE,
     dec,
+    distributed_rank,
     int_ratio,
     money_sum,
     money_sum0,
     ms,
+    ntile_from_rank,
     one_minus,
     one_plus,
     ts_lit,
@@ -629,31 +631,46 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every ntile ordering carries the c_custkey tiebreak (a
     total order — quartile boundaries cannot shuffle between engines);
-    money is exact cents. Plan note: each ntile is a single-partition
-    window over the CUSTOMER aggregate (dimension-sized, not fact-
-    sized); at 100 TB the exact quartile ranks would ride the histogram-
-    prefix-sum kernel (doc_length_rank_deciles) instead of one-partition
-    windows — same output, corpus-parallel."""
+    money is exact cents.
+
+    Plan (r9 verdict item 5 — the documented 100 TB form, now the
+    implementation): each quartile rides ``_util.distributed_rank`` —
+    range-partition on the ordering, within-bucket ``row_number``,
+    broadcast bucket offsets — plus ``ntile_from_rank``'s exact integer
+    arithmetic, so NO single-partition window exists anywhere in the
+    plan (tests/test_plans.py pins it). The oracle keeps the one-window
+    ntile formulation as the independent ground truth. The customer
+    frame is dimension-sized here but ~10⁹ rows at 100 TB — exactly the
+    scale where the old global-ntile window serialized."""
     orders = table(spark, sf_dir, "orders")
-    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.max(ms("o_orderdate")).alias("last_order_ms"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).alias(
-            "monetary_cents"
-        ),
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(ms("o_orderdate")).alias("last_order_ms"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .localCheckpoint()  # three rankings + the rollup consume it
     )
-    scored = base.select(
-        "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order_ms"), F.asc("c_custkey")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("c_custkey")))
-        .alias("m"),
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dims = (
+        ("r", [F.desc("last_order_ms"), F.asc("c_custkey")]),
+        ("f", [F.desc("frequency"), F.asc("c_custkey")]),
+        ("m", [F.desc("monetary_cents"), F.asc("c_custkey")]),
     )
+    scored = base.select("c_custkey", "monetary_cents")
+    for name, order in dims:
+        tiles = (
+            distributed_rank(base, order, rank_name="_rn")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "c_custkey",
+                ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias(name),
+            )
+        )
+        scored = scored.join(tiles, "c_custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),

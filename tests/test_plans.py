@@ -243,3 +243,28 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     )
     # the corpus window must be partitioned by the range bucket
     assert "windowspecdefinition(bucket" in plan
+
+
+def test_rfm_segments_distributed_ntile(spark):
+    """customer_rfm_segments (r9 verdict item 5): all three quartile
+    rankings must ride the distributed-rank kernel — range buckets +
+    within-bucket windows — never a global single-partition ntile
+    window. The only SinglePartition exchanges allowed are the 1-row
+    COUNT aggregates (metadata-sized by construction); every window must
+    be partitioned and no global sort may appear."""
+    from bigdatatiler_spark.registry import load_all
+
+    df = load_all()["customer_rfm_segments"].fn(spark, SF)
+    plan = _executed_plan(df)
+    # every window partitioned by the range bucket
+    assert "windowspecdefinition(_rb" in plan
+    import re
+
+    bare = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert set(bare) <= {"_rb"}, f"unpartitioned/foreign windows: {set(bare)}"
+    assert ", true, 0" not in plan.replace("(true, 0)", ""), (
+        "global sort in the RFM plan"
+    )
+    # SinglePartition only for the 1-row count aggregates
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        assert "count(1)" in frag[:600] or "count(1)" in plan, frag[:200]
