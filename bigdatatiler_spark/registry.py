@@ -122,7 +122,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: ``next_window`` stops excluding them. The contract test pins that only
 #: genuinely-new names (never held a slot) may be deferred, and the next
 #: rotation commit empties this tuple.
-_WINDOW_DEFER: tuple[str, ...] = ()
+_WINDOW_DEFER: tuple[str, ...] = (
+    "dedup_minhash_bucket_audit",  # registered mid-r10, after the r10 window froze
+)
 
 #: ROUND-10 ROTATION: the certification program COMPLETED in r9 (every
 #: registered oracle-backed query has held a driver slot; the r9 board was

@@ -201,3 +201,61 @@ def test_containment_prefix_filter_complete_on_random_corpora(spark, tmp_path):
         for r in dedup_shingle_containment(spark, str(tmp_path)).collect()
     }
     assert got == brute
+
+
+def test_band_bucket_cap_engages_on_hostile_corpus(spark):
+    """r9 verdict item 6: an adversarial self-similar corpus (template
+    spam — every doc near-identical) lands whole in ONE bucket per band;
+    the BAND_BUCKET_CAP guard must bound it, deterministically, while
+    the kept members remain a within-cluster sample (all true dups of
+    each other)."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.dedup import (
+        capped_bands,
+        minhash_bands,
+    )
+
+    n, cap = 200, 8
+    # identical shingle sets -> identical signatures -> one bucket/band
+    sh = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(f"tok{i} tok{i+1} tok{i+2}") for i in range(5)]).alias(
+            "sh"
+        ),
+    )
+    bands = minhash_bands(sh)
+    occ = bands.groupBy("band_id", "band_key").count().collect()
+    assert all(r["count"] == n for r in occ), "hostile corpus must collide"
+    kept = capped_bands(bands, cap=cap)
+    kocc = kept.groupBy("band_id", "band_key").count().collect()
+    assert all(r["count"] == cap for r in kocc), "cap did not engage"
+    # determinism: same input -> same kept member set
+    k1 = sorted(r["doc_id"] for r in kept.select("doc_id").distinct().collect())
+    k2 = sorted(
+        r["doc_id"]
+        for r in capped_bands(minhash_bands(sh), cap=cap)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert k1 == k2
+
+
+def test_band_bucket_cap_is_noop_on_honest_corpus(spark):
+    """On the real fixture no bucket approaches the cap: capped and
+    uncapped band frames are identical, and the registered audit query
+    reports zero overflow buckets (pairs_capped == pairs_uncapped)."""
+    from bigdatatiler_spark.operators.dedup import (
+        _shingled,
+        capped_bands,
+        dedup_minhash_bucket_audit,
+        minhash_bands,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bands = minhash_bands(_shingled(spark, sf))
+    assert capped_bands(bands).count() == bands.count()
+    audit = dedup_minhash_bucket_audit(spark, sf).collect()
+    assert audit and all(r["overflow_buckets"] == 0 for r in audit)
+    assert all(r["pairs_capped"] == r["pairs_uncapped"] for r in audit)
