@@ -232,6 +232,48 @@ def _readable_path(path: str) -> str:
     return shadow
 
 
+#: member-set key → whether the directory's files disagree on column names
+_SCHEMA_MERGE_CACHE: dict[tuple, bool] = {}
+
+
+def _needs_schema_merge(path: str) -> bool:
+    """Schema evolution inside ONE directory-table (fuzz 16, class 52):
+    a column added or dropped across regeneration batches means member
+    files disagree on column NAMES. Spark's default directory read takes
+    the schema of whichever footer it samples first — so the visible
+    schema (and whether a query even compiles) depends on FILE LISTING
+    ORDER, and rows from reduced-schema files silently lose columns. The
+    repair reads with ``mergeSchema`` so the table is always the NAME
+    UNION with NULLs for absent cells — exactly DuckDB's
+    ``union_by_name`` semantics, keeping the differential symmetric.
+    mergeSchema costs a footer read per file (driver-side, metadata
+    only), so it is applied ONLY when the footers actually disagree —
+    the decision is cached on the (path, mtime, size) member set, and
+    homogeneous directories (every driver fixture to date) stay on the
+    single-footer fast path. Type changes on a SAME-named column are
+    out of scope (Spark fails loudly; documented boundary)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return False
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    if len(files) < 2:
+        return False
+    key = tuple(
+        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
+    )
+    hit = _SCHEMA_MERGE_CACHE.get(key)
+    if hit is None:
+        names = {tuple(sorted(pq.read_schema(f).names)) for f in files}
+        hit = len(names) > 1
+        _SCHEMA_MERGE_CACHE[key] = hit
+    return hit
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain parquet scan → full Catalyst pushdown.
 
@@ -240,9 +282,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are normalized to timestamps only when they are not already.
     """
     tune_session(spark)
-    df = spark.read.parquet(
-        _readable_path(os.path.join(sf_dir, f"{name}.parquet"))
-    )
+    path = _readable_path(os.path.join(sf_dir, f"{name}.parquet"))
+    reader = spark.read
+    if _needs_schema_merge(path):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     _canary(name, df)
     if name == "events":
         dt = df.schema["ts"].dataType

@@ -119,3 +119,58 @@ def test_bss_shadow_refreshes_after_in_place_regeneration(spark, tmp_path):
     )
     # idempotent re-resolution (symlink replacement must not raise)
     assert _readable_path(str(d)) == p2
+
+
+# ── fuzz 16: hostile CONTENT × hostile LAYOUT composition ───────────────
+# Round 14 probed layouts on honest content, round 5+ probed content on
+# honest layout; class 53 composes them — the hostile fixture (NULL
+# keys, zero-norm embeddings, degenerate rows, \x0B content) re-encoded
+# with dictionary off + BYTE_STREAM_SPLIT floats, so the BSS transcode
+# repair and every content guard must hold SIMULTANEOUSLY.
+
+#: float-scan through the BSS repair, zero-norm guard on BSS-encoded
+#: embeddings, time bucketing on degenerate epochs, winsorize ranks on
+#: NULL/NaN cents, and the new \x0B blocklist row through the transcode
+COMPOSED_PINNED = (
+    "tpch_q6_forecast_revenue",
+    "knn_bruteforce_cosine",
+    "events_hourly_rollup",
+    "events_value_winsorized",
+    "doc_blocklist_filter",
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_bss_dir(tmp_path_factory):
+    from tools.hostile_fixtures import build
+
+    mid = str(tmp_path_factory.mktemp("hostile_src"))
+    dest = str(tmp_path_factory.mktemp("hostile_bss"))
+    build("/root/testdata/sf0.001", mid)
+    build_recoded(mid, dest, "nodict_bss")
+    return dest
+
+
+@pytest.fixture(scope="module")
+def hostile_bss_oracle(hostile_bss_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(hostile_bss_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", COMPOSED_PINNED)
+def test_hostile_content_on_bss_layout(name, spark, hostile_bss_dir, hostile_bss_oracle):
+    spec = load_all()[name]
+    sdf = spec.fn(spark, hostile_bss_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = hostile_bss_oracle.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    sn, sh = table_hash(list(sdf.columns), srows)
+    on, oh = table_hash(ocols, orows)
+    assert sn == on, f"{name}: rowcount {sn} != {on} on hostile+BSS"
+    assert sh == oh, f"{name}: value hash diverges on hostile+BSS"

@@ -43,7 +43,7 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["doc_id"])
     for i in range(n):
-        k = i % 29
+        k = i % 31
         if k == 0:
             d["lang"][i] = None
         elif k == 1:
@@ -154,6 +154,26 @@ def _mutate_documents(tbl: pa.Table) -> pa.Table:
         elif k == 28:
             d["text"][i] = "x" * 120  # EXACTLY one tile (chunk=120)
             # boundary: ceil(120/120)=1 vs the >CHUNK split predicate
+
+        # fuzz round 16 classes
+        elif k == 29:
+            # blocklist phrase split by \x0B / \x0C INSIDE the phrase:
+            # before the explicit-whitespace-class pin (ADVICE r9) Java's
+            # \s collapsed the VT so Spark matched "slow query" while
+            # DuckDB's RE2 left "slow\x0Bquery" unmatched — the matched
+            # list AND gate_pass diverged. Both engines must now
+            # normalize (and match) identically.
+            d["text"][i] = "a slow\x0bquery and a big\x0ctable end"
+        elif k == 30:
+            # NFC/NFD + lookalike gauntlet INSIDE blocklist phrases: the
+            # normalizer folds [A-Z] only, so 'quéry' (NFD mark),
+            # 'ſlow' (long s U+017F, a LOWER-case alias of s under full
+            # Unicode folding), and NBSP-separated 'slow query' must
+            # all MISS on BOTH engines — pins the documented boundary
+            # that Unicode aliasing never enters the match.
+            d["text"][i] = (
+                "ſlow query quéry slow query café café"
+            )
 
         # keep n_chars consistent with the mutated text
         d["n_chars"][i] = len(d["text"][i]) if d["text"][i] is not None else 0
@@ -666,6 +686,46 @@ def build_truncated(src: str, dest: str, n: int) -> None:
 #: differential then runs Spark AND DuckDB over the SAME recoded files —
 #: a divergence is a reader-level decode difference, the class that
 #: round-2's nanos change exposed.
+def build_evolved(src: str, dest: str) -> None:
+    """Fuzz 16, class 52: SCHEMA EVOLUTION inside one directory-table.
+
+    ``documents.parquet`` becomes a DIRECTORY whose member files disagree
+    on column names — the layout a rolling regeneration leaves behind:
+
+    - ``part-a`` (sorts FIRST): the first half of the rows with the
+      ``source`` column DROPPED — adversarial listing order, so a reader
+      that takes the first footer as the table schema loses ``source``
+      for the whole table (and the REQUIRED_COLUMNS canary would fire);
+    - ``part-b``: the rest of the rows with the full schema PLUS an
+      added ``_ingest_batch`` column.
+
+    Contract under evolution (both engines): the table is the column
+    NAME UNION, absent cells are NULL — Spark via conditional
+    ``mergeSchema`` (tables._needs_schema_merge), DuckDB via
+    ``union_by_name := true``. Every other table copies through.
+    """
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname != "documents.parquet":
+            shutil.copyfile(os.path.join(src, fname), os.path.join(dest, fname))
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        half = tbl.num_rows // 2
+        ddir = os.path.join(dest, fname)
+        os.makedirs(ddir, exist_ok=True)
+        first = tbl.slice(0, half).drop_columns(["source"])
+        pq.write_table(first, os.path.join(ddir, "part-a.parquet"))
+        rest = tbl.slice(half)
+        batch = pa.array(["b1"] * rest.num_rows, type=pa.string())
+        pq.write_table(
+            rest.append_column("_ingest_batch", batch),
+            os.path.join(ddir, "part-b.parquet"),
+        )
+        print(f"evolved documents: {half} reduced + {rest.num_rows} extended rows")
+
+
 RECODE_VARIANTS = ("nodict_bss", "tiny_rowgroups_v2", "gzip_reordered_extra", "ts_ms")
 
 
