@@ -469,7 +469,14 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode PNG round trip on real bytes, per document, with the
     decoded pixel statistics cross-checked against the oracle's direct
     formula (see block comment above)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-row codec kernel (r9 verdict item 8
+    # sweep: a single-file fixture feeds mapInPandas ONE split — the
+    # aHash-r3 class; no-op on a real multi-file corpus)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
@@ -607,7 +614,14 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
     ``AHASH_PX_THRESH``) — the decode → hash → band-block → verify
     pipeline on real PNG bytes (see block comment)."""
     # distinct: one image per doc_id (closed form) — fuzz 9 duplicate ids
-    docs = table(spark, sf_dir, "documents").select("doc_id").distinct()
+    from ._util import ensure_parallelism
+
+    # ensure_parallelism AFTER the distinct: AQE coalesces the tiny
+    # id-dedup shuffle to ~1 partition, which would serialize the
+    # decode+hash kernel onto one core (the bytecap/video r9 class)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id").distinct()
+    )
 
     def _hash(batches: Iterator[Any]) -> Iterator[Any]:
         import numpy as np
@@ -701,7 +715,14 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode WAV round trip on real RIFF/PCM bytes, per document,
     with integer-exact audio features cross-checked against the oracle's
     closed form (see block comment)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-row codec kernel (r9 verdict item 8
+    # sweep: a single-file fixture feeds mapInPandas ONE split — the
+    # aHash-r3 class; no-op on a real multi-file corpus)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
@@ -906,7 +927,14 @@ WAV_WIN = 64  #: samples per RMS window (8 ms at 8 kHz) — 4 windows per doc
 def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window RMS energy over each document's decoded PCM stream —
     4 windows of 64 samples, real WAV round trip (see block comment)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-row codec kernel (r9 verdict item 8
+    # sweep: a single-file fixture feeds mapInPandas ONE split — the
+    # aHash-r3 class; no-op on a real multi-file corpus)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
@@ -994,7 +1022,14 @@ def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     resized buffer, cross-checked against the oracle's replay of the
     index map (see block comment). Map-only Arrow stage, real codec and
     real resampler in the scored loop."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-row codec kernel (r9 verdict item 8
+    # sweep: a single-file fixture feeds mapInPandas ONE split — the
+    # aHash-r3 class; no-op on a real multi-file corpus)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
@@ -1086,7 +1121,14 @@ def multimodal_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     """Clipping/silence audio gate over real decoded WAV bytes (see
     block comment): encode → decode through media/wav.py inside
     mapInPandas, integer sample thresholds, floor-scaled ratios."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    from ._util import ensure_parallelism
+
+    # split-normalize before the per-row codec kernel (r9 verdict item 8
+    # sweep: a single-file fixture feeds mapInPandas ONE split — the
+    # aHash-r3 class; no-op on a real multi-file corpus)
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     out_schema = StructType(
         [
