@@ -220,3 +220,55 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
         .otherwise(rem + idiv(rn - big_span - 1, F.greatest(base, F.lit(1))) + 1)
         .cast("int")
     )
+
+
+def distributed_prefix_sum(
+    df,
+    order_cols,
+    value_col: str,
+    name: str = "prefix",
+    inclusive: bool = False,
+    n_buckets: int = 32,
+):
+    """Exact global running sum of ``value_col`` over ``order_cols``
+    WITHOUT a single-partition sort — the sum-prefix sibling of
+    ``distributed_rank`` (same three phases: range buckets, triangular
+    broadcast offsets over the ≤ ``n_buckets``-row subtotal frame,
+    bounded within-bucket windows). ``inclusive=False`` gives the
+    exclusive prefix (sum of strictly-preceding rows, 0 for the first);
+    ``inclusive=True`` includes the current row. Sums accumulate in
+    LONG — callers widen to DECIMAL after if their downstream products
+    need it. ``order_cols`` must be a total order."""
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(n_buckets, *order_cols)
+        .withColumn("_rb", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = ranged.groupBy("_rb").agg(
+        F.sum(value_col).cast("long").alias("_c")
+    )
+    offsets = (
+        subs.alias("a")
+        .join(
+            F.broadcast(subs.alias("b")),
+            F.col("b._rb") < F.col("a._rb"),
+            "left",
+        )
+        .groupBy(F.col("a._rb").alias("_rb"))
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).cast("long").alias("_off"))
+    )
+    end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    return (
+        ranged.withColumn("_w", within)
+        .join(F.broadcast(offsets), "_rb")
+        .withColumn(name, (F.col("_off") + F.col("_w")).cast("long"))
+        .drop("_rb", "_w", "_off")
+    )

@@ -24,6 +24,7 @@ from ..tables import table
 from ._util import (
     RATE,
     dec,
+    distributed_prefix_sum,
     distributed_rank,
     int_ratio,
     money_sum,
@@ -734,8 +735,13 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x").isNotNull())
     )
     vals = rev.groupBy("x").agg(F.count("*").alias("c"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    pref = vals.withColumn("prefix", F.sum("c").over(w) - F.col("c"))
+    # exclusive count-prefix over the value frame via the two-phase
+    # distributed scan — distinct cents values are ~customer-cardinality
+    # at 100 TB, so the old unpartitioned window was the same
+    # single-partition shape the RFM/equidepth family shed in r10
+    pref = distributed_prefix_sum(
+        vals, [F.asc("x")], "c", name="prefix", inclusive=False
+    )
     agg = pref.agg(
         F.sum("c").alias("n"),
         F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * x")).alias("t"),
@@ -868,13 +874,11 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines), computed on a TOTAL order (revenue desc, custkey
     asc), so the boundary row assignment is deterministic.
 
-    Plan: one custkey-keyed aggregate (the only fact-sized shuffle),
-    then cumulative + grand-total sums in one unpartitioned window pass
-    over the customer-dimension-sized frame — the same precedent as the
-    RFM/Gini family: the window input never scales with the fact table.
-    At catalog sizes where even the customer frame is too big for one
-    partition, the cumsum decomposes into the two-phase
-    per-partition-prefix form (partial sums + broadcast offsets);
+    Plan (r10): one custkey-keyed aggregate (the only fact-sized
+    shuffle), then the cumulative sum rides
+    ``_util.distributed_prefix_sum`` (range buckets + within-bucket
+    windows + broadcast offsets — no unpartitioned window even at ~10⁹
+    customers) and the grand total is a broadcast 1-row aggregate;
     DECIMAL(38) widening keeps the boundary products overflow-free."""
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -882,15 +886,18 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev")
     )
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_cum = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     big = "decimal(38,0)"
-    ranked = cust.select(
-        "rev",
-        F.sum("rev").over(w_all).cast(big).alias("t"),
-        F.sum("rev").over(w_cum).cast(big).alias("cum"),
+    total = cust.agg(F.sum("rev").cast(big).alias("t"))
+    ranked = (
+        distributed_prefix_sum(
+            cust,
+            [F.desc("rev"), F.asc("o_custkey")],
+            "rev",
+            name="cum",
+            inclusive=True,
+        )
+        .crossJoin(F.broadcast(total))
+        .select("rev", "t", F.col("cum").cast(big).alias("cum"))
     )
     cls = (
         F.when(F.col("cum") * 1000 <= F.col("t") * 800, F.lit("A"))

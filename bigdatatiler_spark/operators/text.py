@@ -1382,56 +1382,20 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
         F.col("n_tokens") > 0
     )
-    # phase 1: range-partition by doc_id; spark_partition_id() is monotone
-    # in doc_id across RangePartitioner output, so bucket order == key order.
-    # localCheckpoint: (doc_id, n_tokens, bucket) is ~24 bytes/doc and has
-    # THREE consumers (subtotals ×2 via the triangular join, the window) —
-    # without the cut each branch replays the tokenize+dedup+range lineage
-    # (the bytecap/linkgraph lesson; audited exchanges 23 -> 6)
-    ranged = (
-        t.repartitionByRange(N_PACK_BUCKETS, "doc_id")
-        .withColumn("bucket", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # phase 2: per-bucket subtotals (<= N_PACK_BUCKETS rows) -> exclusive
-    # prefix as a triangular broadcast join over the TINY frame (not an
-    # unpartitioned window: the plan carries ZERO single-partition sorts,
-    # and a 32²/2-pair BNLJ on metadata-sized rows is free)
-    subs = (
-        ranged.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("subtotal"))
-        .localCheckpoint()  # <= N_PACK_BUCKETS rows, read twice below
-    )
-    offsets = (
-        subs.alias("a")
-        .join(
-            F.broadcast(subs.alias("b")),
-            F.col("b.bucket") < F.col("a.bucket"),
-            "left",
-        )
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(
-            F.coalesce(F.sum("b.subtotal"), F.lit(0))
-            .cast("long")
-            .alias("bucket_start")
-        )
-    )
-    # phase 3: within-bucket exclusive prefix — bounded window groups
-    ww = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = F.coalesce(F.sum("n_tokens").over(ww), F.lit(0)).cast("long")
-    p = (
-        ranged.withColumn("within_start", within)
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("bucket_start") + F.col("within_start")).alias("start"),
-        )
-    )
+    # the two-phase distributed scan (see block comment) via the shared
+    # kernel: range buckets + triangular broadcast offsets over the
+    # metadata-sized subtotal frame + bounded within-bucket windows —
+    # ZERO single-partition sorts (tests/test_plans.py pins the shape)
+    from ._util import distributed_prefix_sum
+
+    p = distributed_prefix_sum(
+        t,
+        [F.asc("doc_id")],
+        "n_tokens",
+        name="start",
+        inclusive=False,
+        n_buckets=N_PACK_BUCKETS,
+    ).select("doc_id", "n_tokens", "start")
     first_seq = F.expr(f"start div {SEQ_LEN}")
     last_seq = F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}")
     return p.select(
