@@ -1406,3 +1406,139 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
         (F.col("start") % SEQ_LEN).alias("seq_offset"),
     )
+
+
+# --- DSIR importance weighting (domain-targeted data selection) -------------
+# Data Selection with Importance Resampling (Xie et al. 2023): score every
+# raw document by how target-domain-like its HASHED n-gram profile is —
+# log p_target(doc)/p_raw(doc) under two smoothed bag-of-hashed-bigrams
+# models — so a 100 TB crawl can be reweighted toward a curated domain
+# without training a classifier. Here the target distribution is the
+# corpus's own lang='en' slice (self-contained, regeneration-proof); a
+# production run swaps in any curated reference corpus.
+#
+# Determinism: per-BUCKET log-ratios quantize to integer micro-nats
+# BEFORE the per-document sum (the doc_unigram_logprob libm discipline —
+# bigint sums are order/partitioning-independent, and a 1-ulp ln()
+# divergence would need to land within ~1e-10 of a rounding boundary).
+# Hashing is md5-prefix (engine-portable), never murmur3.
+#
+# Plan: ONE exploded pass builds both bucket profiles simultaneously
+# (raw count + target count per hashed bucket — a DSIR_BUCKETS-row
+# frame), totals are 1-row broadcasts, and the rescan scores map-side
+# through a broadcast join and aggregates per doc_id. Two corpus passes,
+# no join wider than the bucket table — at 100 TB the bucket profile is
+# a few KB whatever the corpus size.
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_sql() -> str:
+    bg = (
+        "[array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]"
+    )
+    return f"""
+    d AS (
+      SELECT doc_id, lang,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bgs AS (
+      SELECT doc_id, lang, unnest({bg}) AS bg
+      FROM d WHERE len(toks) >= 2
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(bg), 1, 8))::UBIGINT % {DSIR_BUCKETS}
+                  AS BIGINT) AS bucket
+      FROM bgs
+    ),
+    prof AS (
+      SELECT bucket,
+             count(*) AS raw_cnt,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS tgt_cnt
+      FROM hashed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT sum(raw_cnt) AS n_raw, sum(tgt_cnt) AS n_tgt FROM prof
+    ),
+    lam AS (
+      SELECT bucket,
+             CAST(round((ln(tgt_cnt + 1) - ln(n_tgt + {DSIR_BUCKETS})
+                         - ln(raw_cnt + 1) + ln(n_raw + {DSIR_BUCKETS}))
+                        * 1000000) AS BIGINT) AS lam_micro
+      FROM prof CROSS JOIN tot
+    )
+    SELECT h.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(l.lam_micro) AS BIGINT) AS dsir_micro,
+           CAST(sum(l.lam_micro) // count(*) AS BIGINT) AS dsir_avg_micro
+    FROM hashed h JOIN lam l USING (bucket)
+    GROUP BY h.doc_id
+    """
+
+
+@register("dsir_importance_weights", oracle=f"WITH {_dsir_sql()}")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score toward the lang='en' target
+    slice (see block comment): hashed-bigram bucket profiles for target
+    and raw corpus, Laplace-smoothed log-ratio per bucket quantized to
+    micro-nats, summed per document. High dsir_avg_micro = looks like
+    the target domain; resampling keeps documents proportional to the
+    exponentiated score."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(_norm_col(), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    hashed = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    prof = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_cnt"),
+    )
+    tot = prof.agg(
+        F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
+    )
+    lam = (
+        prof.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("tgt_cnt") + 1)
+                    - F.log(F.col("n_tgt") + DSIR_BUCKETS)
+                    - F.log(F.col("raw_cnt") + 1)
+                    + F.log(F.col("n_raw") + DSIR_BUCKETS)
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lam_micro"),
+        )
+    )
+    return (
+        hashed.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lam_micro").alias("dsir_micro"),
+        )
+        .withColumn("dsir_avg_micro", F.expr("dsir_micro div n_bigrams"))
+    )
