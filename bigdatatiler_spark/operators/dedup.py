@@ -255,11 +255,12 @@ def _bucket_audit_oracle() -> str:
     SELECT band_id,
            count(*) AS n_buckets,
            max(m) AS max_occupancy,
-           sum(CASE WHEN m > {BAND_BUCKET_CAP} THEN 1 ELSE 0 END)
-             AS overflow_buckets,
-           sum((m * (m - 1)) // 2) AS pairs_uncapped,
-           sum((least(m, {BAND_BUCKET_CAP})
-                * (least(m, {BAND_BUCKET_CAP}) - 1)) // 2) AS pairs_capped
+           CAST(sum(CASE WHEN m > {BAND_BUCKET_CAP} THEN 1 ELSE 0 END)
+             AS BIGINT) AS overflow_buckets,
+           CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS pairs_uncapped,
+           CAST(sum((least(m, {BAND_BUCKET_CAP})
+                * (least(m, {BAND_BUCKET_CAP}) - 1)) // 2) AS BIGINT)
+             AS pairs_capped
     FROM occ GROUP BY band_id
     """
 
