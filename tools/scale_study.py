@@ -56,6 +56,12 @@ QUERIES = (
     "multimodal_video_scene_cuts",
     "events_rolling_7d_active_users",
     "doc_tile_chunks",
+    # round 10: the new distributed rank/prefix kernels (the exact shapes
+    # the old global windows would have serialized at 10×) + DSIR's
+    # two-pass profile score
+    "pack_training_sequences",
+    "customer_rfm_segments",
+    "dsir_importance_weights",
 )
 
 
