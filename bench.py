@@ -209,6 +209,11 @@ HEADLINE = (
     "events_streaming_stateful_parity",
     "events_hourly_trend_ols",
     "events_orc_roundtrip",
+    # round 10
+    "pack_training_sequences",
+    "doc_blocklist_filter",
+    "dedup_minhash_bucket_audit",
+    "dsir_importance_weights",
 )
 
 
