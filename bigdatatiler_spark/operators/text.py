@@ -1335,10 +1335,11 @@ SEQ_LEN = 256  #: tokens per packed training sequence
 N_PACK_BUCKETS = 32
 
 
-@register(
-    "pack_training_sequences",
-    oracle=f"""
-    WITH d AS (
+#: the oracle's placement CTEs (content-arbitered doc order, token
+#: counts, one-window exclusive prefix) — shared by the packing query
+#: and the per-sequence manifest
+_PACK_PLACEMENT_SQL = f"""
+    d AS (
       SELECT doc_id, arg_max(text, md5(text)) AS text
       FROM documents WHERE text IS NOT NULL GROUP BY doc_id
     ),
@@ -1355,7 +1356,44 @@ N_PACK_BUCKETS = 32
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS start
       FROM t WHERE n_tokens > 0
+    )"""
+
+
+def _packed_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start): every document's exact token offset in
+    the packed stream — the two-phase distributed scan (see block
+    comment) via the shared kernel: range buckets + triangular broadcast
+    offsets over the metadata-sized subtotal frame + bounded
+    within-bucket windows; ZERO single-partition sorts
+    (tests/test_plans.py pins the shape)."""
+    from ._util import distributed_prefix_sum
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max_by("text", F.md5("text")).alias("text"))
     )
+    n_tokens = F.size(
+        F.filter(F.split(_norm_col(), " "), lambda x: x != "")
+    ).cast("long")
+    t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    return distributed_prefix_sum(
+        t,
+        [F.asc("doc_id")],
+        "n_tokens",
+        name="start",
+        inclusive=False,
+        n_buckets=N_PACK_BUCKETS,
+    ).select("doc_id", "n_tokens", "start")
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH {_PACK_PLACEMENT_SQL}
     SELECT doc_id, n_tokens,
            start // {SEQ_LEN} AS first_seq,
            (start + n_tokens - 1) // {SEQ_LEN} AS last_seq,
@@ -1370,32 +1408,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     its token count, the first/last packed sequence it occupies, how
     many sequences it spans, and its offset inside the first one —
     integer-exact prefix-sum placement in doc_id order."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.max_by("text", F.md5("text")).alias("text"))
-    )
-    n_tokens = F.size(
-        F.filter(F.split(_norm_col(), " "), lambda x: x != "")
-    ).cast("long")
-    t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
-        F.col("n_tokens") > 0
-    )
-    # the two-phase distributed scan (see block comment) via the shared
-    # kernel: range buckets + triangular broadcast offsets over the
-    # metadata-sized subtotal frame + bounded within-bucket windows —
-    # ZERO single-partition sorts (tests/test_plans.py pins the shape)
-    from ._util import distributed_prefix_sum
-
-    p = distributed_prefix_sum(
-        t,
-        [F.asc("doc_id")],
-        "n_tokens",
-        name="start",
-        inclusive=False,
-        n_buckets=N_PACK_BUCKETS,
-    ).select("doc_id", "n_tokens", "start")
+    p = _packed_placements(spark, sf_dir)
     first_seq = F.expr(f"start div {SEQ_LEN}")
     last_seq = F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}")
     return p.select(
@@ -1405,6 +1418,69 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
         (F.col("start") % SEQ_LEN).alias("seq_offset"),
+    )
+
+
+@register(
+    "pack_sequence_manifest",
+    oracle=f"""
+    WITH {_PACK_PLACEMENT_SQL},
+    x AS (
+      SELECT doc_id, n_tokens, start,
+             unnest(generate_series(start // {SEQ_LEN},
+                                    (start + n_tokens - 1) // {SEQ_LEN}))
+               AS seq_id
+      FROM p
+    )
+    SELECT seq_id,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id,
+           CAST(sum(least(start + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                    - greatest(start, seq_id * {SEQ_LEN})) AS BIGINT)
+             AS used_tokens,
+           CAST(CASE WHEN sum(least(start + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                    - greatest(start, seq_id * {SEQ_LEN})) = {SEQ_LEN}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_full
+    FROM x GROUP BY seq_id
+    """,
+)
+def pack_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse view of the packing — what a training data loader
+    actually consumes: per packed sequence, how many documents it holds,
+    the first/last document (doc order is the packing order, so min/max
+    doc_id ARE the positional ends), the tokens used, and whether the
+    sequence is exactly full (every sequence but the stream's last is).
+
+    Plan: the placement frame explodes to one row per (doc, sequence)
+    pair — total sequences + boundary spans, linear in corpus tokens /
+    SEQ_LEN — then one groupBy on seq_id. No windows at all; the prefix
+    sums ride the shared distributed kernel upstream."""
+    p = _packed_placements(spark, sf_dir)
+    x = p.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {SEQ_LEN}"),
+                F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    used = F.sum(
+        F.least(
+            F.col("start") + F.col("n_tokens"),
+            (F.col("seq_id") + 1) * SEQ_LEN,
+        )
+        - F.greatest(F.col("start"), F.col("seq_id") * SEQ_LEN)
+    ).cast("long")
+    return x.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        used.alias("used_tokens"),
+        (used == SEQ_LEN).cast("long").alias("is_full"),
     )
 
 

@@ -125,6 +125,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _WINDOW_DEFER: tuple[str, ...] = (
     "dedup_minhash_bucket_audit",  # registered mid-r10, after the r10 window froze
     "dsir_importance_weights",     # registered mid-r10, after the r10 window froze
+    "pack_sequence_manifest",      # registered mid-r10, after the r10 window froze
 )
 
 #: ROUND-10 ROTATION: the certification program COMPLETED in r9 (every
