@@ -371,6 +371,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_minhash_oracle() -> str:
+    return f"""
+    WITH {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    capped AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               row_number() OVER (
+                 PARTITION BY band_id, band_key
+                 ORDER BY md5(band_key || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM bands
+      ) WHERE rk <= {BAND_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_id_1,
+      c.doc_id_2,
+      (len(list_intersect(x.sh, y.sh)) * 1000000)
+        // len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_e6
+    FROM cand c
+    JOIN shingled x ON c.doc_id_1 = x.doc_id
+    JOIN shingled y ON c.doc_id_2 = y.doc_id
+    WHERE (len(list_intersect(x.sh, y.sh)) * 1000000)
+            // len(list_distinct(list_concat(x.sh, y.sh)))
+          >= {int(MINHASH_THRESHOLD * 1000000)}
+    """
+
+
+@register("dedup_minhash_lsh_capped", oracle=_capped_minhash_oracle())
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the MinHash+LSH near-dedup at 100 TB: the
+    band frame passes through ``capped_bands`` (BAND_BUCKET_CAP guard —
+    see the blowup-guard block comment) before the candidate self-join,
+    so no adversarial bucket can go quadratic. On honest corpora the cap
+    never engages and the output equals ``dedup_minhash_lsh`` exactly;
+    the oracle replays the identical deterministic within-bucket sample,
+    so the driver hash stays exact EVEN when the cap engages."""
+    sh = _shingled(spark, sf_dir).persist()
+    bands = capped_bands(minhash_bands(sh)).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1")),
+        "doc_id_1",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2")),
+        "doc_id_2",
+    )
+    jaccard = int_ratio(
+        F.size(F.array_intersect("sh1", "sh2")),
+        F.size(F.array_union("sh1", "sh2")),
+        6,
+        "jaccard_e6",
+    )
+    return pairs.select("doc_id_1", "doc_id_2", jaccard).where(
+        F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000)
+    )
+
+
 # Incoming-batch split for the incremental variant: every 10th doc plays
 # the "new arrivals" role, the rest are the already-indexed corpus.
 INCREMENTAL_BATCH_MOD = 10

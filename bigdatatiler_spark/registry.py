@@ -126,6 +126,7 @@ _WINDOW_DEFER: tuple[str, ...] = (
     "dedup_minhash_bucket_audit",  # registered mid-r10, after the r10 window froze
     "dsir_importance_weights",     # registered mid-r10, after the r10 window froze
     "pack_sequence_manifest",      # registered mid-r10, after the r10 window froze
+    "dedup_minhash_lsh_capped",    # registered mid-r10, after the r10 window froze
 )
 
 #: ROUND-10 ROTATION: the certification program COMPLETED in r9 (every

@@ -259,3 +259,54 @@ def test_band_bucket_cap_is_noop_on_honest_corpus(spark):
     audit = dedup_minhash_bucket_audit(spark, sf).collect()
     assert audit and all(r["overflow_buckets"] == 0 for r in audit)
     assert all(r["pairs_capped"] == r["pairs_uncapped"] for r in audit)
+
+
+def test_capped_lsh_oracle_parity_when_cap_engages(spark, tmp_path):
+    """dedup_minhash_lsh_capped stays ORACLE-EXACT even while the cap is
+    actively dropping bucket members: 100 near-identical docs put every
+    band bucket at occupancy 100 > BAND_BUCKET_CAP=64, and both engines
+    must replay the identical md5-ordered within-bucket sample — so the
+    capped candidate set (and the verified pairs) hash-match."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatatiler_spark.registry import load_all
+    from tools.check_oracle import table_hash
+
+    n = 100
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([text] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array([len(text)] * n, pa.int64()),
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    spec = load_all()["dedup_minhash_lsh_capped"]
+    sdf = spec.fn(spark, str(d))
+    srows = [tuple(r) for r in sdf.collect()]
+    # cap engaged: strictly fewer than the n*(n-1)/2 uncapped pairs —
+    # each band keeps an INDEPENDENT 64-sample, so the union recovers
+    # most of the cluster's pairs (the "capped members stay wired
+    # through other buckets" property) while each band's join is bounded
+    # by 64*63/2 instead of 100*99/2
+    assert 0 < len(srows) < n * (n - 1) // 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    res = con.execute(spec.oracle)
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    sn, sh = table_hash(list(sdf.columns), srows)
+    on, oh = table_hash(ocols, orows)
+    assert sn == on and sh == oh, "capped sample diverges across engines"
