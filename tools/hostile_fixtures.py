@@ -723,7 +723,11 @@ def build_evolved(src: str, dest: str) -> None:
             rest.append_column("_ingest_batch", batch),
             os.path.join(ddir, "part-b.parquet"),
         )
-        print(f"evolved documents: {half} reduced + {rest.num_rows} extended rows")
+        # a 0-ROW member with the original schema (an aborted/empty
+        # regeneration batch): both engines must treat it as pure
+        # metadata — zero rows contributed, schema still unioned
+        pq.write_table(tbl.slice(0, 0), os.path.join(ddir, "part-c.parquet"))
+        print(f"evolved documents: {half} reduced + {rest.num_rows} extended rows + 1 empty member")
 
 
 RECODE_VARIANTS = ("nodict_bss", "tiny_rowgroups_v2", "gzip_reordered_extra", "ts_ms")
