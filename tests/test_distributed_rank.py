@@ -49,3 +49,33 @@ def test_rank_plan_has_no_single_partition_exchange(spark):
     ranked = distributed_rank(df, [F.asc("v"), F.asc("key")])
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("n", [1, 4, 97, 103])
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_prefix_sum_matches_single_window(spark, n, inclusive):
+    from bigdatatiler_spark.operators._util import distributed_prefix_sum
+
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 5).alias("v"),
+        ((F.col("id") * 7) % 11).alias("x"),
+    )
+    order = [F.desc("v"), F.asc("key")]
+    end = 0 if inclusive else -1
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+    expected = {
+        r["key"]: r["p"]
+        for r in df.select(
+            "key", F.coalesce(F.sum("x").over(w), F.lit(0)).alias("p")
+        ).collect()
+    }
+    got = {
+        r["key"]: r["p"]
+        for r in distributed_prefix_sum(
+            df, order, "x", name="p", inclusive=inclusive
+        )
+        .select("key", "p")
+        .collect()
+    }
+    assert got == expected
