@@ -31,9 +31,16 @@ SMOKE_QUERIES = (
     "doc_quality_score",
     "tpch_q1_pricing_summary",
     "dedup_minhash_lsh",
+    # round-10 distributed rank/prefix kernels: spark_partition_id over
+    # repartitionByRange must stay layout-independent under hostile
+    # shuffle counts, tiny splits, and no-AQE (the exact confs that
+    # could re-shape the range buckets)
+    "pack_training_sequences",
+    "customer_rfm_segments",
+    "dedup_minhash_lsh_capped",
 )
 
-SMOKE_VARIANTS = ("tz_nyc", "ansi_on", "ntz_infer_off", "small_splits")
+SMOKE_VARIANTS = ("tz_nyc", "ansi_on", "ntz_infer_off", "small_splits", "no_aqe")
 
 
 def test_fixture_canaries_pass(spark):
