@@ -29,6 +29,11 @@ PINNED = (
     "doc_blocklist_filter",
     "dedup_exact",
     "pack_training_sequences",
+    # events evolution (dropped `props` member): JSON extraction over
+    # NULL props, plus a time/agg query that never touches props
+    "events_props_json",
+    "events_tumbling_hourly",
+    "event_id_generation",
 )
 
 

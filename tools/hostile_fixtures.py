@@ -708,6 +708,22 @@ def build_evolved(src: str, dest: str) -> None:
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
             continue
+        if fname == "events.parquet":
+            # second evolved table: the fact-table variant — one member
+            # DROPS the optional `props` JSON column (a regeneration
+            # that stopped carrying raw payloads). Queries touching
+            # props must see NULL for those rows on BOTH engines.
+            tbl = pq.read_table(os.path.join(src, fname))
+            half = tbl.num_rows // 2
+            edir = os.path.join(dest, fname)
+            os.makedirs(edir, exist_ok=True)
+            pq.write_table(
+                tbl.slice(0, half).drop_columns(["props"]),
+                os.path.join(edir, "part-a.parquet"),
+            )
+            pq.write_table(tbl.slice(half), os.path.join(edir, "part-b.parquet"))
+            print(f"evolved events: {half} reduced + {tbl.num_rows - half} full rows")
+            continue
         if fname != "documents.parquet":
             shutil.copyfile(os.path.join(src, fname), os.path.join(dest, fname))
             continue
