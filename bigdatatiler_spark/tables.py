@@ -165,6 +165,11 @@ def _readable_path(path: str) -> str:
         st = os.stat(f)
         key = (os.path.abspath(f), st.st_mtime_ns, st.st_size)
         cached = _LAYOUT_CACHE.get(key)
+        if cached is not None and cached != f and not os.path.exists(cached):
+            # the transcoded copy was swept from /tmp mid-session
+            # (ADVICE r9's dangling-path class): invalidate and redo
+            # rather than hand Spark a missing file
+            cached = None
         if cached is None:
             md = pq.read_metadata(f)
             bss = any(

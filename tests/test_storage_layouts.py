@@ -174,3 +174,35 @@ def test_hostile_content_on_bss_layout(name, spark, hostile_bss_dir, hostile_bss
     on, oh = table_hash(ocols, orows)
     assert sn == on, f"{name}: rowcount {sn} != {on} on hostile+BSS"
     assert sh == oh, f"{name}: value hash diverges on hostile+BSS"
+
+
+def test_bss_transcode_survives_tmp_sweep(spark, tmp_path):
+    """ADVICE r9 dangling-path class: if the /tmp transcode copy is
+    swept mid-session while _LAYOUT_CACHE still points at it, the next
+    _readable_path call must re-transcode instead of handing Spark a
+    missing file."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatatiler_spark.tables import _readable_path
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    tbl = pa.table({"v": pa.array([1.5, 2.5], pa.float64())})
+    pq.write_table(
+        tbl,
+        str(d / "part-0.parquet"),
+        use_dictionary=False,
+        column_encoding={"v": "BYTE_STREAM_SPLIT"},
+        compression="snappy",
+    )
+    p1 = _readable_path(str(d))
+    assert p1 != str(d)
+    # sweep the transcode target (resolve through the shadow symlink)
+    real = os.path.realpath(os.path.join(p1, "part-0.parquet"))
+    shutil.rmtree(os.path.dirname(real))
+    p2 = _readable_path(str(d))
+    got = sorted(r.v for r in spark.read.parquet(p2).collect())
+    assert got == [1.5, 2.5], "dangling transcode not repaired"
