@@ -1618,3 +1618,86 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dsir_avg_micro", F.expr("dsir_micro div n_bigrams"))
     )
+
+
+# --- per-source novelty (mixture curation) ----------------------------------
+# When weighting a training mixture, a source earns its slot by what it
+# UNIQUELY contributes: a feed whose n-grams all appear elsewhere adds
+# redundancy, not coverage. Per source: its distinct-bigram vocabulary,
+# how many of those bigrams appear in NO other source, and the novelty
+# ratio — the submodular-coverage signal mixture tuners rank sources by.
+# NULL-source documents have no attributable feed and leave the universe
+# on both engines (fuzz class 1). Scale: the only corpus-sized stage is
+# the (source, bigram) distinct (linear in corpus bigrams); everything
+# after is vocabulary-bounded aggregation — no joins wider than the
+# per-source vocab, no windows.
+
+
+@register(
+    "corpus_source_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    bg AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in range(1, len(toks))]) AS bigram
+      FROM d WHERE len(toks) >= 2
+    ),
+    per AS (
+      SELECT bigram, count(*) AS ns, min(source) AS only_src
+      FROM bg GROUP BY bigram
+    ),
+    tot AS (SELECT source, count(*) AS n_bigrams FROM bg GROUP BY source),
+    uni AS (
+      SELECT only_src AS source, count(*) AS n_unique
+      FROM per WHERE ns = 1 GROUP BY only_src
+    )
+    SELECT t.source,
+           t.n_bigrams,
+           CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST((coalesce(u.n_unique, 0) * 1000) // t.n_bigrams AS BIGINT)
+             AS novelty_permille
+    FROM tot t LEFT JOIN uni u USING (source)
+    """,
+)
+def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unique-bigram coverage (see block comment): distinct
+    bigram vocabulary, bigrams exclusive to the source, and the permille
+    novelty ratio."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = F.split(_norm_col(), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    bg = (
+        docs.select("source", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("source", F.explode(bigrams).alias("bigram"))
+        .distinct()
+    )
+    per = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("ns"), F.min("source").alias("only_src")
+    )
+    tot = bg.groupBy("source").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    uni = (
+        per.where(F.col("ns") == 1)
+        .groupBy(F.col("only_src").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        tot.join(uni, "source", "left")
+        .select(
+            "source",
+            "n_bigrams",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.expr("(coalesce(n_unique, 0) * 1000) div n_bigrams")
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )
