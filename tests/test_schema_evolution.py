@@ -34,6 +34,10 @@ PINNED = (
     "events_props_json",
     "events_tumbling_hourly",
     "event_id_generation",
+    # STREAMING over the evolved directory: one member per micro-batch,
+    # the first batch missing `props` entirely — the union schema must
+    # reach FileStreamSource (parity.stream_events' mergeSchema repair)
+    "events_streaming_hourly_parity",
 )
 
 
