@@ -297,6 +297,92 @@ def dedup_components_two_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_hist_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLED_SQL},
+    {minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id),
+    hist AS (
+      SELECT cluster_size,
+             count(*) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size
+    ),
+    single AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             count(DISTINCT s.doc_id) AS n_clusters,
+             count(DISTINCT s.doc_id) AS n_docs
+      FROM shingled s
+      WHERE NOT EXISTS (SELECT 1 FROM cc WHERE cc.node = s.doc_id)
+    )
+    SELECT cluster_size, n_clusters, n_docs FROM hist
+    UNION ALL
+    SELECT cluster_size, n_clusters, n_docs FROM single WHERE n_clusters > 0
+    """
+
+
+@register("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE dedup report: the distribution of near-dup cluster sizes —
+    per size, how many clusters and how many documents they hold,
+    including the size-1 row (shingle-eligible docs touching no
+    candidate pair). Read before trusting a dedup pass at 100 TB: a fat
+    tail here means template spam (and is what the BAND_BUCKET_CAP
+    guard bounds); n_docs summed over rows equals the shingled-universe
+    cardinality, so the report doubles as a conservation check.
+
+    Plan: the two-star components' edges (bounded O(log² n) rounds +
+    lineage cuts) → cluster-id sizes → a size histogram (three
+    cluster/size-bounded aggregates); singletons via one anti-join of
+    the shingled universe against the clustered nodes."""
+    from .dedup import _shingled
+
+    comp = connected_components_star(
+        _band_edges(spark, sf_dir), "a", "b"
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+    singles = (
+        _shingled(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .join(comp.select(F.col("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .where(F.col("n_clusters") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            "n_clusters",
+            F.col("n_clusters").cast("long").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 def _cc_verified_oracle() -> str:
     from .dedup import MINHASH_THRESHOLD
 

@@ -128,6 +128,7 @@ _WINDOW_DEFER: tuple[str, ...] = (
     "pack_sequence_manifest",      # registered mid-r10, after the r10 window froze
     "dedup_minhash_lsh_capped",    # registered mid-r10, after the r10 window froze
     "corpus_source_novelty",       # registered mid-r10, after the r10 window froze
+    "dedup_cluster_size_histogram",  # registered mid-r10, after the r10 window froze
 )
 
 #: ROUND-10 ROTATION: the certification program COMPLETED in r9 (every
