@@ -122,81 +122,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: ``next_window`` stops excluding them. The contract test pins that only
 #: genuinely-new names (never held a slot) may be deferred, and the next
 #: rotation commit empties this tuple.
-_WINDOW_DEFER: tuple[str, ...] = (
-    "dedup_minhash_bucket_audit",  # registered mid-r10, after the r10 window froze
-    "dsir_importance_weights",     # registered mid-r10, after the r10 window froze
-    "pack_sequence_manifest",      # registered mid-r10, after the r10 window froze
-    "dedup_minhash_lsh_capped",    # registered mid-r10, after the r10 window froze
-    "corpus_source_novelty",       # registered mid-r10, after the r10 window froze
-    "dedup_cluster_size_histogram",  # registered mid-r10, after the r10 window froze
-)
+_WINDOW_DEFER: tuple[str, ...] = ()
 
-#: ROUND-10 ROTATION: the certification program COMPLETED in r9 (every
-#: registered oracle-backed query has held a driver slot; the r9 board was
-#: 49 hash-green + the structural `sketch_hll_native` no-oracle err). From
-#: this round on the window is pure staleness rotation: the two mid-r9
-#: registrations take their first slots (the only remaining fresh names),
-#: one stalest-certified sentinel covers each module, and the rest fills
-#: oldest-certified-first — the r1-era greens re-certify against nine
-#: rounds of engine drift. Oracle-less queries (sketch_hll_native) are
-#: TERMINALLY excluded (r9 verdict item 3): the driver checker has no
+#: ROUND-11 ROTATION: the six mid-r10 registrations (parked in
+#: ``_WINDOW_DEFER`` through r10 per the defer contract) take their first
+#: slots — after this round certifies, EVERY oracle-backed registered
+#: query has held a driver slot at least once, again. One
+#: stalest-certified sentinel covers each module, the rest fills
+#: oldest-certified-first (the remaining r1-era greens re-certify against
+#: ten rounds of engine drift). Oracle-less queries (sketch_hll_native)
+#: stay TERMINALLY excluded (r9 verdict item 3): the driver checker has no
 #: rows-only mode, so a slot spent there is a guaranteed non-green row;
 #: local rows-only coverage continues via tools/check_oracle.py. This list
 #: is EXACTLY tools/window_ledger.py::next_window() output at this commit
 #: (annotations: module + last driver-green round), pinned by
 #: tests/test_contract.py.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "doc_bpe_token_counts",                # functions.tokenize (r9)
-    "events_latest_per_user",              # logstore.queries (r1)
-    "range_join_event_windows",            # operators.asof (r6)
-    "doc_duplicate_spans",                 # operators.cleaning (r6)
-    "dedup_edit_distance",                 # operators.dedup (r2)
-    "dedup_connected_components",          # operators.graph (r6)
-    "graph_triangle_cohesion",             # operators.linkgraph (r7)
-    "multimodal_payload_stats",            # operators.multimodal (r4)
-    "ann_pq_adc_topk",                     # operators.pq (r9)
-    "rangejoin_error_bursts",              # operators.rangejoin (r9)
-    "customers_with_urgent_orders",        # operators.relational (r1)
-    "bm25_topk",                           # operators.retrieval (r6)
-    "sample_train_test_split",             # operators.sampling (r5)
-    "events_map_functions",                # operators.scalar (r1)
-    "setops_customer_cohorts",             # operators.setops (r8)
-    "ann_ivf_multiprobe",                  # operators.similarity (r2)
-    "sketch_frequent_tokens",              # operators.sketches (r2)
-    "skew_salted_user_activity",           # operators.skew (r9)
-    "orders_status_pivot",                 # operators.sqlsurface (r2)
-    "doc_tile_roundtrip",                  # operators.tiling (r6)
-    "tpch_q11_important_parts",            # operators.tpch_deep (r1)
-    "doc_rag_chunks",                      # operators.udaf (r7)
-    "customer_order_running_total",        # operators.windows (r1)
-    "events_zorder_key",                   # sources.layout (r9)
-    "events_hourly_rollup",                # sources.rollup (r9)
-    "events_streaming_hourly_parity",      # streaming.parity (r6)
-    "doc_blocklist_filter",                # operators.quality (FRESH, mid-r9)
-    "pack_training_sequences",             # operators.text (FRESH, mid-r9)
-    "customers_without_pending_orders",    # operators.relational (r1)
-    "events_point_read",                   # logstore.queries (r1)
-    "events_sliding_counts",               # operators.windows (r1)
-    "events_tumbling_hourly",              # operators.windows (r1)
-    "events_user_activity",                # logstore.queries (r1)
-    "order_date_functions",                # operators.scalar (r1)
-    "order_gaps_lag_lead",                 # operators.windows (r1)
-    "order_value_quartiles",               # operators.windows (r1)
-    "part_array_functions",                # operators.scalar (r1)
-    "part_math_functions",                 # operators.scalar (r1)
-    "part_string_functions",               # operators.scalar (r1)
-    "region_rollup",                       # operators.relational (r1)
-    "top_customers_per_nation",            # operators.windows (r1)
-    "tpch_q10_returned_items",             # operators.relational (r1)
-    "tpch_q13_order_distribution",         # operators.tpch_deep (r1)
-    "tpch_q14_promo_revenue",              # operators.tpch_deep (r1)
-    "tpch_q15_top_supplier",               # operators.tpch_deep (r1)
-    "tpch_q16_supplier_part_counts",       # operators.tpch_deep (r1)
-    "tpch_q17_small_quantity_revenue",     # operators.tpch_deep (r1)
-    "tpch_q19_disjunctive_revenue",        # operators.tpch_deep (r1)
-    "tpch_q20_concentrated_suppliers",     # operators.tpch_deep (r1)
-    "tpch_q21_sole_supplier_orders",       # operators.tpch_deep (r1)
-
+    "doc_bpe_token_counts",              # functions.tokenize (r10)
+    "events_page_keyset",                # logstore.queries (r6)
+    "asof_forward_click_to_purchase",    # operators.asof (r8)
+    "doc_pii_scrub",                     # operators.cleaning (r7)
+    "graph_degree_assortativity",        # operators.linkgraph (r8)
+    "multimodal_png_decode_stats",       # operators.multimodal (r6)
+    "ann_pq_adc_topk",                   # operators.pq (r10)
+    "events_type_drift_psi",             # operators.quality (r7)
+    "rangejoin_error_bursts",            # operators.rangejoin (r10)
+    "tpch_q3_shipping_priority",         # operators.relational (r1)
+    "doc_trigram_search",                # operators.retrieval (r7)
+    "sample_weighted_priority",          # operators.sampling (r5)
+    "events_xml_inspection",             # operators.scalar (r8)
+    "union_priority_tiers",              # operators.setops (r9)
+    "ann_ivf_topk",                      # operators.similarity (r2)
+    "sketch_quantile_gk",                # operators.sketches (r4)
+    "skew_salted_user_activity",         # operators.skew (r10)
+    "orders_page_keyset",                # operators.sqlsurface (r4)
+    "doc_tile_chunks",                   # operators.tiling (r8)
+    "tpch_q22_idle_customers",           # operators.tpch_deep (r1)
+    "events_iqm_udaf",                   # operators.udaf (r8)
+    "events_gapfill_locf",               # operators.windows (r4)
+    "events_zorder_key",                 # sources.layout (r10)
+    "events_hourly_rollup",              # sources.rollup (r10)
+    "events_streaming_join_parity",      # streaming.parity (r7)
+    "corpus_source_novelty",             # operators.text (FRESH, mid-r10)
+    "dedup_cluster_size_histogram",      # operators.graph (FRESH, mid-r10)
+    "dedup_minhash_bucket_audit",        # operators.dedup (FRESH, mid-r10)
+    "dedup_minhash_lsh_capped",          # operators.dedup (FRESH, mid-r10)
+    "dsir_importance_weights",           # operators.text (FRESH, mid-r10)
+    "pack_sequence_manifest",            # operators.text (FRESH, mid-r10)
+    "tpch_q2_cheapest_part",             # operators.tpch_deep (r1)
+    "tpch_q4_order_priority",            # operators.tpch_deep (r1)
+    "tpch_q5_local_supplier",            # operators.relational (r1)
+    "tpch_q6_forecast_revenue",          # operators.relational (r1)
+    "tpch_q7_volume_shipping",           # operators.tpch_deep (r1)
+    "tpch_q9_profit_by_nation",          # operators.tpch_deep (r1)
+    "ann_lsh_buckets",                   # operators.similarity (r2)
+    "dedup_incremental_minhash",         # operators.dedup (r2)
+    "dedup_ngram_jaccard",               # operators.dedup (r2)
+    "doc_quality_score",                 # operators.text (r2)
+    "doc_repetition_stats",              # operators.text (r2)
+    "knn_bruteforce_cosine",             # operators.similarity (r2)
+    "decontaminate_ngram_overlap",       # operators.dedup (r4)
+    "doc_fingerprint_bottomk",           # operators.text (r4)
+    "corpus_language_profile",           # operators.text (r5)
+    "dedup_prefix_filter_jaccard",       # operators.dedup (r5)
+    "doc_lang_id",                       # operators.text (r5)
+    "events_cohort_ltv",                 # operators.windows (r5)
+    "orders_merge_upsert",               # operators.sqlsurface (r5)
 )
 
 
