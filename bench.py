@@ -214,6 +214,12 @@ HEADLINE = (
     "doc_blocklist_filter",
     "dedup_minhash_bucket_audit",
     "dsir_importance_weights",
+    # round 11 (the four r10-late registrations the r10 verdict flagged as
+    # bench-uncovered; budgets from the committed idle-box cold run)
+    "dedup_minhash_lsh_capped",
+    "pack_sequence_manifest",
+    "corpus_source_novelty",
+    "dedup_cluster_size_histogram",
 )
 
 
