@@ -414,8 +414,13 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     never engages and the output equals ``dedup_minhash_lsh`` exactly;
     the oracle replays the identical deterministic within-bucket sample,
     so the driver hash stays exact EVEN when the cap engages."""
-    sh = _shingled(spark, sf_dir).persist()
-    bands = capped_bands(minhash_bands(sh)).persist()
+    # localCheckpoint, not persist (r10 ADVICE): both frames are read
+    # twice (bands self-join, sh re-joined per side); a bare persist
+    # accumulates cached blocks across queries in a long-lived session
+    # with no unpersist hook, while the checkpoint blocks are released
+    # by the session-level persistent-RDD sweep like the kernels'.
+    sh = _shingled(spark, sf_dir).localCheckpoint()
+    bands = capped_bands(minhash_bands(sh)).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

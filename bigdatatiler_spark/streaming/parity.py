@@ -49,18 +49,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectorized reader, which FileStreamSource also uses, cannot decode
     # BYTE_STREAM_SPLIT — transcode-once instead of a mid-stream crash)
     path = _readable_path(os.path.join(sf_dir, "events.parquet"))
-    # schema evolution inside the directory (fuzz 16 class 52): without
-    # mergeSchema the observed schema is whichever footer sorts first —
-    # a member that dropped an optional column would silently strip it
-    # from EVERY micro-batch. Same conditional repair as tables.table;
-    # FileStreamSource then fills absent cells with NULL per the
-    # requested union schema.
-    from ..tables import _needs_schema_merge
+    # schema evolution inside the directory (fuzz 16 class 52, deepened
+    # r11): without the union schema the observed schema is whichever
+    # footer sorts first — a member that dropped an optional column (or a
+    # nested field, or that narrowed a type) would silently strip/narrow
+    # it in EVERY micro-batch. Same conditional repair as tables.table;
+    # FileStreamSource then fills absent cells with NULL and upcasts
+    # narrow members per the requested union schema.
+    from ..tables import _union_read_schema
 
-    reader = spark.read
-    if _needs_schema_merge(path):
-        reader = reader.option("mergeSchema", "true")
-    schema = reader.parquet(path).schema
+    schema = _union_read_schema(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
         # directory-shaped events table (multi-file): stream the directory
         # itself, ONE FILE PER MICRO-BATCH — this is the multi-batch parity

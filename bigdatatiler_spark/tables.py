@@ -216,9 +216,9 @@ def _readable_path(path: str) -> str:
     # the directory path alone: an in-place fixture regeneration changes
     # the member stats, so it lands in a FRESH shadow instead of silently
     # serving the previous transcode (ADVICE r9 — reproduced: the old
-    # path-keyed dir kept returning pre-regeneration data). Symlinks are
-    # replaced unconditionally via lexists+unlink so a dangling link
-    # (old transcode dir swept from /tmp) can never FileExistsError.
+    # path-keyed dir kept returning pre-regeneration data). Stale or
+    # dangling links (old transcode dir swept from /tmp) are replaced
+    # by an atomic rename-over, never unlink+create.
     import tempfile
 
     members = []
@@ -229,54 +229,80 @@ def _readable_path(path: str) -> str:
     sig = hashlib.md5(repr(sorted(members)).encode()).hexdigest()[:16]
     shadow = os.path.join(tempfile.gettempdir(), f"bdt_shadow_{sig}")
     os.makedirs(shadow, exist_ok=True)
-    for _, _, _, src in members:
+    for i, (_, _, _, src) in enumerate(members):
         dst = os.path.join(shadow, os.path.basename(src))
-        if os.path.lexists(dst):
-            os.unlink(dst)
-        os.symlink(src, dst)
+        # atomic swap (r10 ADVICE): two sessions resolving the same
+        # member set share this shadow path — an unlink+symlink pair
+        # leaves a window where the other session sees no link at all.
+        # rename over dst replaces it atomically; skip when the link
+        # already points at src (the common re-resolve path).
+        try:
+            if os.path.realpath(dst) == os.path.realpath(src):
+                continue
+        except OSError:
+            pass
+        tmp = os.path.join(shadow, f".{i}.{os.getpid()}.tmp")
+        os.symlink(src, tmp)
+        os.rename(tmp, dst)
     return shadow
 
 
-#: member-set key → whether the directory's files disagree on column names
-_SCHEMA_MERGE_CACHE: dict[tuple, bool] = {}
+#: member-set key → explicit union read schema (None = homogeneous dir)
+_SCHEMA_UNION_CACHE: dict[tuple, "StructType | None"] = {}
 
 
-def _needs_schema_merge(path: str) -> bool:
-    """Schema evolution inside ONE directory-table (fuzz 16, class 52):
-    a column added or dropped across regeneration batches means member
-    files disagree on column NAMES. Spark's default directory read takes
-    the schema of whichever footer it samples first — so the visible
-    schema (and whether a query even compiles) depends on FILE LISTING
-    ORDER, and rows from reduced-schema files silently lose columns. The
-    repair reads with ``mergeSchema`` so the table is always the NAME
-    UNION with NULLs for absent cells — exactly DuckDB's
-    ``union_by_name`` semantics, keeping the differential symmetric.
-    mergeSchema costs a footer read per file (driver-side, metadata
-    only), so it is applied ONLY when the footers actually disagree —
-    the decision is cached on the (path, mtime, size) member set, and
-    homogeneous directories (every driver fixture to date) stay on the
-    single-footer fast path. Type changes on a SAME-named column are
-    out of scope (Spark fails loudly; documented boundary)."""
+def _union_read_schema(path: str) -> "StructType | None":
+    """Schema evolution inside ONE directory-table (fuzz 16 class 52;
+    deepened r11): member files may disagree on column NAMES (added or
+    dropped across regeneration batches), on NESTED fields inside a
+    struct column with identical top-level names (the r10 ADVICE class),
+    or on TYPES of a same-named column (int32→int64, float→double,
+    decimal precision bump — fuzz 17). Spark's default directory read
+    takes whichever footer it samples first, so the visible schema —
+    including nested fields — depends on FILE LISTING ORDER, and a
+    same-named int64 member read through a sampled-int32 schema silently
+    narrows. ``mergeSchema`` only fixes the name classes: it THROWS
+    ``CANNOT_MERGE_SCHEMAS`` on int/float widening that DuckDB's
+    ``union_by_name`` promotes (measured, r11). The repair that covers
+    every class symmetrically is an EXPLICIT read schema: Arrow
+    ``unify_schemas(promote_options="permissive")`` over the member
+    footers (the same promotion lattice DuckDB applies), converted to a
+    Spark schema — the scan then fills absent cells (top-level AND
+    nested) with NULL and upcasts narrow members, matching
+    ``union_by_name`` exactly. Footer reads are driver-side metadata
+    only and happen ONLY when members actually disagree — the decision
+    is cached on the (path, mtime, size) member set, and homogeneous
+    directories (every driver fixture to date) stay on the
+    single-footer fast path. Same-name INCOMPATIBLE changes (string vs
+    int) fail loudly in unify_schemas; documented boundary."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     if not os.path.isdir(path):
-        return False
+        return None
     files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
         if f.endswith(".parquet")
     )
     if len(files) < 2:
-        return False
+        return None
     key = tuple(
         (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
     )
-    hit = _SCHEMA_MERGE_CACHE.get(key)
-    if hit is None:
-        names = {tuple(sorted(pq.read_schema(f).names)) for f in files}
-        hit = len(names) > 1
-        _SCHEMA_MERGE_CACHE[key] = hit
-    return hit
+    if key in _SCHEMA_UNION_CACHE:
+        return _SCHEMA_UNION_CACHE[key]
+    schemas = [pq.read_schema(f).remove_metadata() for f in files]
+    if all(s.equals(schemas[0], check_metadata=False) for s in schemas[1:]):
+        out = None  # homogeneous: native inference, zero change to the hot path
+    else:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        out = from_arrow_schema(
+            pa.unify_schemas(schemas, promote_options="permissive")
+        )
+    _SCHEMA_UNION_CACHE[key] = out
+    return out
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -289,8 +315,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     path = _readable_path(os.path.join(sf_dir, f"{name}.parquet"))
     reader = spark.read
-    if _needs_schema_merge(path):
-        reader = reader.option("mergeSchema", "true")
+    union_schema = _union_read_schema(path)
+    if union_schema is not None:
+        reader = reader.schema(union_schema)
     df = reader.parquet(path)
     _canary(name, df)
     if name == "events":

@@ -2,7 +2,9 @@
 directory-table (column added in one batch, dropped in another). The
 contract: the visible table is the column-name UNION with NULLs for
 absent cells, independent of file listing order — Spark through
-tables._needs_schema_merge's conditional mergeSchema, DuckDB through
+tables._union_read_schema's conditional explicit union schema (r11:
+generalized from mergeSchema to also cover nested and type evolution;
+see test_schema_evolution_deep), DuckDB through
 union_by_name — so the differential stays hash-exact. The adversarial
 part: the REDUCED-schema file sorts FIRST, which under Spark's default
 single-footer schema inference would silently drop the ``source``

@@ -746,6 +746,118 @@ def build_evolved(src: str, dest: str) -> None:
         print(f"evolved documents: {half} reduced + {rest.num_rows} extended rows + 1 empty member")
 
 
+#: fuzz 17 (class 53): deterministic Unicode-hostile group keys driven
+#: through the novelty/DSIR group-bys — RTL marks, NFD vs NFC of the
+#: same glyph (distinct code points, must stay distinct keys on BOTH
+#: engines), astral-plane chars (UTF-8 byte order == code-point order,
+#: so min()/ordering agree), soft hyphen, empty and whitespace-only keys
+_HOSTILE_SOURCES = ("wéb—𝔘ñî", "ar‏مض", "én-nfd", "", " ", "zz­zz")
+_HOSTILE_LANGS = ("én", "EN", "zh-汉", "")
+
+
+def build_evolved_deep(src: str, dest: str) -> None:
+    """Fuzz 17, class 53: schema evolution DEEPENED — members of one
+    directory-table disagree on TYPES and COLUMN ORDER, not just names,
+    composed with hostile encodings and hostile content (r10 verdict #7).
+
+    ``documents.parquet`` becomes a directory of three members:
+
+    - ``part-a`` (sorts FIRST): first third with ``doc_id``/``n_chars``
+      NARROWED to int32 (values fit), ``source`` DROPPED, columns
+      reordered text-first, dictionary off + 97-row groups — a reader
+      that takes this footer as the table schema narrows every int64 in
+      the table and loses ``source``;
+    - ``part-b``: second third, full schema plus ``_ingest_batch``, and
+      a deterministic slice of rows carrying Unicode-hostile
+      ``source``/``lang`` keys (doc_id % 7 == 0 → one of
+      ``_HOSTILE_SOURCES``/``_HOSTILE_LANGS`` by doc_id) — these flow
+      through the novelty/DSIR group-bys;
+    - ``part-c``: last third with column order REVERSED.
+
+    ``events.parquet`` becomes a directory of two members:
+
+    - ``part-a`` (sorts first): first half with ``event_id`` int32,
+      ``value`` float32 (silent-narrowing bait) and ``props`` dropped;
+    - ``part-b``: rest, full schema, BYTE_STREAM_SPLIT on doubles —
+      the class-49 transcode and the class-53 union must COMPOSE (the
+      union schema is computed over the transcoded shadow directory).
+
+    Contract on both engines: column-name union, NULL for absent cells,
+    narrow members UPCAST (int32→int64, float32→float64) — Spark via
+    tables._union_read_schema's explicit Arrow-unified read schema,
+    DuckDB via ``union_by_name := true``. Every other table copies
+    through."""
+    import pyarrow.compute as pc
+
+    os.makedirs(dest, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname == "documents.parquet":
+            tbl = pq.read_table(os.path.join(src, fname))
+            third = tbl.num_rows // 3
+            ddir = os.path.join(dest, fname)
+            os.makedirs(ddir, exist_ok=True)
+            a = tbl.slice(0, third).drop_columns(["source"])
+            a = a.set_column(
+                a.schema.get_field_index("doc_id"), "doc_id",
+                pc.cast(a["doc_id"], pa.int32()))
+            a = a.set_column(
+                a.schema.get_field_index("n_chars"), "n_chars",
+                pc.cast(a["n_chars"], pa.int32()))
+            a = a.select(["text", "doc_id", "lang", "n_chars"])
+            pq.write_table(
+                a, os.path.join(ddir, "part-a.parquet"),
+                use_dictionary=False, row_group_size=97)
+            b = tbl.slice(third, third)
+            ids = b["doc_id"].to_pylist()
+            srcs, langs = b["source"].to_pylist(), b["lang"].to_pylist()
+            for i, did in enumerate(ids):
+                if did % 7 == 0:
+                    srcs[i] = _HOSTILE_SOURCES[did % len(_HOSTILE_SOURCES)]
+                    langs[i] = _HOSTILE_LANGS[did % len(_HOSTILE_LANGS)]
+            b = b.set_column(
+                b.schema.get_field_index("source"), "source",
+                pa.array(srcs, pa.string()))
+            b = b.set_column(
+                b.schema.get_field_index("lang"), "lang",
+                pa.array(langs, pa.string()))
+            b = b.append_column(
+                "_ingest_batch", pa.array(["b1"] * b.num_rows, pa.string()))
+            pq.write_table(b, os.path.join(ddir, "part-b.parquet"))
+            c = tbl.slice(2 * third)
+            c = c.select(list(reversed(c.schema.names)))
+            pq.write_table(c, os.path.join(ddir, "part-c.parquet"))
+            print(f"deep-evolved documents: {third} narrowed+reduced / "
+                  f"{third} hostile-keyed / {c.num_rows} reversed")
+            continue
+        if fname == "events.parquet":
+            tbl = pq.read_table(os.path.join(src, fname))
+            half = tbl.num_rows // 2
+            edir = os.path.join(dest, fname)
+            os.makedirs(edir, exist_ok=True)
+            a = tbl.slice(0, half).drop_columns(["props"])
+            a = a.set_column(
+                a.schema.get_field_index("event_id"), "event_id",
+                pc.cast(a["event_id"], pa.int32()))
+            a = a.set_column(
+                a.schema.get_field_index("value"), "value",
+                pc.cast(a["value"], pa.float32()))
+            pq.write_table(a, os.path.join(edir, "part-a.parquet"))
+            b = tbl.slice(half)
+            import pyarrow.types as pt
+            enc = {f.name: "BYTE_STREAM_SPLIT" for f in b.schema
+                   if pt.is_floating(f.type)}
+            pq.write_table(
+                b, os.path.join(edir, "part-b.parquet"),
+                use_dictionary=False, column_encoding=enc or None,
+                compression="snappy")
+            print(f"deep-evolved events: {half} narrowed/reduced + "
+                  f"{b.num_rows} full BSS rows")
+            continue
+        shutil.copyfile(os.path.join(src, fname), os.path.join(dest, fname))
+
+
 RECODE_VARIANTS = ("nodict_bss", "tiny_rowgroups_v2", "gzip_reordered_extra", "ts_ms")
 
 
