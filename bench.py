@@ -220,6 +220,7 @@ HEADLINE = (
     "pack_sequence_manifest",
     "corpus_source_novelty",
     "dedup_cluster_size_histogram",
+    "docs_streaming_neardedup_parity",
 )
 
 

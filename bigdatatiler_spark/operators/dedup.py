@@ -53,7 +53,14 @@ def _norm_col() -> Column:
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct word 3-shingles of the normalized text."""
-    docs = table(spark, sf_dir, "documents")
+    return shingle_frame(table(spark, sf_dir, "documents"))
+
+
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level shingling — same transform as ``_shingled`` but over
+    an arbitrary (doc_id, text, ...) frame, so streaming micro-batches
+    (streaming/parity.py's near-dedup) shingle identically to the batch
+    path."""
     from ._util import ensure_parallelism
 
     # split-normalize before the per-shingle md5 fan-out, which every

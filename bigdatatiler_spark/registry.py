@@ -122,7 +122,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: ``next_window`` stops excluding them. The contract test pins that only
 #: genuinely-new names (never held a slot) may be deferred, and the next
 #: rotation commit empties this tuple.
-_WINDOW_DEFER: tuple[str, ...] = ()
+_WINDOW_DEFER: tuple[str, ...] = (
+    "docs_streaming_neardedup_parity",  # registered mid-r11, after the r11 window froze
+)
 
 #: ROUND-11 ROTATION: the six mid-r10 registrations (parked in
 #: ``_WINDOW_DEFER`` through r10 per the defer contract) take their first

@@ -537,3 +537,186 @@ def events_streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFr
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_NEARDEDUP_RESULT_SCHEMA = "doc_id_1 bigint, doc_id_2 bigint, jaccard_e6 bigint"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents fixture — same layout
+    (class 49 transcode) and schema-evolution (class 52/53 union) repairs
+    as ``tables.table``; directory fixtures stream one member file per
+    micro-batch (the multi-batch parity shape)."""
+    import os
+
+    from ..tables import _readable_path, _union_read_schema
+
+    tune_session(spark)
+    path = _readable_path(os.path.join(sf_dir, "documents.parquet"))
+    schema = _union_read_schema(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+
+
+def neardedup_apply_batch(
+    spark: SparkSession, state_dir: str, batch: DataFrame
+) -> None:
+    """Fold ONE micro-batch of documents into the near-dedup state under
+    ``state_dir`` (the bucket-occupancy index: ``ids/`` seen doc_ids,
+    ``sh/`` their shingle sets, ``bands/`` their MinHash band keys) and
+    append the newly discovered near-dup pairs to ``results/``.
+
+    Exactly-once pair emission under ANY batching of the corpus: a pair
+    is emitted in the batch where its LATER-ARRIVING member lands —
+    within-batch pairs via the banded self-join (doc_id_1 < doc_id_2),
+    cross pairs via new-bands ⋈ index-bands. Both docs old → already
+    emitted. Redelivery-idempotent: arriving doc_ids already in ``ids/``
+    are dropped up front (first arrival wins), so an at-least-once source
+    replaying a whole batch appends nothing.
+
+    Scale: per batch the work is O(batch-bands ⋈ index-bands) — an
+    equi-join on the uniform (band_id, band_key) hash key, exactly
+    ``dedup_incremental_minhash``'s ingest shape; corpus size enters only
+    through bucket occupancy, never a corpus×corpus term. The parquet
+    state dirs are the single-box stand-in for the index TABLE a real
+    pipeline appends to."""
+    import os
+
+    from ..operators.dedup import (
+        MINHASH_THRESHOLD,
+        minhash_bands,
+        shingle_frame,
+    )
+    from ..operators._util import int_ratio
+
+    ids_p = os.path.join(state_dir, "ids")
+    sh_p = os.path.join(state_dir, "sh")
+    bands_p = os.path.join(state_dir, "bands")
+    res_p = os.path.join(state_dir, "results")
+
+    new = batch.select("doc_id", "text")
+    have_index = os.path.isdir(ids_p)
+    if have_index:
+        new = new.join(spark.read.parquet(ids_p), "doc_id", "left_anti")
+    # localCheckpoint: each frame feeds 2-3 branches below; the batch is
+    # bounded (one source file), so eager materialization is cheap and
+    # keeps the per-batch plan flat instead of re-shingling per branch
+    sh_new = shingle_frame(new).localCheckpoint()
+    bands_new = minhash_bands(sh_new).localCheckpoint()
+
+    a, b = bands_new.alias("a"), bands_new.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+    if have_index and os.path.isdir(bands_p):
+        n, o = bands_new.alias("n"), spark.read.parquet(bands_p).alias("o")
+        cross = (
+            n.join(
+                o,
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.band_key") == F.col("o.band_key")),
+            )
+            .select(
+                F.least("n.doc_id", "o.doc_id").alias("doc_id_1"),
+                F.greatest("n.doc_id", "o.doc_id").alias("doc_id_2"),
+            )
+        )
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+
+    all_sh = sh_new
+    if have_index and os.path.isdir(sh_p):
+        all_sh = all_sh.unionByName(spark.read.parquet(sh_p))
+    pairs = cand.join(
+        all_sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1")),
+        "doc_id_1",
+    ).join(
+        all_sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2")),
+        "doc_id_2",
+    )
+    jaccard = int_ratio(
+        F.size(F.array_intersect("sh1", "sh2")),
+        F.size(F.array_union("sh1", "sh2")),
+        6,
+        "jaccard_e6",
+    )
+    out = pairs.select("doc_id_1", "doc_id_2", jaccard).where(
+        F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000)
+    )
+    out.write.mode("append").parquet(res_p)
+    sh_new.write.mode("append").parquet(sh_p)
+    bands_new.write.mode("append").parquet(bands_p)
+    new.select("doc_id").write.mode("append").parquet(ids_p)
+
+
+def _read_neardedup_results(spark: SparkSession, state_dir: str) -> DataFrame:
+    import os
+
+    res_p = os.path.join(state_dir, "results")
+    try:
+        df = spark.read.parquet(res_p)
+        if not df.columns:
+            raise ValueError("empty results dir")
+        return df
+    except Exception:
+        return spark.createDataFrame([], _NEARDEDUP_RESULT_SCHEMA)
+
+
+from ..operators.dedup import _minhash_oracle
+
+
+@register(
+    "docs_streaming_neardedup_parity",
+    # the batch MinHash oracle VERBATIM: the streaming fold must land on
+    # the identical pair set (exactly-once emission argument above)
+    oracle=_minhash_oracle(),
+)
+def docs_streaming_neardedup_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING NEAR-DEDUPLICATION parity — the seventh streaming shape
+    (r10 verdict #5): banded MinHash near-dedup as a micro-batch
+    pipeline. ``foreachBatch`` folds each arriving batch of documents
+    into a persistent bucket-occupancy index (``neardedup_apply_batch``:
+    anti-join seen ids → shingle → band → join index → verify exact
+    Jaccard → append) — the ingest-time counterpart of
+    ``dedup_incremental_minhash`` with REAL streaming-engine batching
+    instead of a modulus split. The final pair set equals the batch
+    ``dedup_minhash_lsh`` output no matter how AvailableNow splits the
+    source (a pair is emitted exactly when its later member arrives), so
+    the oracle is the batch MinHash oracle verbatim; multi-batch +
+    redelivery coverage lives in tests/test_streaming_neardedup.py."""
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="bdt_neardedup_")
+    src = stream_documents(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(
+            lambda bdf, _bid: neardedup_apply_batch(spark, state_dir, bdf)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return _read_neardedup_results(spark, state_dir)
