@@ -221,6 +221,7 @@ HEADLINE = (
     "corpus_source_novelty",
     "dedup_cluster_size_histogram",
     "docs_streaming_neardedup_parity",
+    "pack_span_manifest",
 )
 
 

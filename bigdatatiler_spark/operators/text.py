@@ -1484,6 +1484,73 @@ def pack_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_span_manifest",
+    oracle=f"""
+    WITH {_PACK_PLACEMENT_SQL},
+    x AS (
+      SELECT doc_id, n_tokens, start,
+             unnest(generate_series(start // {SEQ_LEN},
+                                    (start + n_tokens - 1) // {SEQ_LEN}))
+               AS seq_id
+      FROM p
+    )
+    SELECT seq_id, doc_id,
+           CAST(greatest(start, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN}
+             AS BIGINT) AS span_start,
+           CAST(least(start + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                - greatest(start, seq_id * {SEQ_LEN}) AS BIGINT) AS span_len,
+           CAST(CASE WHEN start >= seq_id * {SEQ_LEN} THEN 1 ELSE 0 END
+             AS BIGINT) AS bos,
+           CAST(CASE WHEN start + n_tokens <= (seq_id + 1) * {SEQ_LEN}
+                THEN 1 ELSE 0 END AS BIGINT) AS eos
+    FROM x
+    """,
+)
+def pack_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loss-masking view trainers actually consume (r10 verdict #6):
+    one row per (sequence, document) SPAN — where inside the fixed-budget
+    sequence the document's slice sits (``span_start``, ``span_len``) and
+    the boundary flags a causal-LM collator needs: ``bos`` = the
+    document's first token is in this sequence (insert BOS / reset
+    attention mask here), ``eos`` = its last token is (insert EOS; a
+    span with eos=0 continues into the next sequence, bos=0 continues
+    from the previous one — cross-boundary attention is masked between
+    the two).
+
+    Plan: the same placement explode as ``pack_sequence_manifest``
+    (``_packed_placements`` rides the distributed prefix-sum kernel; the
+    explode is linear in corpus tokens / SEQ_LEN) with NO aggregation at
+    all — pure map over the exploded frame, zero extra exchanges.
+    Conservation (pytest-pinned): span_len sums per sequence to the
+    manifest's used_tokens and per document to its n_tokens; exactly one
+    bos and one eos per document."""
+    p = _packed_placements(spark, sf_dir)
+    x = p.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {SEQ_LEN}"),
+                F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * SEQ_LEN
+    seq_hi = (F.col("seq_id") + 1) * SEQ_LEN
+    span_lo = F.greatest(F.col("start"), seq_lo)
+    span_hi = F.least(F.col("start") + F.col("n_tokens"), seq_hi)
+    return x.select(
+        "seq_id",
+        "doc_id",
+        (span_lo - seq_lo).cast("long").alias("span_start"),
+        (span_hi - span_lo).cast("long").alias("span_len"),
+        (F.col("start") >= seq_lo).cast("long").alias("bos"),
+        (F.col("start") + F.col("n_tokens") <= seq_hi).cast("long").alias("eos"),
+    )
+
+
 # --- DSIR importance weighting (domain-targeted data selection) -------------
 # Data Selection with Importance Resampling (Xie et al. 2023): score every
 # raw document by how target-domain-like its HASHED n-gram profile is —
