@@ -1650,10 +1650,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    prof = hashed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
+    # pre-aggregate to (doc, bucket) counts and CUT THE LINEAGE: both the
+    # profile and the scoring pass read this frame, so the corpus explode
+    # runs ONCE (unchecked, the broadcast side replayed it — the r10
+    # SCALE study's 5.0× factor decomposed as: profile pass 1.46× at 10×,
+    # full query 3.75-5× with the rescan's second explode + a per-doc
+    # shuffle of EVERY bigram row dominating). dbc is ≤ DSIR_BUCKETS rows
+    # per doc whatever the doc length, so the scoring shuffle is bounded
+    # by docs × 1024 instead of corpus bigrams — the 100 TB shape.
+    dbc = (
+        hashed.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    prof = dbc.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_cnt"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
         ).alias("tgt_cnt"),
     )
     tot = prof.agg(
@@ -1677,11 +1690,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        hashed.join(F.broadcast(lam), "bucket")
+        dbc.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lam_micro").alias("dsir_micro"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lam_micro")).alias("dsir_micro"),
         )
         .withColumn("dsir_avg_micro", F.expr("dsir_micro div n_bigrams"))
     )
