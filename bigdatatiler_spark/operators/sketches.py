@@ -19,8 +19,10 @@ Two surfaces:
   (hll_sketch_agg / hll_union_agg), the real production path: binary
   sketches that merge across groups. No cross-engine oracle exists for
   HLL internals (DuckDB's approx_count_distinct is a different
-  implementation), so this entry is a rows-only check by design —
-  test_sketches.py covers mergeability and accuracy bounds instead.
+  implementation), so since r11 the driver row carries the EXACT
+  distinct count plus an oracle-pinned accuracy flag (the KMV pattern)
+  instead of the raw estimate; test_sketches.py keeps the raw-estimate
+  mergeability and accuracy asserts.
 """
 
 from __future__ import annotations
@@ -234,24 +236,78 @@ def sketch_quantile_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_hll_native", oracle=None)
+#: accuracy contract for the HLL driver row: |approx − exact| within
+#: max(5% relative, 2 absolute). Default lgK=12 → RSE ≈ 1.6%, so 5% is
+#: >3σ; the absolute slack covers tiny-cardinality hostile groups.
+HLL_REL_BOUND = 0.05
+HLL_ABS_BOUND = 2.0
+
+
+@register(
+    "sketch_hll_native",
+    oracle="""
+    WITH nz AS (SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL)
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS hll_within_bounds
+    FROM nz GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           count(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS hll_within_bounds
+    FROM nz
+    """,
+)
 def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production cardinality path: DataSketches HLL per event type plus
     a merged ALL row (hll_union_agg over the per-type sketches — the
     merge is the point: per-partition/per-day sketches roll up without
-    touching raw data again). Rows-only driver check — HLL binaries are
-    implementation-specific, so no cross-engine oracle exists; accuracy
-    and mergeability are asserted in tests/test_sketches.py."""
-    ev = table(spark, sf_dir, "events")
+    touching raw data again).
+
+    Oracle-checkable since r11 (r10 verdict #9, the KMV pattern): HLL
+    binaries are implementation-specific so the raw estimate can't be
+    cross-engine-hashed — instead the row carries the EXACT distinct
+    count (value-checked against DuckDB) and an accuracy flag
+    ``hll_within_bounds`` the oracle pins to 1: the sketch estimate must
+    land within max(5% relative, 2 absolute) of truth. The flag is
+    deterministic (HLL register state is max-based, insertion-order-
+    independent), certifies the real DataSketches path end-to-end, and a
+    drifting estimate flips the driver row red. Raw-estimate accuracy
+    and mergeability stay asserted in tests/test_sketches.py. NULL users
+    are not sketch elements; types with only NULL users leave the result
+    on both engines (the filter precedes the group)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+
+    def flag(approx: Column, exact: Column) -> Column:
+        bound = F.greatest(
+            exact.cast("double") * HLL_REL_BOUND, F.lit(HLL_ABS_BOUND)
+        )
+        return (
+            F.abs(approx - exact.cast("double")) <= bound
+        ).cast("bigint").alias("hll_within_bounds")
+
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     by_type = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        "exact_users",
+        flag(F.hll_sketch_estimate("sk"), F.col("exact_users")),
     )
-    merged = per_type.agg(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    merged = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+        )
+        .crossJoin(
+            F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            flag(F.col("approx"), F.col("exact_users")),
+        )
     )
     return by_type.unionByName(merged)
 

@@ -229,7 +229,8 @@ def test_no_oracle_names_stay_out_of_window():
 
     specs = registry.load_all()
     no_oracle = {n for n, s in specs.items() if s.oracle is None}
-    assert no_oracle, "expected at least sketch_hll_native"
+    # the set may be EMPTY (sketch_hll_native gained an exact-bound
+    # oracle in r11); the policy still gates any future oracle-less name
     leaked = no_oracle & set(registry._WINDOW_PRIORITY)
     assert not leaked, f"oracle-less names hold window slots: {leaked}"
     ledger = build_ledger(REPO)
