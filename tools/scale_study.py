@@ -62,6 +62,10 @@ QUERIES = (
     "pack_training_sequences",
     "customer_rfm_segments",
     "dsir_importance_weights",
+    # round 11: the loss-masking span explode and the bucket-capped LSH
+    # guard (the factor that must stay flat when dup density scales)
+    "pack_span_manifest",
+    "dedup_minhash_lsh_capped",
 )
 
 
