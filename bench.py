@@ -222,6 +222,7 @@ HEADLINE = (
     "dedup_cluster_size_histogram",
     "docs_streaming_neardedup_parity",
     "pack_span_manifest",
+    "dedup_semantic_cells",
 )
 
 

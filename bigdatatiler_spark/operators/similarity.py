@@ -1178,3 +1178,113 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_e6"),
         F.col("mx").alias("max_e6"),
     )
+
+
+# --- SemDeDup: semantic dedup within k-means cells ---------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+# embeddings with k-means, then prune near-duplicate SEMANTICS by
+# intra-cluster cosine — paraphrases and templated rewrites that exact /
+# MinHash dedup can't see. Clustering is what makes it tractable: the
+# pair join runs per cell (corpus²/k in the balanced case, and the cells
+# come free from the trained IVF quantizer this module already builds),
+# never all-pairs. Keep rule: FIRST-arrival canonical — a vector is
+# pruned when some SMALLER vec_id in its cell clears the threshold, and
+# the emitted row names its best witness (max cosine, min-id tiebreak),
+# mirroring dedup_incremental_minhash's dup_of shape.
+SEMDEDUP_THRESHOLD = 0.35  # synthetic 64-d fixture scale; ~0.95+ on real text embeddings
+
+_SEM_DOT = (
+    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y)"
+)
+_SEM_NRM_A = (
+    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y))"
+)
+_SEM_NRM_B = (
+    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in generate_series(1, 64)], (x, y) -> x + y))"
+)
+
+
+@register(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    cells AS ({_asg_sql(_FINAL_CENTS)}),
+    m AS (
+      SELECT c.vec_id, c.cell_id, e.embedding
+      FROM cells c JOIN {_EMB_NZ} e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS dup_of, b.cell_id,
+             round({_SEM_DOT} / ({_SEM_NRM_A} * {_SEM_NRM_B}), 6) AS cosine
+      FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE round({_SEM_DOT} / ({_SEM_NRM_A} * {_SEM_NRM_B}), 6)
+              >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT vec_id, cell_id, dup_of, cosine FROM (
+      SELECT vec_id, cell_id, dup_of, cosine,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, dup_of ASC
+             ) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup prune list (see block comment): every vector whose
+    k-means cell holds a smaller-id vector with cosine ≥ threshold, with
+    its cell and best witness. Plan: broadcast-centroid assignment
+    (zero shuffle) → one equi-join on cell_id with the vec_id_1 < vec_id_2
+    triangle → exact cosine kernel on the within-cell candidates only →
+    per-vector top-1 window keyed by vec_id. At 100 TB the cell join is
+    the IVF inverted-list shape — corpus²/k pairs in the balanced case,
+    and cells are bounded by the same occupancy reporting the LSH bucket
+    audit provides for MinHash."""
+    e = table(spark, sf_dir, "embeddings")
+    base = nz_base(e)
+    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    cells = nearest_cells(base, cents)
+    # localCheckpoint: m feeds BOTH sides of the cell self-join — without
+    # the cut the nz_base window + assignment join replay per side
+    # (13 exchanges audited; 6 with the cut)
+    m = cells.join(
+        base.select("vec_id", "embedding", "nrm"), "vec_id"
+    ).localCheckpoint()
+
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = m.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = m.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
+    )
+    pairs = (
+        a.join(b, ["cell_id"])
+        .where(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "cell_id", "dup_of", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "dup_of", "cosine")
+    )
