@@ -49,6 +49,11 @@ def test_abc_boundary_rows_join_head_class(spark, tmp_path):
         "C": (1, 5000),
     }
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     con.execute(
         "CREATE VIEW orders AS SELECT * FROM read_parquet("
         f"'{os.path.join(path, 'orders.parquet')}/*.parquet')"

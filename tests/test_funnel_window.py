@@ -56,6 +56,11 @@ def test_funnel_window_boundary(spark, tmp_path):
     assert (n_signup, n_view, n_click, n_purchase) == (3, 2, 1, 1)
     assert rate == 3333  # 1/3 on the e4 grid, floored
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     con.execute(
         "CREATE VIEW events AS SELECT * FROM read_parquet("
         f"'{os.path.join(path, 'events.parquet')}/*.parquet')"
@@ -118,6 +123,11 @@ def test_day_bucketing_pre_1970_matches_oracle(spark, tmp_path):
         os.path.join(path, "events.parquet")
     )
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     con.execute(
         "CREATE VIEW events AS SELECT * FROM read_parquet("
         f"'{os.path.join(path, 'events.parquet')}/*.parquet')"

@@ -70,6 +70,11 @@ def test_lifecycle_global_week_gap(spark, tmp_path):
         assert act == new + ret + res
     # full differential vs the registered oracle on the same files
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     con.execute(
         "CREATE VIEW events AS SELECT * FROM read_parquet("
         f"'{os.path.join(path, 'events.parquet')}/*.parquet')"

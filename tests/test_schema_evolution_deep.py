@@ -58,6 +58,11 @@ def deep_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def oracle_con(deep_dir):
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     for t in TABLES:
         p = os.path.join(deep_dir, f"{t}.parquet")
         if os.path.isdir(p):

@@ -56,6 +56,11 @@ def recoded_dir(request, tmp_path_factory):
 @pytest.fixture(scope="module")
 def oracle_con(recoded_dir):
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     for t in TABLES:
         p = os.path.join(recoded_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -154,6 +159,11 @@ def hostile_bss_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def hostile_bss_oracle(hostile_bss_dir):
     con = duckdb.connect()
+    # threads=1: DuckDB 1.0.0's parallel window operator non-
+    # deterministically merges sessions across far-future timestamp
+    # gaps (~1/12 runs on the hostile fixture, r11); single-threaded
+    # execution is stable and canonical
+    con.execute("SET threads=1")
     for t in TABLES:
         p = os.path.join(hostile_bss_dir, f"{t}.parquet")
         if os.path.exists(p):
