@@ -267,6 +267,8 @@ HEADLINE = (
     "sketch_hll_native",
     "sample_stratified_by_lang",
     "events_streaming_sliding_parity",
+    "docs_streaming_quality_parity",
+    "sample_source_cap",
 )
 
 

@@ -439,3 +439,63 @@ def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_permille"),
     )
+
+
+# --- per-source domain cap (FineWeb/C4-style domain balancing) -------------
+#: hard cap on documents any single source (domain/feed) may contribute
+SOURCE_CAP = 25
+
+
+@register(
+    "sample_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, keep_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS keep_rank
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    )
+    WHERE keep_rank <= {SOURCE_CAP}
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing pass web-corpus
+    pipelines (C4/FineWeb lineage) run so no single domain dominates the
+    mixture: keep at most {SOURCE_CAP} documents per source, selected by
+    the stable md5(doc_id) order (total order → engine-exact, stable
+    under repartitioning). NULL-source documents have no attributable
+    feed and are excluded, matching corpus_source_novelty.
+
+    Unlike ``sample_fixed_per_stratum``'s single window, the selection
+    is TWO-PHASE for the skew this op exists to fight: the offending
+    source IS the biggest one, so one window partitioned by source would
+    sort the dominant domain in a single task. Phase 1 ranks within
+    (source, input-partition) — every sort bounded by a scan split —
+    and keeps ≤ cap per sub-bucket; any row in the global per-source
+    top-cap also ranks ≤ cap in its own sub-bucket, so phase 1 never
+    drops a winner. Phase 2 re-ranks the ≤ cap × n_partitions survivors
+    per source — a frame bounded by metadata, not corpus, size."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", "source")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    order = (
+        F.md5(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").asc(),
+    )
+    w1 = Window.partitionBy("source", "_pid").orderBy(*order)
+    cand = (
+        docs.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= SOURCE_CAP)
+        .drop("_pid", "_r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        cand.withColumn("keep_rank", F.row_number().over(w2))
+        .where(F.col("keep_rank") <= SOURCE_CAP)
+    )

@@ -214,9 +214,7 @@ STOP_SAT = 0.05  # stopword ratio at which the stopword term saturates
 LEN_SAT = 50.0  # token count at which the length term saturates
 
 
-@register(
-    "doc_quality_score",
-    oracle=f"""
+_QUALITY_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source, text, n_chars,
              string_split({_NORM_SQL}, ' ') AS toks
@@ -246,18 +244,14 @@ LEN_SAT = 50.0  # token count at which the length term saturates
         ELSE 'low'
       END AS quality_tier
     FROM terms
-    """,
-)
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring for training-data filtering: stopword
-    ratio (fluency proxy), alphabetic-character ratio (boilerplate/noise
-    proxy), saturating length term — combined into a weighted [0,1] score
-    and a high/medium/low tier. Map-only pass, no shuffle; at 100 TB this
-    is the pre-dedup corpus filter, and the tier column is the natural
-    partition for downstream sampling. Every ratio is one int/int
-    division and the score one fixed-order double expression →
-    engine-deterministic."""
-    docs = table(spark, sf_dir, "documents")
+    """
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level quality scoring — the transform behind
+    ``doc_quality_score``, factored out (r11) so streaming micro-batches
+    (streaming/parity.py's quality parity) score identically to the
+    batch path."""
     t = docs.select(
         "doc_id", "source", "text", "n_chars", F.split(_norm_col(), " ").alias("toks")
     )
@@ -296,6 +290,19 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("quality_tier"),
     )
+
+
+@register("doc_quality_score", oracle=_QUALITY_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for training-data filtering: stopword
+    ratio (fluency proxy), alphabetic-character ratio (boilerplate/noise
+    proxy), saturating length term — combined into a weighted [0,1] score
+    and a high/medium/low tier. Map-only pass, no shuffle; at 100 TB this
+    is the pre-dedup corpus filter, and the tier column is the natural
+    partition for downstream sampling. Every ratio is one int/int
+    division and the score one fixed-order double expression →
+    engine-deterministic."""
+    return quality_frame(table(spark, sf_dir, "documents"))
 
 
 # --- rolling-hash fingerprint --------------------------------------------

@@ -126,6 +126,8 @@ _WINDOW_DEFER: tuple[str, ...] = (
     "docs_streaming_neardedup_parity",  # registered mid-r11, after the r11 window froze
     "pack_span_manifest",               # registered mid-r11, after the r11 window froze
     "dedup_semantic_cells",             # registered mid-r11, after the r11 window froze
+    "docs_streaming_quality_parity",    # registered mid-r11, after the r11 window froze
+    "sample_source_cap",                # registered mid-r11, after the r11 window froze
 )
 
 #: ROUND-11 ROTATION: the six mid-r10 registrations (parked in

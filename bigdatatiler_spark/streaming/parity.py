@@ -720,3 +720,39 @@ def docs_streaming_neardedup_parity(
     q.awaitTermination()
     q.stop()
     return _read_neardedup_results(spark, state_dir)
+
+
+_SINK8 = "streaming_parity_quality"
+
+
+from ..operators.text import _QUALITY_ORACLE
+
+
+@register("docs_streaming_quality_parity", oracle=_QUALITY_ORACLE)
+def docs_streaming_quality_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING QUALITY GATE parity — the at-ingest document scoring
+    pass (the eighth streaming shape): ``quality_frame`` runs map-side
+    over each micro-batch of documents (stateless — no watermark, no
+    state store), append-mode into the memory sink, so the union of
+    batches IS the batch answer and the oracle is
+    ``doc_quality_score``'s verbatim. This is the shape a training
+    pipeline actually deploys first: score and tier documents AS THEY
+    ARRIVE, so downstream dedup/sampling read a pre-filtered stream
+    instead of re-scanning the corpus. Scale: zero shuffle, zero state —
+    pure scan→project throughput on every executor."""
+    from ..operators.text import quality_frame
+
+    docs = stream_documents(spark, sf_dir)
+    scored = quality_frame(docs)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(_SINK8)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(_SINK8)

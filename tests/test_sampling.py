@@ -56,3 +56,40 @@ def test_weighting_biases_toward_heavy_docs(spark):
         table(spark, SF, "documents").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert picked_mean > corpus_mean
+
+
+def test_source_cap_invariant_under_layout(spark):
+    """sample_source_cap's two-phase selection (sub-bucket rank → final
+    rank) must pick EXACTLY the same rows whatever the input
+    partitioning: phase 1's _pid grouping changes which rows reach phase
+    2, but never excludes a global per-source top-cap winner."""
+    from bigdatatiler_spark.operators.sampling import SOURCE_CAP
+    from bigdatatiler_spark.registry import load_all
+    from bigdatatiler_spark.tables import table
+    from pyspark.sql import Window, functions as F
+
+    sf = "/root/testdata/sf0.1"  # cap engages here (sources > cap docs)
+    got = {
+        tuple(r)
+        for r in load_all()["sample_source_cap"].fn(spark, sf).collect()
+    }
+    # reference: ONE global window over an adversarial repartitioning
+    docs = (
+        table(spark, sf, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", "source")
+        .repartition(7, "doc_id")  # layout the two-phase never saw
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    want = {
+        tuple(r)
+        for r in docs.withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= SOURCE_CAP)
+        .collect()
+    }
+    assert got == want
+    # the cap genuinely engages at this sf
+    n_sources = docs.select("source").distinct().count()
+    assert len(got) == n_sources * SOURCE_CAP
