@@ -269,6 +269,7 @@ HEADLINE = (
     "events_streaming_sliding_parity",
     "docs_streaming_quality_parity",
     "sample_source_cap",
+    "pack_curriculum_sequences",
 )
 
 

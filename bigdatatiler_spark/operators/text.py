@@ -1492,6 +1492,81 @@ def pack_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_curriculum_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, arg_max(text, md5(text)) AS text
+      FROM documents WHERE text IS NOT NULL GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id,
+             len(list_filter(string_split({_NORM_SQL}, ' '), x -> x != ''))
+               AS n_tokens
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY n_tokens, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           start // {SEQ_LEN} AS first_seq,
+           (start + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+           (start + n_tokens - 1) // {SEQ_LEN} - start // {SEQ_LEN} + 1
+             AS n_seqs,
+           start % {SEQ_LEN} AS seq_offset
+    FROM p
+    """,
+)
+def pack_curriculum_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM-ordered sequence packing: documents laid end-to-end
+    shortest-first (the classic length curriculum — easy samples early
+    in training) instead of ingest order, then cut into fixed-budget
+    sequences. Same placement contract as ``pack_training_sequences``;
+    the point is that the distributed prefix-sum kernel takes ANY total
+    order — here (n_tokens, doc_id) — without a plan change: range
+    buckets are computed on the curriculum key, so the bounded
+    within-bucket windows and ≤32-row broadcast offset frame carry over
+    unchanged. At 100 TB a curriculum reorder is exactly as scalable as
+    ingest-order packing."""
+    from ._util import distributed_prefix_sum
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max_by("text", F.md5("text")).alias("text"))
+    )
+    n_tokens = F.size(
+        F.filter(F.split(_norm_col(), " "), lambda x: x != "")
+    ).cast("long")
+    t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    p = distributed_prefix_sum(
+        t,
+        [F.asc("n_tokens"), F.asc("doc_id")],
+        "n_tokens",
+        name="start",
+        inclusive=False,
+        n_buckets=N_PACK_BUCKETS,
+    )
+    first_seq = F.expr(f"start div {SEQ_LEN}")
+    last_seq = F.expr(f"(start + n_tokens - 1) div {SEQ_LEN}")
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+        (F.col("start") % SEQ_LEN).alias("seq_offset"),
+    )
+
+
+@register(
     "pack_span_manifest",
     oracle=f"""
     WITH {_PACK_PLACEMENT_SQL},

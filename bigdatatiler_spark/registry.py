@@ -128,6 +128,7 @@ _WINDOW_DEFER: tuple[str, ...] = (
     "dedup_semantic_cells",             # registered mid-r11, after the r11 window froze
     "docs_streaming_quality_parity",    # registered mid-r11, after the r11 window froze
     "sample_source_cap",                # registered mid-r11, after the r11 window froze
+    "pack_curriculum_sequences",        # registered mid-r11, after the r11 window froze
 )
 
 #: ROUND-11 ROTATION: the six mid-r10 registrations (parked in

@@ -231,18 +231,21 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     WindowExec requires) and no global sort anywhere in the plan."""
     from bigdatatiler_spark.registry import load_all
 
-    df = load_all()["pack_training_sequences"].fn(spark, SF)
-    plan = _executed_plan(df)
-    assert "Exchange SinglePartition" not in plan, (
-        "single-partition exchange back in the packing plan:\n" + plan
-    )
-    # global sorts render as `Sort [...], true, 0`; the bounded
-    # within-bucket window sorts are `false`
-    assert ", true, 0" not in plan.replace("(true, 0)", ""), (
-        "global sort in the packing plan:\n" + plan
-    )
-    # the corpus window must be partitioned by the range bucket
-    assert "windowspecdefinition(_rb" in plan
+    # the curriculum variant must carry the identical shape — the kernel
+    # takes ANY total order (r11: ordered by (n_tokens, doc_id))
+    for name in ("pack_training_sequences", "pack_curriculum_sequences"):
+        df = load_all()[name].fn(spark, SF)
+        plan = _executed_plan(df)
+        assert "Exchange SinglePartition" not in plan, (
+            f"single-partition exchange back in the {name} plan:\n" + plan
+        )
+        # global sorts render as `Sort [...], true, 0`; the bounded
+        # within-bucket window sorts are `false`
+        assert ", true, 0" not in plan.replace("(true, 0)", ""), (
+            f"global sort in the {name} plan:\n" + plan
+        )
+        # the corpus window must be partitioned by the range bucket
+        assert "windowspecdefinition(_rb" in plan
 
 
 def test_rfm_segments_distributed_ntile(spark):
