@@ -705,7 +705,16 @@ def docs_streaming_neardedup_parity(
     ``dedup_minhash_lsh`` output no matter how AvailableNow splits the
     source (a pair is emitted exactly when its later member arrives), so
     the oracle is the batch MinHash oracle verbatim; multi-batch +
-    redelivery coverage lives in tests/test_streaming_neardedup.py."""
+    redelivery coverage lives in tests/test_streaming_neardedup.py.
+
+    Boundary: a CONFLICTING re-ingest (same doc_id, different text)
+    arriving in a LATER batch resolves first-arrival-wins — the id is
+    already indexed, so the new payload is dropped; the batch oracle,
+    which sees both rows, would pair against both payloads. The
+    equivalence therefore holds for corpora whose re-deliveries are
+    byte-identical (the at-least-once model this operator targets);
+    cross-batch conflict arbitration is pinned directly (Spark-only) in
+    tests/test_streaming_neardedup.py::test_conflicting_id_first_arrival_wins."""
     import tempfile
 
     state_dir = tempfile.mkdtemp(prefix="bdt_neardedup_")

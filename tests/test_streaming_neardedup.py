@@ -71,3 +71,69 @@ def test_redelivery_is_idempotent(spark, split_sf_dir, tmp_path):
 
     want = _pair_set(load_all()["dedup_minhash_lsh"].fn(spark, split_sf_dir))
     assert final == want
+
+
+def test_conflicting_id_first_arrival_wins(spark, tmp_path):
+    """Cross-batch CONFLICTING re-ingest (same doc_id, different text):
+    the indexed first arrival defines the doc — the later payload is
+    dropped, its shingles never enter the index, and the pair set equals
+    the batch LSH over the FIRST-ARRIVAL corpus (pinned Spark-side; the
+    DuckDB oracle cannot see arrival order, which is the documented
+    boundary on the parity registration)."""
+    from pyspark.sql import functions as F
+
+    from bigdatatiler_spark.operators.dedup import (
+        MINHASH_THRESHOLD,
+        minhash_bands,
+        shingle_frame,
+    )
+    from bigdatatiler_spark.operators._util import int_ratio
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows1 = [(1, base * 5), (2, base * 5 + "tail one"), (3, "zebra " * 40)]
+    # batch 2 redelivers doc 2 with a DIFFERENT payload (near-dup of 3's)
+    rows2 = [(2, "zebra " * 40 + "conflict"), (4, base * 5 + "tail two")]
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    neardedup_apply_batch(spark, state, b1)
+    neardedup_apply_batch(spark, state, b2)
+    got = _pair_set(_read_neardedup_results(spark, state))
+
+    # reference: batch LSH over the first-arrival corpus (doc 2 = payload 1)
+    corpus = spark.createDataFrame(rows1 + rows2[1:], "doc_id long, text string")
+    sh = shingle_frame(corpus).localCheckpoint()
+    bands = minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1")), "doc_id_1"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2")), "doc_id_2"
+    )
+    jac = int_ratio(
+        F.size(F.array_intersect("sh1", "sh2")),
+        F.size(F.array_union("sh1", "sh2")),
+        6,
+        "jaccard_e6",
+    )
+    want = _pair_set(
+        pairs.select("doc_id_1", "doc_id_2", jac).where(
+            F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000)
+        )
+    )
+    assert got == want
+    # the conflict payload is really gone: doc 2 pairs with doc 1/4
+    # (its FIRST payload's family), never with doc 3 (the second's)
+    assert all(not ({p[0], p[1]} == {2, 3}) for p in got)
+    assert any({p[0], p[1]} == {1, 2} for p in got)
