@@ -45,6 +45,15 @@ PINNED = (
     "events_tumbling_hourly",
     "events_value_histogram",
     "events_streaming_hourly_parity",
+    # r11 late additions through the same class: the per-source cap and
+    # curriculum packing group/order on the hostile-keyed + narrowed
+    # members; the streaming quality gate consumes the documents
+    # DIRECTORY one member per micro-batch, so the int32-narrowed,
+    # source-dropped member arrives as its own batch and must upcast
+    # through the union schema inside FileStreamSource
+    "sample_source_cap",
+    "pack_curriculum_sequences",
+    "docs_streaming_quality_parity",
 )
 
 
