@@ -297,6 +297,117 @@ def dedup_components_two_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def old_labels_path(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> str:
+    """Build-once parquet store of the OLD corpus's component labels —
+    the production artifact a previous clustering run leaves behind,
+    which ``dedup_incremental_components`` merges new batches into.
+    Keyed on the documents file's identity via a key-derived /tmp path
+    (the _readable_path shadow-dir pattern), so the table survives
+    process boundaries — a fresh bench/driver run finds the previous
+    run's labels, a regenerated fixture lands on a fresh path and
+    rebuilds. bench.py times this build as its own line (the
+    ann_ivf_index_build split: one-time index cost vs per-ingest cost)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .dedup import INCREMENTAL_BATCH_MOD
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = (os.path.abspath(doc_path), st.st_mtime_ns, st.st_size)
+    sig = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"bdt_cc_labels_{sig}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if edges is None:
+            edges = _band_edges(spark, sf_dir)
+        old = F.col("a") % INCREMENTAL_BATCH_MOD != 0
+        old_edges = edges.where(old & (F.col("b") % INCREMENTAL_BATCH_MOD != 0))
+        connected_components_star(old_edges, "a", "b").select(
+            F.col("node"), F.col("cluster_id").alias("rep")
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register("dedup_incremental_components", oracle=_cc_oracle())
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup clustering — the daily-ingest shape: merge a
+    new batch of documents into EXISTING component labels without
+    re-clustering the corpus, landing on the identical fixpoint as a
+    full recompute (the shared recursive-CTE oracle certifies exactly
+    that). Batch role = doc_id % INCREMENTAL_BATCH_MOD == 0, the same
+    replayable split as dedup_incremental_minhash.
+
+    Algorithm (component contraction):
+
+    1. old labels = two-star CC over edges whose endpoints are BOTH
+       old — in production this is the STORED label table the previous
+       run left behind (its recomputation here exists only so the
+       oracle can replay the whole history);
+    2. every edge touching a new doc maps its old endpoints to their
+       old label (an old component contracts to its min-doc label
+       node), keeping new-doc endpoints as themselves;
+    3. two-star CC over the CONTRACTED graph — whose size is
+       O(new batch + touched components), not O(corpus) — yields the
+       merged label per contracted node; since each old label IS its
+       component's min doc id, the contracted minimum equals the global
+       minimum of the merged component;
+    4. final label(x) = merged(rep(x)) where rep = old label for old
+       docs, x itself otherwise; untouched components never enter step
+       3 and keep their labels verbatim.
+
+    Scale: the corpus-sized work is ONE banded equi-join for the new
+    edges plus a join against the stored label table; the iterative
+    part runs on the contracted subgraph only. A doc joining two old
+    mega-clusters costs the contraction two nodes, not two clusters."""
+    from .dedup import INCREMENTAL_BATCH_MOD
+
+    edges = _band_edges(spark, sf_dir).localCheckpoint()
+
+    def is_new(c: str):
+        return F.col(c) % INCREMENTAL_BATCH_MOD == 0
+
+    new_edges = edges.where(is_new("a") | is_new("b"))
+    ol = spark.read.parquet(old_labels_path(spark, sf_dir, edges))
+
+    ea = new_edges.join(
+        ol.select(F.col("node").alias("a"), F.col("rep").alias("rep_a")),
+        "a",
+        "left",
+    )
+    eab = ea.join(
+        ol.select(F.col("node").alias("b"), F.col("rep").alias("rep_b")),
+        "b",
+        "left",
+    )
+    contracted = (
+        eab.select(
+            F.coalesce("rep_a", F.col("a")).alias("ca"),
+            F.coalesce("rep_b", F.col("b")).alias("cb"),
+        )
+        # both endpoints already in one old component: nothing to merge
+        .where(F.col("ca") != F.col("cb"))
+    )
+    merged = connected_components_star(contracted, "ca", "cb").select(
+        F.col("node").alias("rep"), F.col("cluster_id").alias("final")
+    )
+
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    with_rep = nodes.join(ol, "node", "left").select(
+        "node", F.coalesce("rep", F.col("node")).alias("rep")
+    )
+    return with_rep.join(merged, "rep", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("final", F.col("rep")).alias("cluster_id"),
+    )
+
+
 def _cluster_hist_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLED_SQL},

@@ -300,3 +300,23 @@ def test_kcore_peel_all_survive(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["a", "b"])
     out = {r["node"]: r["degree"] for r in kcore_peel(edges).collect()}
     assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """The incremental merge (stored old labels + contracted subgraph CC)
+    must land on the IDENTICAL fixpoint as clustering the whole corpus
+    from scratch — per node, not just per histogram."""
+    from bigdatatiler_spark.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        tuple(r)
+        for r in specs["dedup_incremental_components"].fn(spark, sf).collect()
+    }
+    full = {
+        tuple(r)
+        for r in specs["dedup_components_two_star"].fn(spark, sf).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0
