@@ -180,3 +180,63 @@ def test_binary_quantization_packing_and_recall(spark):
     rec = _recall(got, bf)
     chance = BQ_SHORTLIST / max(n - 1, 1)
     assert rec >= max(3 * chance, 0.3), f"recall {rec:.3f} ~ chance {chance:.3f}"
+
+
+def test_semantic_cells_recall_vs_bruteforce_pairs(spark):
+    """SemDeDup's cell blocking trades recall for corpus²/k cost: a
+    near-dup pair straddling a cell boundary is invisible. Quantify the
+    trade on the fixture and pin (a) every emitted witness pair really
+    clears the threshold against the exact kernel's scores (precision =
+    1 by construction — same cosine expression), (b) pair recall vs the
+    UNBLOCKED all-pairs set at the same threshold stays above the
+    1/N_CELLS chance floor by a wide margin (same-cluster vectors land
+    in the same cell far more often than chance)."""
+    from bigdatatiler_spark.operators.similarity import (
+        N_CELLS,
+        SEMDEDUP_THRESHOLD,
+        dedup_semantic_cells,
+        nz_base,
+    )
+    from bigdatatiler_spark.tables import table
+
+    cells = dedup_semantic_cells(spark, SF_DIR)
+    got_pairs = {
+        (min(r["vec_id"], r["dup_of"]), max(r["vec_id"], r["dup_of"]))
+        for r in cells.collect()
+    }
+    # exact all-pairs at the same threshold (64-dim fold, same rounding)
+    withnorm = nz_base(table(spark, SF_DIR, "embeddings"))
+    a = withnorm.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / (F.col("n1") * F.col("n2")), 6)
+    exact = {
+        (r["v1"], r["v2"])
+        for r in a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("c"))
+        .where(F.col("c") >= SEMDEDUP_THRESHOLD)
+        .collect()
+    }
+    assert exact, "fixture must contain pairs above the semantic threshold"
+    # (a) precision: every emitted best-witness pair is a true pair
+    assert got_pairs <= exact, sorted(got_pairs - exact)[:5]
+    # (b) recall of PRUNED DOCS (the operator's output unit: one row per
+    # pruned vec, not per pair): every doc the blocked pass prunes is
+    # truly prunable, and coverage beats the 1/N_CELLS chance rate
+    prunable = {max(p) for p in exact}
+    pruned = {r["vec_id"] for r in cells.collect()}
+    assert pruned <= prunable
+    recall = len(pruned) / len(prunable)
+    assert recall > 2.0 / N_CELLS, (recall, len(prunable))
