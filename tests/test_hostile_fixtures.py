@@ -269,6 +269,12 @@ HOSTILE_PINNED = (
     # round-9 new ops, pinned on hostile content from day one
     "doc_blocklist_filter",            # phrase-blocklist content filter
     "pack_training_sequences",         # token-budget sequence packing
+    # round-11 new ops, pinned on hostile content from day one
+    "dedup_semantic_cells",            # zero-norm/ragged/dup-id vectors through the cells
+    "sample_source_cap",               # NULL sources + hostile key content
+    "pack_span_manifest",              # 0/1-token docs through the span explode
+    "pack_curriculum_sequences",       # curriculum order under conflicting-id arbitration
+    "dedup_incremental_components",    # stored-label contraction on hostile dup content
 )
 
 # every class keeps exactly one pinned run; duplicates would re-run the
