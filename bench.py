@@ -271,6 +271,7 @@ HEADLINE = (
     "sample_source_cap",
     "pack_curriculum_sequences",
     "dedup_incremental_components",
+    "corpus_datasheet",
 )
 
 

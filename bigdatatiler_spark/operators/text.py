@@ -1863,3 +1863,89 @@ def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_permille"),
         )
     )
+
+
+# --- corpus datasheet (data-card summary) -----------------------------------
+
+
+@register(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             CASE WHEN text IS NOT NULL THEN
+               len(list_filter(string_split({_NORM_SQL}, ' '), x -> x != ''))
+             END AS n_tokens,
+             CASE WHEN text IS NOT NULL THEN md5({_NORM_SQL}) END AS chash
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n_docs,
+             count(text) AS n_docs_with_text,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(DISTINCT chash) AS n_distinct_contents,
+             count(text) - count(DISTINCT chash) AS exact_dup_docs,
+             (count(CASE WHEN lang = 'en' THEN 1 END) * 1000)
+               // nullif(count(*), 0) AS en_share_permille
+      FROM norm
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM s
+      UNION ALL SELECT 'n_docs_with_text', n_docs_with_text FROM s
+      UNION ALL SELECT 'n_sources', n_sources FROM s
+      UNION ALL SELECT 'n_langs', n_langs FROM s
+      UNION ALL SELECT 'total_chars', total_chars FROM s
+      UNION ALL SELECT 'total_tokens', total_tokens FROM s
+      UNION ALL SELECT 'n_distinct_contents', n_distinct_contents FROM s
+      UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM s
+      UNION ALL SELECT 'en_share_permille', en_share_permille FROM s
+    )
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card summary every corpus release ships (datasheets for
+    datasets): one (metric, value) row per headline corpus statistic —
+    document/source/language counts, char and token volume, distinct
+    content count and the implied exact-duplicate count, and the
+    English share in integer permille. All metrics are BIGINT (no float
+    reaches the hash); NULL-text documents count toward n_docs but not
+    toward content/token metrics; the permille guards the empty corpus
+    with nullif. Plan: ONE corpus pass — a single wide aggregate (the
+    distinct counts expand to the standard count-distinct passes) then a
+    9-row stack; nothing downstream is larger than the report itself."""
+    docs = table(spark, sf_dir, "documents")
+    has_text = F.col("text").isNotNull()
+    n_tokens = F.when(
+        has_text,
+        F.size(F.filter(F.split(_norm_col(), " "), lambda x: x != "")),
+    ).cast("long")
+    chash = F.when(has_text, F.md5(_norm_col()))
+    s = docs.select(
+        "lang", "source", "n_chars", "text",
+        n_tokens.alias("n_tokens"), chash.alias("chash"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("text").alias("n_docs_with_text"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("chash").alias("n_distinct_contents"),
+        (F.count("text") - F.countDistinct("chash")).alias("exact_dup_docs"),
+        F.expr(
+            "(count(CASE WHEN lang = 'en' THEN 1 END) * 1000)"
+            " div nullif(count(1), 0)"
+        ).alias("en_share_permille"),
+    )
+    pairs = ", ".join(
+        f"'{m}', {m}"
+        for m in (
+            "n_docs", "n_docs_with_text", "n_sources", "n_langs",
+            "total_chars", "total_tokens", "n_distinct_contents",
+            "exact_dup_docs", "en_share_permille",
+        )
+    )
+    return s.selectExpr(f"stack(9, {pairs}) AS (metric, value)")

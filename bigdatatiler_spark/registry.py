@@ -130,6 +130,7 @@ _WINDOW_DEFER: tuple[str, ...] = (
     "sample_source_cap",                # registered mid-r11, after the r11 window froze
     "pack_curriculum_sequences",        # registered mid-r11, after the r11 window froze
     "dedup_incremental_components",     # registered mid-r11, after the r11 window froze
+    "corpus_datasheet",                 # registered mid-r11, after the r11 window froze
 )
 
 #: ROUND-11 ROTATION: the six mid-r10 registrations (parked in
