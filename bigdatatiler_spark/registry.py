@@ -122,81 +122,69 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: ``next_window`` stops excluding them. The contract test pins that only
 #: genuinely-new names (never held a slot) may be deferred, and the next
 #: rotation commit empties this tuple.
-_WINDOW_DEFER: tuple[str, ...] = (
-    "docs_streaming_neardedup_parity",  # registered mid-r11, after the r11 window froze
-    "pack_span_manifest",               # registered mid-r11, after the r11 window froze
-    "dedup_semantic_cells",             # registered mid-r11, after the r11 window froze
-    "docs_streaming_quality_parity",    # registered mid-r11, after the r11 window froze
-    "sample_source_cap",                # registered mid-r11, after the r11 window froze
-    "pack_curriculum_sequences",        # registered mid-r11, after the r11 window froze
-    "dedup_incremental_components",     # registered mid-r11, after the r11 window froze
-    "corpus_datasheet",                 # registered mid-r11, after the r11 window froze
-)
+_WINDOW_DEFER: tuple[str, ...] = ()
 
-#: ROUND-11 ROTATION: the six mid-r10 registrations (parked in
-#: ``_WINDOW_DEFER`` through r10 per the defer contract) take their first
-#: slots — after this round certifies, EVERY oracle-backed registered
-#: query has held a driver slot at least once, again. One
-#: stalest-certified sentinel covers each module, the rest fills
-#: oldest-certified-first (the remaining r1-era greens re-certify against
-#: ten rounds of engine drift). Oracle-less queries (sketch_hll_native)
-#: stay TERMINALLY excluded (r9 verdict item 3): the driver checker has no
-#: rows-only mode, so a slot spent there is a guaranteed non-green row;
-#: local rows-only coverage continues via tools/check_oracle.py. This list
-#: is EXACTLY tools/window_ledger.py::next_window() output at this commit
-#: (annotations: module + last driver-green round), pinned by
-#: tests/test_contract.py.
+#: ROUND-12 ROTATION (r11 verdict item 1): the eight mid-r11 registrations
+#: (parked in ``_WINDOW_DEFER`` through r11 per the defer contract) take
+#: their first slots, and ``sketch_hll_native`` — which gained an
+#: exact-bound oracle in r11 after its r9 slot was burned as
+#: ``err: no_oracle`` — re-enters as fresh under the held-but-never-green
+#: extension to ``next_window``. After this round certifies, EVERY
+#: registered query (the registry has zero oracle-less entries since r11)
+#: has a green driver row. Sentinels/fill follow the staleness policy
+#: unchanged. This list is EXACTLY tools/window_ledger.py::next_window()
+#: output at this commit, pinned by tests/test_contract.py.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "doc_bpe_token_counts",              # functions.tokenize (r10)
-    "events_page_keyset",                # logstore.queries (r6)
-    "asof_forward_click_to_purchase",    # operators.asof (r8)
-    "doc_pii_scrub",                     # operators.cleaning (r7)
-    "graph_degree_assortativity",        # operators.linkgraph (r8)
-    "multimodal_png_decode_stats",       # operators.multimodal (r6)
-    "ann_pq_adc_topk",                   # operators.pq (r10)
-    "events_type_drift_psi",             # operators.quality (r7)
-    "rangejoin_error_bursts",            # operators.rangejoin (r10)
-    "tpch_q3_shipping_priority",         # operators.relational (r1)
-    "doc_trigram_search",                # operators.retrieval (r7)
-    "sample_weighted_priority",          # operators.sampling (r5)
-    "events_xml_inspection",             # operators.scalar (r8)
-    "union_priority_tiers",              # operators.setops (r9)
-    "ann_ivf_topk",                      # operators.similarity (r2)
-    "sketch_quantile_gk",                # operators.sketches (r4)
-    "skew_salted_user_activity",         # operators.skew (r10)
-    "orders_page_keyset",                # operators.sqlsurface (r4)
-    "doc_tile_chunks",                   # operators.tiling (r8)
-    "tpch_q22_idle_customers",           # operators.tpch_deep (r1)
-    "events_iqm_udaf",                   # operators.udaf (r8)
-    "events_gapfill_locf",               # operators.windows (r4)
-    "events_zorder_key",                 # sources.layout (r10)
-    "events_hourly_rollup",              # sources.rollup (r10)
-    "events_streaming_join_parity",      # streaming.parity (r7)
-    "corpus_source_novelty",             # operators.text (FRESH, mid-r10)
-    "dedup_cluster_size_histogram",      # operators.graph (FRESH, mid-r10)
-    "dedup_minhash_bucket_audit",        # operators.dedup (FRESH, mid-r10)
-    "dedup_minhash_lsh_capped",          # operators.dedup (FRESH, mid-r10)
-    "dsir_importance_weights",           # operators.text (FRESH, mid-r10)
-    "pack_sequence_manifest",            # operators.text (FRESH, mid-r10)
-    "tpch_q2_cheapest_part",             # operators.tpch_deep (r1)
-    "tpch_q4_order_priority",            # operators.tpch_deep (r1)
-    "tpch_q5_local_supplier",            # operators.relational (r1)
-    "tpch_q6_forecast_revenue",          # operators.relational (r1)
-    "tpch_q7_volume_shipping",           # operators.tpch_deep (r1)
-    "tpch_q9_profit_by_nation",          # operators.tpch_deep (r1)
-    "ann_lsh_buckets",                   # operators.similarity (r2)
-    "dedup_incremental_minhash",         # operators.dedup (r2)
-    "dedup_ngram_jaccard",               # operators.dedup (r2)
-    "doc_quality_score",                 # operators.text (r2)
-    "doc_repetition_stats",              # operators.text (r2)
-    "knn_bruteforce_cosine",             # operators.similarity (r2)
-    "decontaminate_ngram_overlap",       # operators.dedup (r4)
-    "doc_fingerprint_bottomk",           # operators.text (r4)
-    "corpus_language_profile",           # operators.text (r5)
-    "dedup_prefix_filter_jaccard",       # operators.dedup (r5)
-    "doc_lang_id",                       # operators.text (r5)
-    "events_cohort_ltv",                 # operators.windows (r5)
-    "orders_merge_upsert",               # operators.sqlsurface (r5)
+    "doc_bpe_token_counts",
+    "events_filtered_topk",
+    "asof_purchase_to_click",
+    "doc_unigram_logprob",
+    "dedup_embedding_lsh_blocked",
+    "graph_pagerank_docs",
+    "multimodal_image_ahash_near_dup",
+    "ann_pq_adc_topk",
+    "lineitem_constraint_audit",
+    "rangejoin_error_bursts",
+    "tpch_q1_pricing_summary",
+    "doc_phrase_proximity",
+    "event_id_generation",
+    "setops_customer_cohorts",
+    "skew_salted_user_activity",
+    "events_props_json",
+    "doc_tile_bytecap_roundtrip",
+    "tpch_q8_market_share",
+    "events_zscore_grouped",
+    "events_session_windows",
+    "events_zorder_key",
+    "events_hourly_rollup",
+    "corpus_datasheet",
+    "dedup_incremental_components",
+    "dedup_semantic_cells",
+    "docs_streaming_neardedup_parity",
+    "docs_streaming_quality_parity",
+    "pack_curriculum_sequences",
+    "pack_span_manifest",
+    "sample_source_cap",
+    "sketch_hll_native",
+    "ann_lsh_topk",
+    "dedup_exact",
+    "doc_token_stats",
+    "embedding_kmeans_cells",
+    "nation_grouping_sets",
+    "order_price_percentiles",
+    "pack_token_budget",
+    "sketch_kmv_distinct",
+    "tpch_q18_large_volume_customer",
+    "ann_hamming_binary_topk",
+    "basket_part_pairs",
+    "dedup_keep_canonical",
+    "dedup_minhash_estimate_audit",
+    "dedup_minhash_lsh",
+    "doc_rake_keyphrases",
+    "doc_sentence_stats",
+    "embedding_dimension_stats",
+    "events_bitmap_distinct",
+    "events_csv_roundtrip",
 )
 
 

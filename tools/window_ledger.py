@@ -164,9 +164,18 @@ def next_window(repo: str = REPO, size: int = 50) -> list[str]:
     for n, rs in ledger["ever_held_slot"].items():
         last.setdefault(n, max(int(r) for r in rs))
 
+    # held-but-never-GREEN names that are now oracle-backed re-enter as
+    # fresh: a slot spent on them before their oracle existed produced a
+    # guaranteed non-green row (sketch_hll_native r9), so their first
+    # *certifiable* window entry is still owed (r11 verdict item 1).
+    never_green = sorted(
+        n
+        for n, rs in ledger["certified_green"].items()
+        if not rs and n in module_of
+    )
     fresh = [
         n
-        for n in ledger["never_certified"]
+        for n in ledger["never_certified"] + never_green
         if n in module_of and n not in deferred
     ]
     covered = {module_of[n] for n in fresh}
