@@ -811,12 +811,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_embedding_lsh_blocked for corpus-scale near-dup detection"
         )
 
-    def _dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from .similarity import dot as _dot
 
     # the shared cosine universe — fuzz 6 found this was ANOTHER inline
     # drift (zero-norm only; ragged/huge-component vectors leaked in):
@@ -824,7 +819,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import nz_base
 
     withnorm = nz_base(e)
-    a = withnorm.select(
+    # r12 measured fix (33 → ~1 s at sf0.1), two independent pathologies:
+    # 1. AQE coalesces nz_base's tiny post-window shuffle (2000 rows,
+    #    <1 MB) to ONE partition, so the O(n²) nested-loop stage ran on
+    #    one core. An explicit-N repartition of the STREAM side is never
+    #    AQE-coalesced (the distributed_rank lesson); n² work now spreads
+    #    over every core. The build side stays broadcast — repartitioning
+    #    metadata-sized rows costs nothing at any scale.
+    par = spark.sparkContext.defaultParallelism
+    a = withnorm.repartition(par).select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
         F.col("nrm").alias("nrm_1"),
@@ -834,8 +837,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_2"),
         F.col("nrm").alias("nrm_2"),
     )
+    # 2. The WHERE on the computed cosine was pushed into the BNLJ join
+    #    condition, evaluating the 64-element fold for all n² ordered
+    #    pairs and AGAIN in the projection for the n²/2 survivors (3
+    #    fold evaluations per emitted pair). `+ rand(42)*0.0` is an
+    #    arithmetic no-op (adds +0.0; any -0.0 dot it could flip rounds
+    #    into the filtered-out range) whose nondeterminism legally blocks
+    #    the pushdown (the guide's expensive-UDF trick, applied to an
+    #    expensive expression): the join condition keeps only the cheap
+    #    id comparison and the fold runs ONCE per candidate pair.
     cosine = F.round(
-        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 6
+        (_dot(F.col("emb_1"), F.col("emb_2")) + F.rand(42) * F.lit(0.0))
+        / (F.col("nrm_1") * F.col("nrm_2")),
+        6,
     )
     return (
         a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
@@ -876,12 +890,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
 
-    def _dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from .similarity import dot as _dot  # shared fold kernel
 
     # both sides of the self-join read this frame — persist so the 8
     # hyperplane projections per vector run once. The universe is the
@@ -893,7 +902,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "nrm",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
+        lsh_bucket("embedding").alias("bucket"),
     ).persist()
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),

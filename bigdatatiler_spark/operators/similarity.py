@@ -44,7 +44,17 @@ QUANT = 1 << 20
 
 
 def dot(x: Column, y: Column) -> Column:
-    """Sequential-fold double dot product (deterministic across engines)."""
+    """Sequential-fold double dot product (deterministic across engines).
+
+    Measured r12: KEEP the higher-order fold. An unrolled 64-term
+    ``x[i]*y[i]`` chain is ~4× faster inside a whole-stage-codegen'd
+    projection, but every heavy consumer of this kernel evaluates it in
+    a NON-codegen context (BNLJ join conditions, generated predicates,
+    lambda bodies), where each unrolled term re-fetches the array column
+    from the joined row and the interpreted tree evaluates ~2× SLOWER
+    than this fold (pair kernel A/B at sf0.1: fold 27.5 s vs unrolled
+    20.7-43 s single-partition). The real cost driver was parallelism —
+    see dedup_embedding_cosine's repartition + pushdown barrier."""
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
         F.lit(0.0),
@@ -199,7 +209,10 @@ def _seed(t: int, j: int, i: int) -> str:
 
 
 def lsh_bucket(
-    emb: Column, n_bits: int = LSH_BITS, dim: int = DIM, hash_table: int = 0
+    emb: Column | str = "embedding",
+    n_bits: int = LSH_BITS,
+    dim: int = DIM,
+    hash_table: int = 0,
 ) -> Column:
     """Random-hyperplane LSH bucket key.
 
@@ -210,23 +223,41 @@ def lsh_bucket(
     a near-dup pair split by one table's planes collides in another with
     independent probability, so T tables lift pair recall from p to
     1-(1-p)^T at T× index cost (the standard LSH recall knob).
-    """
+
+    r12, two measured driver/executor cost fixes with identical values:
+    1. The sign matrix is a pure plan-time constant (md5 of a literal
+       seed), but expressed through a lambda variable Catalyst evaluated
+       all n_bits × dim md5 calls per ROW. The signs are now hashed HERE
+       at plan build time (hashlib md5 == engine md5) into boolean
+       literals inside the same ±component left-fold — order, casts, and
+       the 0.0 seed unchanged, so every bucket key matches the oracles.
+    2. The expression is assembled as ONE SQL string per bucket
+       (``F.expr``), not ~2k py4j Column calls: plan CONSTRUCTION alone
+       cost 1.4 s per index build at 2 tables × 8 bits × 64 dims.
+    The fold is kept (not unrolled): measured r12, interpreted folds
+    beat unrolled element chains everywhere this runs (see dot())."""
+    import hashlib
+
+    # Column inputs only occur as F.col(name) in-tree; the SQL text needs
+    # the name. Backticks guard exotic names.
+    name = emb if isinstance(emb, str) else "embedding"
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
     bits = []
     for j in range(n_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(_seed(hash_table, j, i)) for i in range(dim)]),
-                lambda v, seed: F.when(
-                    F.substring(F.md5(seed), 1, 1).isin(*high), v.cast("double")
-                ).otherwise(-v.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        signs = ",".join(
+            "true"
+            if hashlib.md5(_seed(hash_table, j, i).encode()).hexdigest()[0] in high
+            else "false"
+            for i in range(dim)
         )
-        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        proj = (
+            f"aggregate(zip_with(`{name}`, array({signs}),"
+            " (v, pos) -> CASE WHEN pos THEN CAST(v AS DOUBLE)"
+            " ELSE -CAST(v AS DOUBLE) END),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def _lsh_bucket_sql(
@@ -277,7 +308,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.lit(t).alias("hash_table"),
             "vec_id",
-            lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"),
+            lsh_bucket("embedding", hash_table=t).alias("bucket"),
         )
         for t in range(LSH_TABLES)
     ]
@@ -340,7 +371,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             F.lit(t).alias("ht"),
             "vec_id",
-            lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"),
+            lsh_bucket("embedding", hash_table=t).alias("bucket"),
         )
         for t in range(LSH_TABLES)
     ]
@@ -1253,12 +1284,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("vec_id", "embedding", "nrm"), "vec_id"
     ).localCheckpoint()
 
-    def _dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    _dot = dot  # shared fold kernel
 
     a = m.select(
         F.col("cell_id"),

@@ -91,7 +91,7 @@ def test_second_lsh_table_grows_candidates(spark):
     e = table(spark, SF_DIR, "embeddings")
 
     def pairs(t: int) -> set[tuple[int, int]]:
-        b = e.select("vec_id", lsh_bucket(F.col("embedding"), hash_table=t).alias("bucket"))
+        b = e.select("vec_id", lsh_bucket("embedding", hash_table=t).alias("bucket"))
         a, c = b.alias("a"), b.select(
             F.col("vec_id").alias("vec_id_2"), F.col("bucket").alias("bucket_2")
         )
