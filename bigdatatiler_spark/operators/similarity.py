@@ -592,61 +592,97 @@ def kmeans_centroids(
     sort materialization; seeds are the first k of the same ranking, so
     seeds ⊂ sample). Below the cap the sample IS the corpus, so small-sf
     oracle runs are unchanged; at 100 TB training cost is a constant
-    while the *assignment* of the full corpus stays exact. Each round
-    ends in a k-row collect (like MLlib's KMeans, whose runAlgorithm
-    collects per-round cluster sums to the driver): the next round's
-    assignment starts from a literal k-row table instead of dragging the
-    training chain's join/agg lineage into one mega-plan — per-round
-    plans stay O(1). Pass ``cache_key`` (any hashable id of the corpus,
-    e.g. the sf_dir) to memoize the trained index process-wide: an IVF
-    index is built once and queried many times, and the centroid table
-    is k×DIM doubles of index metadata, not corpus data.
+    while the *assignment* of the full corpus stays exact. Pass
+    ``cache_key`` (any hashable id of the corpus, e.g. the sf_dir) to
+    memoize the trained index process-wide: an IVF index is built once
+    and queried many times, and the centroid table is k×DIM doubles of
+    index metadata, not corpus data.
 
-    Scale: assignment is broadcast-centroids × narrow map (no shuffle),
-    the update is one partial-agg shuffle on k cells per round; only
-    TRAIN_CAP + k·iters rows ever reach the driver."""
+    r12: the Lloyd rounds themselves run DRIVER-SIDE over the collected
+    sample. The old form ran each round as Spark jobs (assignment join +
+    a DIM-wide aggregate) over ≤512 rows, paying seconds of per-round
+    plan compile/codegen for kilobytes of data — 8-10 s per index build
+    at any sf. One TakeOrdered collect of the bounded sample (256 KB at
+    the cap — the same O(TRAIN_CAP) driver footprint the per-round
+    collects already accepted, the MLlib runAlgorithm move) plus a pure-
+    Python Lloyd is 0.4 s. Bit-equality with the old path is pinned by
+    tests/test_ann_recall.py::test_py_lloyd_matches_spark_lloyd: the
+    cosine fold is the same sequential left-fold, the quantized update
+    is order-independent integer addition, and ``_py_round6`` reproduces
+    Spark round(x, 6) (BigDecimal-of-shortest-repr, HALF_UP) exactly.
+
+    Scale: corpus-side work is unchanged — full-corpus assignment stays
+    the broadcast-centroids narrow map in nearest_cells; only the
+    TRAIN_CAP sample ever reaches the driver."""
     spark = base.sparkSession
     full_key = (cache_key, k, iters) if cache_key is not None else None
     data = _INDEX_CACHE.get(full_key) if full_key else None
     if data is None:
         seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        train = (
+        sample = (
             base.select("vec_id", "embedding", "nrm")
             .orderBy(*seed_order)
             .limit(TRAIN_CAP)
-            .persist()
+            .collect()
         )
-        seeds = train.orderBy(*seed_order).limit(k).collect()
-        data = []
-        for i, row in enumerate(seeds):
-            emb = [float(x) for x in row.embedding]
-            data.append((i, emb, _py_norm(emb)))
-        for _ in range(iters):
-            asg = nearest_cells(train, _cents_frame(spark, data))
-            # quantize each vector ONCE into an integer array, then sum
-            # plain elements — inlining floor(cast(...)) into all DIM
-            # aggregate expressions doubles the codegen size
-            sums = (
-                asg.join(train.select("vec_id", "embedding"), "vec_id")
-                .select(
-                    "cell_id",
-                    F.transform(
-                        "embedding", lambda x: F.floor(x.cast("double") * QUANT)
-                    ).alias("q"),
-                )
-                .groupBy("cell_id")
-                .agg(F.array(*[F.sum(F.col("q")[i]) for i in range(DIM)]).alias("s"))
-                .collect()
-            )
-            data = []
-            for row in sums:
-                emb = [float(v) for v in row.s]
-                data.append((row.cell_id, emb, _py_norm(emb)))
-            data.sort()
-        train.unpersist()
+        rows = [
+            ([float(x) for x in r.embedding], float(r.nrm)) for r in sample
+        ]
+        data = _py_lloyd(rows, k, iters)
         if full_key:
             _INDEX_CACHE[full_key] = data
     return _cents_frame(spark, data)
+
+
+def _py_round6(x: float) -> float:
+    """Driver-side mirror of Spark ``round(x, 6)`` on DOUBLE: BigDecimal
+    of the shortest decimal repr (Double.toString == Python repr on
+    JDK 19+/CPython), setScale(6, HALF_UP), back to double. The ``+ 0.0``
+    folds Decimal('-0.000000') to +0.0 — Spark's BigDecimal path has no
+    negative zero."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return (
+        float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        + 0.0
+    )
+
+
+def _py_lloyd(
+    rows: list[tuple[list[float], float]], k: int, iters: int
+) -> list[tuple[int, list[float], float]]:
+    """Pure-Python Lloyd over the bounded (emb, nrm) sample — the exact
+    computation the Spark/DuckDB training CTEs perform, value for value:
+    seeds are the first k sample rows; assignment is argmax of the
+    ROUNDED cosine (sequential left-fold dot, cell_id tiebreak — a total
+    order, and ``-cos`` never mixes ±0.0 because round() yields no -0.0);
+    the update is the order-independent integer sum of 2^-20-quantized
+    member components. Cells that lose all members drop out."""
+    data = [(i, list(emb), _py_norm(emb)) for i, (emb, _) in enumerate(rows[:k])]
+    for _ in range(iters):
+        sums: dict[int, list[int]] = {}
+        for emb, nrm in rows:
+            best = None
+            for cell_id, cent, cnrm in data:
+                acc = 0.0
+                for a, b in zip(emb, cent):
+                    acc = acc + a * b
+                key = (-_py_round6(acc / (nrm * cnrm)), cell_id)
+                if best is None or key < best:
+                    best = key
+            cid = best[1]
+            q = [math.floor(x * QUANT) for x in emb]
+            if cid in sums:
+                s = sums[cid]
+                for i, v in enumerate(q):
+                    s[i] += v
+            else:
+                sums[cid] = q
+        data = sorted(
+            (cid, [float(v) for v in s], _py_norm([float(v) for v in s]))
+            for cid, s in sums.items()
+        )
+    return data
 
 
 def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:

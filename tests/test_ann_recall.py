@@ -240,3 +240,67 @@ def test_semantic_cells_recall_vs_bruteforce_pairs(spark):
     assert pruned <= prunable
     recall = len(pruned) / len(prunable)
     assert recall > 2.0 / N_CELLS, (recall, len(prunable))
+
+
+def test_py_lloyd_matches_spark_lloyd(spark):
+    """The r12 driver-side Lloyd must be value-identical to the Spark
+    expression pipeline it replaced (and that the DuckDB oracle still
+    replays): same seeds, same rounded-cosine assignment with cell_id
+    tiebreak, same quantized integer centroid update. This re-runs the
+    ORIGINAL per-round Spark jobs over the same sample and compares the
+    trained table bit for bit."""
+    from pyspark.sql import functions as F
+
+    import bigdatatiler_spark.operators.similarity as S
+    from bigdatatiler_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_CELLS,
+        TRAIN_CAP,
+        _cents_frame,
+        _py_norm,
+        kmeans_centroids,
+        nearest_cells,
+        nz_base,
+    )
+    from bigdatatiler_spark.tables import table
+
+    base = nz_base(table(spark, SF_DIR, "embeddings"))
+    seed_order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    train = (
+        base.select("vec_id", "embedding", "nrm")
+        .orderBy(*seed_order)
+        .limit(TRAIN_CAP)
+        .persist()
+    )
+    seeds = train.orderBy(*seed_order).limit(N_CELLS).collect()
+    data = []
+    for i, row in enumerate(seeds):
+        emb = [float(x) for x in row.embedding]
+        data.append((i, emb, _py_norm(emb)))
+    for _ in range(KMEANS_ITERS):
+        asg = nearest_cells(train, _cents_frame(spark, data))
+        sums = (
+            asg.join(train.select("vec_id", "embedding"), "vec_id")
+            .select(
+                "cell_id",
+                F.transform(
+                    "embedding", lambda x: F.floor(x.cast("double") * S.QUANT)
+                ).alias("q"),
+            )
+            .groupBy("cell_id")
+            .agg(F.array(*[F.sum(F.col("q")[i]) for i in range(S.DIM)]).alias("s"))
+            .collect()
+        )
+        data = []
+        for row in sums:
+            emb = [float(v) for v in row.s]
+            data.append((row.cell_id, emb, _py_norm(emb)))
+        data.sort()
+    train.unpersist()
+
+    S._INDEX_CACHE.clear()
+    got = sorted(
+        (r.cell_id, [float(v) for v in r.cent_emb], float(r.cent_nrm))
+        for r in kmeans_centroids(base).collect()
+    )
+    assert got == data, "driver-side Lloyd diverged from the Spark rounds"
