@@ -21,6 +21,24 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: Configuration applied to every session we build, and (where runtime-settable)
 #: re-applied to sessions handed to us by the driver harness.
 ENGINE_CONF: dict[str, str] = {
+    # Headless by default (r12, measured): the live-UI status listeners
+    # (AppStatusListener + SQLAppStatusListener) process every task/stage/
+    # plan-graph event of every query; across a long multi-query session
+    # that bookkeeping compounds into 2-4× per-query inflation late in the
+    # run (full 230-query bench at sf0.1: 434 s UI-on → 322 s UI-off on
+    # the same box, budget violations 19 → 3, total GC pause 3 s — so the
+    # cost is listener work, not memory pressure). A batch engine serving
+    # queries needs the event-log/history-server path for debugging, not a
+    # live UI; set SPARK_GRAFT_UI=1 to turn the UI back on for interactive
+    # work. The retained-object caps bound status-store growth for
+    # sessions where the UI IS on (or handed to us by a driver, where
+    # static conf can't be changed).
+    "spark.ui.enabled": "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "2000",
+    "spark.sql.ui.retainedExecutions": "20",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
