@@ -161,7 +161,10 @@ def tile_bytecap(
         )
         .withColumn("zipped", zip_payload(F.col("chunk"), entry))
         .withColumn("zip_bytes", F.length("zipped"))
-        .localCheckpoint()
+        # eager=False: the plan cut applies immediately; the archive blocks
+        # materialize inside round 1's residue count instead of a separate
+        # up-front job (r12: one fewer job per fixpoint pass)
+        .localCheckpoint(eager=False)
     )
     # null payloads ride the unsplit path (single row, null chunk/zip)
     fits = whole.where(
@@ -201,7 +204,7 @@ def tile_bytecap(
         z = (
             state.withColumn("zipped", zip_payload(F.col("chunk"), entry))
             .withColumn("zip_bytes", F.length("zipped"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_cc = F.greatest(
             F.floor(
@@ -216,8 +219,8 @@ def tile_bytecap(
             )
         )
         bad = z.where(needs_resplit)
-        # count() over the checkpointed z: a cheap metadata-sized scan of
-        # already-materialized archives (localCheckpoint above is eager).
+        # count() over the checkpointed z doubles as its materializing job
+        # (the lazy checkpoint's blocks persist during this scan).
         # Still a 1-long driver result, never a data collect.
         if bad.count() == 0:
             break

@@ -101,7 +101,15 @@ def connected_components(
     _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+        # eager=False: the checkpoint cut (LogicalRDD plan truncation) is
+        # applied immediately, but block materialization folds into the
+        # round's convergence action instead of a separate job — one job
+        # per round, not two (r12 optimization; semantics identical)
+        return (
+            df.localCheckpoint(eager=False)
+            if lineage_cut == "local"
+            else df.checkpoint()
+        )
 
     fwd = edges.select(
         F.col(node_col_a).alias("src"), F.col(node_col_b).alias("dst")
@@ -134,7 +142,9 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
         )
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        # full count, not limit(1): the scan doubles as the lazy
+        # checkpoint's materializing job over every partition
+        changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -172,7 +182,15 @@ def connected_components_star(
     _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+        # eager=False: the checkpoint cut (LogicalRDD plan truncation) is
+        # applied immediately, but block materialization folds into the
+        # round's convergence action instead of a separate job — one job
+        # per round, not two (r12 optimization; semantics identical)
+        return (
+            df.localCheckpoint(eager=False)
+            if lineage_cut == "local"
+            else df.checkpoint()
+        )
 
     def sig(df: DataFrame) -> tuple:
         """Cheap set signature (count, Σ xxhash64 as exact decimal) for the
@@ -211,11 +229,13 @@ def connected_components_star(
             .agg(F.min("dst").alias("mn"))
             .select("src", F.least("src", "mn").alias("m"))
         )
+        # no .distinct() here (r12): min-aggregation below is duplicate-
+        # insensitive and new_e re-distincts, so the extra (src, dst)
+        # exchange bought nothing — one fewer shuffle per round
         large = (
             sym.join(mins, "src")
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
         )
         # small-star over larger→smaller edges: re-point each parent set
         # P(u) at min(P(u)) and keep (u, min(P(u)))
@@ -364,7 +384,7 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-clusters costs the contraction two nodes, not two clusters."""
     from .dedup import INCREMENTAL_BATCH_MOD
 
-    edges = _band_edges(spark, sf_dir).localCheckpoint()
+    edges = _band_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     def is_new(c: str):
         return F.col(c) % INCREMENTAL_BATCH_MOD == 0
@@ -793,7 +813,15 @@ def bfs_hops(
     _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+        # eager=False: the checkpoint cut (LogicalRDD plan truncation) is
+        # applied immediately, but block materialization folds into the
+        # round's convergence action instead of a separate job — one job
+        # per round, not two (r12 optimization; semantics identical)
+        return (
+            df.localCheckpoint(eager=False)
+            if lineage_cut == "local"
+            else df.checkpoint()
+        )
 
     fwd = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     both = cut(
@@ -815,7 +843,8 @@ def bfs_hops(
             .where(F.col("old").isNull() | (F.col("hops") < F.col("old")))
             .select("node", "hops")
         )
-        if improved.limit(1).count() == 0:
+        # full count: materializes the lazy checkpoint in the same job
+        if improved.count() == 0:
             break
         dist = cut(
             dist.union(improved).groupBy("node").agg(F.min("hops").alias("hops"))
@@ -896,7 +925,15 @@ def kcore_peel(
     _validate_lineage_cut(edges, lineage_cut)
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if lineage_cut == "local" else df.checkpoint()
+        # eager=False: the checkpoint cut (LogicalRDD plan truncation) is
+        # applied immediately, but block materialization folds into the
+        # round's convergence action instead of a separate job — one job
+        # per round, not two (r12 optimization; semantics identical)
+        return (
+            df.localCheckpoint(eager=False)
+            if lineage_cut == "local"
+            else df.checkpoint()
+        )
 
     fwd = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     sym = cut(

@@ -1318,7 +1318,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (13 exchanges audited; 6 with the cut)
     m = cells.join(
         base.select("vec_id", "embedding", "nrm"), "vec_id"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     _dot = dot  # shared fold kernel
 
