@@ -338,11 +338,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     murmur3) keeps signatures engine-portable.
 
     The shingle frame feeds three plan branches (bands + both sides of
-    the verification join) and the band frame two (self-join) — persist
-    both so shingling/minhashing runs once, not 3×/2×; at 100 TB these
-    become staged intermediate tables (write once, read per branch)."""
-    sh = _shingled(spark, sf_dir).persist()
-    bands = minhash_bands(sh).persist()
+    the verification join) and the band frame two (self-join) — both are
+    cached via lazy local checkpoint so shingling/minhashing runs once,
+    not 3×/2× (and the lineage cut keeps every consumer's plan flat); at
+    100 TB these become staged intermediate tables (write once, read per
+    branch)."""
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    bands = minhash_bands(sh).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -424,10 +426,11 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not persist (r10 ADVICE): both frames are read
     # twice (bands self-join, sh re-joined per side); a bare persist
     # accumulates cached blocks across queries in a long-lived session
-    # with no unpersist hook, while the checkpoint blocks are released
-    # by the session-level persistent-RDD sweep like the kernels'.
-    sh = _shingled(spark, sf_dir).localCheckpoint()
-    bands = capped_bands(minhash_bands(sh)).localCheckpoint()
+    # with no unpersist hook, while checkpoint blocks are released once
+    # the RDD is unreferenced. eager=False folds materialization into
+    # the first consuming job (r12).
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    bands = capped_bands(minhash_bands(sh)).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -510,8 +513,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join broadcasts when the batch is small. Here both roles are
     carved from the documents table (doc_id mod {INCREMENTAL_BATCH_MOD})
     so the oracle can replay the split."""
-    sh = _shingled(spark, sf_dir).persist()
-    bands = minhash_bands(sh).persist()
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    bands = minhash_bands(sh).localCheckpoint(eager=False)
     is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
     cand = (
         bands.where(is_batch)
@@ -592,7 +595,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count — no corpus shuffle except the doc_id aggregate, which
     map-side combines. Here the benchmark role is doc_id mod
     {DECONTAM_BENCH_MOD} so the oracle replays the split."""
-    sh = _shingled(spark, sf_dir).persist()
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bgrams = (
         sh.where(is_bench).select(F.explode("sh").alias("gram")).distinct()
@@ -892,8 +895,9 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import dot as _dot  # shared fold kernel
 
-    # both sides of the self-join read this frame — persist so the 8
-    # hyperplane projections per vector run once. The universe is the
+    # both sides of the self-join read this frame — cache it (lazy
+    # local checkpoint) so the 8 hyperplane projections per vector run
+    # once. The universe is the
     # SHARED nz_base (zero-norm, non-finite, huge-component vectors
     # excluded) — an inline copy of the filter here silently drifted
     # from the oracle's _EMB_NZ when fuzz round 4 added the
@@ -903,7 +907,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "nrm",
         lsh_bucket("embedding").alias("bucket"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
@@ -1053,7 +1057,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning at the join; verification touches candidates only. Every
     shuffle keys on token or doc_id. All-integer thresholds end to end."""
     tn, td = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
-    sh = _shingled(spark, sf_dir).persist()
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     tok = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("t"))
@@ -1161,7 +1165,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", "lang", "source", shingles.alias("sh"))
         .withColumn("n", F.size("sh"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ex = d.select("doc_id", "lang", "source", "n", F.explode("sh").alias("s"))
     sdf = ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -1270,8 +1274,8 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed the band self-join plus two equi-joins back — the same staged
     shape as dedup_minhash_lsh with one extra broadcast-sized join."""
     k = MINHASH_GROUPS * MINHASH_SLICES
-    sh = _shingled(spark, sf_dir).persist()
-    sigs = minhash_sigs(sh).persist()
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = minhash_sigs(sh).localCheckpoint(eager=False)
     bands = minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

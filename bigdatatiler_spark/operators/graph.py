@@ -58,7 +58,7 @@ def _band_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh's candidate stage)."""
     from .dedup import _shingled
 
-    bands = minhash_bands(_shingled(spark, sf_dir)).persist()
+    bands = minhash_bands(_shingled(spark, sf_dir)).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -401,11 +401,11 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small-SF fixture is a single parquet split, which would serialize
     # it on one core AND recompute it per self-join side. Split-normalize
     # (conditional — no exchange on a corpus that already has splits) and
-    # persist: one distributed hash pass, read twice. (At 100 TB the hash
+    # cache (lazy local checkpoint): one distributed hash pass, read twice. (At 100 TB the hash
     # rides the decode stage — ahash_bands_stub.)
     from ._util import ensure_parallelism
 
-    bands = ahash_bands(ensure_parallelism(docs)).persist()
+    bands = ahash_bands(ensure_parallelism(docs)).localCheckpoint(eager=False)
     e = bands.select(
         "doc_id", "bands", F.posexplode("bands").alias("k", "v")
     )
@@ -646,7 +646,7 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
                 rows.append((d, [(code >> (8 * k)) & 255 for k in range(8)]))
             yield pd.DataFrame(rows, columns=["doc_id", "bands"])
 
-    bands = docs.mapInPandas(_hash, _BANDS_SCHEMA).persist()
+    bands = docs.mapInPandas(_hash, _BANDS_SCHEMA).localCheckpoint(eager=False)
     e = bands.select("doc_id", "bands", F.posexplode("bands").alias("k", "v"))
     a = e.select(
         F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"), "k", "v"

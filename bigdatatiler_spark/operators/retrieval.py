@@ -248,7 +248,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings frame once instead of re-running the explode+agg per branch
     # (split normalization measured: no win here — the agg pipeline, not
     # the explode, bounds this query)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = F.broadcast(
         dl.agg(
@@ -380,7 +380,7 @@ def _trigram_candidates(docs: DataFrame, patterns, n_rare: int = TRIGRAM_N_RARE)
     postings = ensure_parallelism(docs).select(
         "doc_id", F.explode(_char_trigrams("text")).alias("tg")
     )
-    hits = postings.join(F.broadcast(pats), "tg").persist()
+    hits = postings.join(F.broadcast(pats), "tg").localCheckpoint(eager=False)
     tgdf = hits.groupBy("pattern", "tg").agg(F.count("*").alias("df"))
     w = Window.partitionBy("pattern").orderBy(F.asc("df"), F.asc("tg"))
     rare = F.broadcast(

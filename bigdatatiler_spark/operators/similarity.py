@@ -366,7 +366,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow hashing + one equi-join + the per-candidate kernel — no
     all-pairs anywhere."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).persist()
+    base = nz_base(e).localCheckpoint(eager=False)
     per_table = [
         base.select(
             F.lit(t).alias("ht"),
@@ -378,7 +378,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = per_table[0]
     for frame in per_table[1:]:
         idx = idx.unionByName(frame)
-    idx = idx.persist()
+    idx = idx.localCheckpoint(eager=False)
     q_idx = idx.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "ht", "bucket"
     )
@@ -765,7 +765,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     off via nprobe (join against the n nearest cells instead of 1) and
     is pinned vs the brute-force kernel in tests/test_ann_recall.py."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).persist()
+    base = nz_base(e).localCheckpoint(eager=False)
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
@@ -835,7 +835,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1 plus one more row per query in the probe table; candidates
     from both probes rank in a single window."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).persist()
+    base = nz_base(e).localCheckpoint(eager=False)
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     qprobes = nearest_cells(
         base.where(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE

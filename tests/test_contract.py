@@ -236,3 +236,21 @@ def test_no_oracle_names_stay_out_of_window():
     ledger = build_ledger(REPO)
     assert sorted(no_oracle) == ledger["no_oracle_excluded"]
     assert not no_oracle & set(ledger["never_certified"])
+
+
+def test_no_bare_persist_in_package():
+    """r11 verdict item 3: a bare ``.persist()`` accumulates CacheManager
+    entries across queries in a long-lived session with no unpersist
+    hook. Shared intermediates cache via ``localCheckpoint(eager=False)``
+    instead (same reuse, plus a lineage cut, plus block release when the
+    RDD is dereferenced) — pin that the pattern stays out."""
+    import glob
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "bigdatatiler_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if ".persist()" in line.split("#")[0]:
+                    offenders.append(f"{os.path.relpath(path, pkg)}:{i}")
+    assert not offenders, f"bare persist() sites: {offenders}"
