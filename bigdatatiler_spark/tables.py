@@ -145,6 +145,20 @@ def _as_timestamp(name: str, col: str, dt: DataType) -> Column | None:
 #: lookup.
 _LAYOUT_CACHE: dict[tuple[str, int, int], str] = {}
 
+#: bound for the module-level metadata caches (r11 verdict item 7): keys
+#: carry (mtime, size), so every fixture regeneration strands the old
+#: generation's entries for the life of the process. Entries are tiny,
+#: but unbounded monotone growth is still a leak — evict
+#: oldest-inserted past the cap (dicts are insertion-ordered; re-derived
+#: entries are cheap driver-side metadata reads).
+_CACHE_CAP = 256
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    while len(cache) >= _CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
 
 def _readable_path(path: str) -> str:
     import tempfile
@@ -195,7 +209,7 @@ def _readable_path(path: str) -> str:
                 cached = dst
             else:
                 cached = f
-            _LAYOUT_CACHE[key] = cached
+            _cache_put(_LAYOUT_CACHE, key, cached)
         if cached != f:
             # any transcoded member → point the scan at a rebuilt dir/file
             out = None
@@ -301,7 +315,7 @@ def _union_read_schema(path: str) -> "StructType | None":
         out = from_arrow_schema(
             pa.unify_schemas(schemas, promote_options="permissive")
         )
-    _SCHEMA_UNION_CACHE[key] = out
+    _cache_put(_SCHEMA_UNION_CACHE, key, out)
     return out
 
 
