@@ -331,13 +331,30 @@ def old_labels_path(
     ann_ivf_index_build split: one-time index cost vs per-ingest cost)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from .dedup import INCREMENTAL_BATCH_MOD
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc_path)
-    key = (os.path.abspath(doc_path), st.st_mtime_ns, st.st_size)
+    # key on the sorted per-member (path, mtime_ns, size) list, not the
+    # top-level stat (r11 ADVICE): rewriting members of a DIRECTORY-shaped
+    # fixture in place does not change the directory's own mtime/size, so
+    # the old key silently served stale labels after a regeneration —
+    # the exact class _readable_path's member signature already covers.
+    members = (
+        sorted(
+            os.path.join(doc_path, f)
+            for f in os.listdir(doc_path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(doc_path)
+        else [doc_path]
+    )
+    key = sorted(
+        (os.path.abspath(f), os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in members
+    )
     sig = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"bdt_cc_labels_{sig}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -345,9 +362,19 @@ def old_labels_path(
             edges = _band_edges(spark, sf_dir)
         old = F.col("a") % INCREMENTAL_BATCH_MOD != 0
         old_edges = edges.where(old & (F.col("b") % INCREMENTAL_BATCH_MOD != 0))
+        # write to a unique temp dir, then atomically rename into place
+        # (r11 ADVICE): two concurrent runs that both miss _SUCCESS no
+        # longer overwrite each other's half-read store; the loser's
+        # rename fails on the existing dir and its copy is swept.
+        tmp = f"{path}.build.{os.getpid()}"
         connected_components_star(old_edges, "a", "b").select(
             F.col("node"), F.col("cluster_id").alias("rep")
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent builder won the rename; use its store
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

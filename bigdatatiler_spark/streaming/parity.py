@@ -569,8 +569,32 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _state_parts(parent: str, exclude_bid: int | None = None) -> list:
+    """Readable pieces of one near-dedup state table: loose parquet part
+    files (legacy append mode) plus ``bid_<n>`` batch subdirs, excluding
+    the current batch's own subdir so a REDELIVERED batch reconstructs
+    exactly the pre-batch view of the index (r11 ADVICE: idempotence)."""
+    import os
+
+    if not os.path.isdir(parent):
+        return []
+    out = []
+    for name in sorted(os.listdir(parent)):
+        full = os.path.join(parent, name)
+        if os.path.isdir(full) and name.startswith("bid_"):
+            if exclude_bid is not None and name == f"bid_{exclude_bid}":
+                continue
+            out.append(full)
+        elif name.endswith(".parquet"):
+            out.append(full)
+    return out
+
+
 def neardedup_apply_batch(
-    spark: SparkSession, state_dir: str, batch: DataFrame
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int | None = None,
 ) -> None:
     """Fold ONE micro-batch of documents into the near-dedup state under
     ``state_dir`` (the bucket-occupancy index: ``ids/`` seen doc_ids,
@@ -581,9 +605,14 @@ def neardedup_apply_batch(
     is emitted in the batch where its LATER-ARRIVING member lands —
     within-batch pairs via the banded self-join (doc_id_1 < doc_id_2),
     cross pairs via new-bands ⋈ index-bands. Both docs old → already
-    emitted. Redelivery-idempotent: arriving doc_ids already in ``ids/``
-    are dropped up front (first arrival wins), so an at-least-once source
-    replaying a whole batch appends nothing.
+    emitted. Redelivery-idempotent two ways: arriving doc_ids already in
+    ``ids/`` are dropped up front (first arrival wins), and — when the
+    caller passes the foreachBatch ``batch_id`` — every state write lands
+    in a ``bid_<n>`` subdir with OVERWRITE semantics while reads exclude
+    the current batch's own subdir, so even a batch that failed BETWEEN
+    its four state writes replays to the identical post-batch state
+    (r11 ADVICE: the append-mode path alone re-emitted pairs when a
+    retry arrived after ``results/`` but before ``ids/`` was written).
 
     Scale: per batch the work is O(batch-bands ⋈ index-bands) — an
     equi-join on the uniform (band_id, band_key) hash key, exactly
@@ -605,10 +634,14 @@ def neardedup_apply_batch(
     bands_p = os.path.join(state_dir, "bands")
     res_p = os.path.join(state_dir, "results")
 
+    ids_parts = _state_parts(ids_p, batch_id)
+    bands_parts = _state_parts(bands_p, batch_id)
+    sh_parts = _state_parts(sh_p, batch_id)
+
     new = batch.select("doc_id", "text")
-    have_index = os.path.isdir(ids_p)
+    have_index = bool(ids_parts)
     if have_index:
-        new = new.join(spark.read.parquet(ids_p), "doc_id", "left_anti")
+        new = new.join(spark.read.parquet(*ids_parts), "doc_id", "left_anti")
     # localCheckpoint: each frame feeds 2-3 branches below; the batch is
     # bounded (one source file), so eager materialization is cheap and
     # keeps the per-batch plan flat instead of re-shingling per branch
@@ -628,8 +661,8 @@ def neardedup_apply_batch(
             F.col("b.doc_id").alias("doc_id_2"),
         )
     )
-    if have_index and os.path.isdir(bands_p):
-        n, o = bands_new.alias("n"), spark.read.parquet(bands_p).alias("o")
+    if have_index and bands_parts:
+        n, o = bands_new.alias("n"), spark.read.parquet(*bands_parts).alias("o")
         cross = (
             n.join(
                 o,
@@ -645,8 +678,8 @@ def neardedup_apply_batch(
     cand = cand.distinct()
 
     all_sh = sh_new
-    if have_index and os.path.isdir(sh_p):
-        all_sh = all_sh.unionByName(spark.read.parquet(sh_p))
+    if have_index and sh_parts:
+        all_sh = all_sh.unionByName(spark.read.parquet(*sh_parts))
     pairs = cand.join(
         all_sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1")),
         "doc_id_1",
@@ -663,18 +696,32 @@ def neardedup_apply_batch(
     out = pairs.select("doc_id_1", "doc_id_2", jaccard).where(
         F.col("jaccard_e6") >= int(MINHASH_THRESHOLD * 1000000)
     )
-    out.write.mode("append").parquet(res_p)
-    sh_new.write.mode("append").parquet(sh_p)
-    bands_new.write.mode("append").parquet(bands_p)
-    new.select("doc_id").write.mode("append").parquet(ids_p)
+    if batch_id is None:
+        # legacy append path (direct callers without a batch id): whole-
+        # batch redelivery is still idempotent via the ids/ anti-join
+        out.write.mode("append").parquet(res_p)
+        sh_new.write.mode("append").parquet(sh_p)
+        bands_new.write.mode("append").parquet(bands_p)
+        new.select("doc_id").write.mode("append").parquet(ids_p)
+    else:
+        sub = f"bid_{batch_id}"
+        out.write.mode("overwrite").parquet(os.path.join(res_p, sub))
+        sh_new.write.mode("overwrite").parquet(os.path.join(sh_p, sub))
+        bands_new.write.mode("overwrite").parquet(os.path.join(bands_p, sub))
+        new.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(ids_p, sub)
+        )
 
 
 def _read_neardedup_results(spark: SparkSession, state_dir: str) -> DataFrame:
     import os
 
     res_p = os.path.join(state_dir, "results")
+    parts = _state_parts(res_p)
     try:
-        df = spark.read.parquet(res_p)
+        if not parts:
+            raise ValueError("no results yet")
+        df = spark.read.parquet(*parts)
         if not df.columns:
             raise ValueError("empty results dir")
         return df
@@ -721,14 +768,25 @@ def docs_streaming_neardedup_parity(
     src = stream_documents(spark, sf_dir)
     q = (
         src.writeStream.foreachBatch(
-            lambda bdf, _bid: neardedup_apply_batch(spark, state_dir, bdf)
+            lambda bdf, bid: neardedup_apply_batch(
+                spark, state_dir, bdf, batch_id=bid
+            )
         )
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     q.stop()
-    return _read_neardedup_results(spark, state_dir)
+    # materialize the (pair-list-sized) result off the state dir, then
+    # remove it: every invocation used to leak a corpus-scale directory
+    # of shingle sets/bands/results in /tmp (r11 ADVICE). The EAGER
+    # checkpoint is required — the returned frame must not reference the
+    # deleted parquet paths.
+    import shutil
+
+    out = _read_neardedup_results(spark, state_dir).localCheckpoint()
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
 
 
 _SINK8 = "streaming_parity_quality"

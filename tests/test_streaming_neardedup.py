@@ -137,3 +137,33 @@ def test_conflicting_id_first_arrival_wins(spark, tmp_path):
     # (its FIRST payload's family), never with doc 3 (the second's)
     assert all(not ({p[0], p[1]} == {2, 3}) for p in got)
     assert any({p[0], p[1]} == {1, 2} for p in got)
+
+
+def test_midbatch_failure_redelivery_is_exact(spark, split_sf_dir, tmp_path):
+    """r11 ADVICE: a batch that fails BETWEEN its state writes (results/
+    written, ids/ not yet) used to re-emit all its pairs on redelivery —
+    the anti-join could not drop them. With batchId-keyed subdir writes,
+    replaying the batch overwrites its own partial state and lands on the
+    identical final pair set."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    docs = spark.read.parquet(
+        os.path.join(split_sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    b1 = docs.where("doc_id % 3 = 0")
+    b2 = docs.where("doc_id % 3 <> 0")
+
+    neardedup_apply_batch(spark, state, b1, batch_id=0)
+    # simulate the mid-batch crash: batch 1's results landed but its
+    # ids/sh/bands did not (the exact ordering hole the ADVICE named)
+    neardedup_apply_batch(spark, state, b2, batch_id=1)
+    import shutil
+
+    for sub in ("ids", "sh", "bands"):
+        shutil.rmtree(os.path.join(state, sub, "bid_1"))
+    # redelivery of batch 1 (at-least-once): must overwrite, not append
+    neardedup_apply_batch(spark, state, b2, batch_id=1)
+
+    final = _pair_set(_read_neardedup_results(spark, state))
+    want = _pair_set(load_all()["dedup_minhash_lsh"].fn(spark, split_sf_dir))
+    assert final == want
