@@ -275,7 +275,10 @@ def tile_bytecap(
 
 
 def reassemble(
-    chunks_df: DataFrame, id_col: str, parent_col: str = "parent_id"
+    chunks_df: DataFrame,
+    id_col: str,
+    parent_col: str | None = "parent_id",
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Inverse of :func:`tile` — ordered merge of chunk chains.
 
@@ -283,8 +286,21 @@ def reassemble(
     unsplit rows), sorts chunks by ``split_index`` *inside* the aggregate
     (array_sort over collected structs — never bare collect_list, which has
     no ordering guarantee across partitions), and concatenates.
-    """
-    record_id = F.coalesce(F.col(parent_col), F.col(id_col))
+
+    ``parent_col=None`` (r12): for chunk frames whose every row already
+    carries the record id in ``id_col`` (``tile``/``tile_bytecap`` output,
+    where ``parent_id`` is id-or-null by construction), group on ``id_col``
+    directly — value-identical to the coalesce key, but Catalyst can then
+    PROVE the grouping matches the upstream window partitioning and skip
+    the second exchange. ``extra_aggs`` folds additional per-record
+    aggregates (e.g. ``max(zip_bytes)`` for cap validation) into the same
+    groupBy instead of a second aggregation pass + join over the chunk
+    frame."""
+    record_id = (
+        F.col(id_col)
+        if parent_col is None
+        else F.coalesce(F.col(parent_col), F.col(id_col))
+    )
     return (
         chunks_df.groupBy(record_id.alias("record_id"))
         .agg(
@@ -297,5 +313,6 @@ def reassemble(
             ).alias("payload"),
             F.count("*").alias("n_chunks"),
             F.max("total_splits").alias("total_splits"),
+            *[c.alias(n) for n, c in (extra_aggs or {}).items()],
         )
     )

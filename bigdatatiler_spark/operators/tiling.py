@@ -153,15 +153,21 @@ def doc_tile_bytecap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_floor=BYTECAP_FIRST_FLOOR,
         resplit_floor=BYTECAP_RESPLIT_FLOOR,
     )
-    merged = reassemble(tiled, id_col="doc_id")
-    caps = tiled.groupBy(F.col("doc_id").alias("record_id")).agg(
-        F.max("zip_bytes").alias("max_zip")
+    # One aggregation pass (r12): reassembly keyed on doc_id directly
+    # (every tile_bytecap leaf carries it; parent_id is id-or-null), so
+    # the groupBy reuses the renumber window's hash partitioning — no
+    # second exchange — and max(zip_bytes) rides the same aggregate
+    # instead of a separate caps pass + join that replayed the whole
+    # union+window subtree a second time. Plan: 2× (union+window) +
+    # 2 aggregates + 1 join → 1× union+window + 1 aggregate.
+    merged = reassemble(
+        tiled,
+        id_col="doc_id",
+        parent_col=None,
+        extra_aggs={"max_zip": F.max("zip_bytes")},
     )
-    return (
-        merged.join(caps, "record_id")
-        .select(
-            "record_id",
-            F.md5("payload").alias("payload_md5"),
-            F.when(F.col("max_zip") <= BYTECAP, 1).otherwise(0).alias("within_cap"),
-        )
+    return merged.select(
+        "record_id",
+        F.md5("payload").alias("payload_md5"),
+        F.when(F.col("max_zip") <= BYTECAP, 1).otherwise(0).alias("within_cap"),
     )
