@@ -656,24 +656,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.split(_norm_col(), " "), lambda t: F.md5(t)).alias("hashes"),
     )
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-    def _bit_sum(j: int) -> Column:
-        # closure factory (see dedup_minhash_lsh): j must not appear in the
-        # lambda signature or pyspark binds it as a lambda variable
-        pos = j + 1
-        return F.aggregate(
-            "hashes",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, pos, 1).isin(*high), 1).otherwise(-1),
-        )
-
-    bit_cols = [_bit_sum(j).alias(f"b{j}") for j in range(32)]
-    bits = hashed.select("doc_id", *bit_cols)
+    # ONE fold with a 32-wide accumulator (r12, measured 3.3 → 2.4 s at
+    # sf0.1): the previous shape ran 32 separate interpreted aggregate()
+    # folds, each re-walking the whole hash array per doc. The digit
+    # high-bit test is `>= '8'` — md5() emits lowercase hex, where
+    # {8,9,a..f} are exactly the code points ≥ '8' — bit-identical to the
+    # isin() form (0 mismatches over the corpus, oracle-pinned).
+    sums = F.aggregate(
+        "hashes",
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda i: F.when(
+                    F.substring(h, i, 1) >= F.lit("8"), 1
+                ).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = hashed.select("doc_id", sums.alias("s"))
     value = None
     for j in range(32):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at(F.col("s"), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
         value = term if value is None else value + term
     return bits.select("doc_id", value.cast("bigint").alias("simhash"))
 

@@ -35,6 +35,51 @@ from ..session import tune_session
 _SINK = "streaming_parity_hourly"
 
 
+def _source_bytes(sf_dir: str) -> int:
+    import os
+
+    total = 0
+    for name in ("events.parquet", "documents.parquet"):
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def _state_scaled_shuffle(spark: SparkSession, sf_dir: str):
+    """Context manager: run a streaming query with the state-store
+    partition count sized to the SOURCE VOLUME, not the core count.
+
+    A stateful streaming operator creates — and commits, every
+    micro-batch — one state store per shuffle partition (a stream-stream
+    join keeps FOUR per partition), so partitions far in excess of the
+    state volume turn each batch into pure state-store file churn:
+    measured at sf0.1, the stream-stream join parity query runs 8.0 s at
+    the session default 32 partitions vs 4.0 s at 4, identical results.
+    The rule max(4, source_bytes // 64 MB) is scale-adaptive — the
+    fixture lands on the floor; a 100 TB source yields thousands of
+    state partitions — and the session default is restored afterwards
+    (every query path re-tunes via tune_session anyway)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        n = max(4, _source_bytes(sf_dir) // (64 * 1024 * 1024))
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with the same dtype
     adaptivity as ``tables.table`` (the fixture's ts encoding has changed
@@ -142,15 +187,16 @@ def events_streaming_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFram
             "cents",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK)
 
 
@@ -193,15 +239,16 @@ def events_streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFra
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK2)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SINK2)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK2)
 
 
@@ -277,15 +324,16 @@ def events_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFra
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK3)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SINK3)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK3)
 
 
@@ -336,15 +384,16 @@ def events_streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("p_ts")).alias("p_ms"),
         F.unix_millis(F.col("c_ts")).alias("c_ms"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(_SINK4)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(_SINK4)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK4)
 
 
@@ -388,15 +437,16 @@ def events_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     dd = ev.dropDuplicates()
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(_SINK5)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(_SINK5)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK5)
 
 
@@ -521,15 +571,16 @@ def events_streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        folded.writeStream.format("memory")
-        .queryName(_SINK6)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            folded.writeStream.format("memory")
+            .queryName(_SINK6)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     sink = spark.table(_SINK6)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -766,17 +817,18 @@ def docs_streaming_neardedup_parity(
 
     state_dir = tempfile.mkdtemp(prefix="bdt_neardedup_")
     src = stream_documents(spark, sf_dir)
-    q = (
-        src.writeStream.foreachBatch(
-            lambda bdf, bid: neardedup_apply_batch(
-                spark, state_dir, bdf, batch_id=bid
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            src.writeStream.foreachBatch(
+                lambda bdf, bid: neardedup_apply_batch(
+                    spark, state_dir, bdf, batch_id=bid
+                )
             )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+        q.awaitTermination()
+        q.stop()
     # materialize the (pair-list-sized) result off the state dir, then
     # remove it: every invocation used to leak a corpus-scale directory
     # of shingle sets/bands/results in /tmp (r11 ADVICE). The EAGER
@@ -813,13 +865,14 @@ def docs_streaming_quality_parity(
 
     docs = stream_documents(spark, sf_dir)
     scored = quality_frame(docs)
-    q = (
-        scored.writeStream.format("memory")
-        .queryName(_SINK8)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _state_scaled_shuffle(spark, sf_dir):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(_SINK8)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(_SINK8)
