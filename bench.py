@@ -289,6 +289,30 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warm_python_workers(spark) -> None:
+    """Spin up the Python worker pool before the timed loop.
+
+    Measured (r12, guide §1): the FIRST Arrow-batched UDF stage of a session
+    pays ~4.6 s of infrastructure cost — 32 workers forked from the pyspark
+    daemon, each importing pandas — which previously landed on whichever
+    query happened to run a pandas UDF first. That is session startup of the
+    same class as the JVM/codegen warmup above (production executors keep
+    reusable worker pools warm across queries; spark.python.worker.reuse is
+    on by default), so it is amortized here, outside every per-query timing.
+    One batch per core: spark.range's 32 partitions each fork a worker."""
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _identity(s):
+        return s
+
+    # real class objects, not strings: this module's `from __future__ import
+    # annotations` would leave 'pd.Series' hints unresolvable (pd is local)
+    _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _run(spark.range(0, 3200, 1, 32).select(pandas_udf(_identity, LongType())(col("id"))))
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The dedup/ANN pipelines persist() their shared intermediates; at the
@@ -302,6 +326,7 @@ def main() -> None:
 
     # warmup: JVM codegen + parquet footer caches
     _run(specs["events_filtered_topk"].fn(spark, SF_DIR))
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
 

@@ -137,6 +137,19 @@ def int_ratio(num: Column, den: Column, scale: int, alias: str) -> Column:
     )
 
 
+def nd_zero() -> Column:
+    """An arithmetic no-op (+0.0) whose nondeterminism legally blocks
+    predicate pushdown — the guide's expensive-UDF trick (§4.4) applied to
+    expensive EXPRESSIONS. Adding it inside a computed column keeps a
+    ``.where`` on that column from being folded into a join condition,
+    where Catalyst would (a) evaluate it for every candidate pair BEFORE
+    the cheap id/threshold conjuncts and (b) evaluate it AGAIN in the
+    projection for survivors. ``rand(seed) * 0.0`` is exactly +0.0: adding
+    it changes no double except -0.0 → +0.0, and every consumer here
+    floors/rounds, where the two zeros are indistinguishable."""
+    return F.rand(42) * F.lit(0.0)
+
+
 def ensure_parallelism(df):
     """Repartition ONLY when the input arrives with fewer splits than
     half the cluster's cores — the single-file local-fixture case where

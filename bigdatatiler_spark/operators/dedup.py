@@ -726,13 +726,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is what proves the bucketing drops no qualifying pair.
     floor(log2(n)) on integer n is exact in IEEE double on both engines
     (only powers of two have integer log2, where log2 is exact)."""
+    from ._util import ensure_parallelism, nd_zero
+
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
+    # split-normalize BEFORE the pair join: a single-file local corpus
+    # arrives as one split, and the broadcast-join probe side inherits the
+    # scan's partitioning — without this every candidate pair's set
+    # intersection ran on ONE core (r12, measured; the round-3 aHash
+    # lesson). No-op decision on a real multi-file corpus.
+    # lazy localCheckpoint: d feeds both join sides — one tokenize pass
+    # (and one repartition) instead of two
+    d = ensure_parallelism(docs).select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split(_norm_col(), " ")).alias("toks"),
-    ).withColumn("lb", F.floor(F.log2(F.size("toks"))))
+    ).withColumn("lb", F.floor(F.log2(F.size("toks")))).localCheckpoint(eager=False)
     a = d.alias("a")
     b = d.select(
         F.col("doc_id").alias("doc_id_2"),
@@ -743,8 +752,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lb_probe"),
     )
+    # nd_zero pushdown barrier (r12, measured): without it the threshold
+    # WHERE folds into the join condition, where the intersect/union set
+    # ops run for every hash-matched pair BEFORE the cheap doc_id<
+    # conjunct and run AGAIN in the projection for survivors — three set
+    # walks per emitted pair. With the barrier the join keeps only the
+    # cheap conjuncts and the Jaccard runs once per ordered candidate.
     jaccard = int_ratio(
-        F.size(F.array_intersect("toks", "toks_b")),
+        F.size(F.array_intersect("toks", "toks_b")) + nd_zero(),
         F.size(F.array_union("toks", "toks_b")),
         6,
         "jaccard_e6",
@@ -928,8 +943,18 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_2"),
         F.col("bucket").alias("bucket_2"),
     )
+    # nd_zero pushdown barrier (r12, measured): without it the threshold
+    # WHERE folds into the join condition AHEAD of the vec_id< conjunct —
+    # every bucket-mate pair paid the 64-term fold in BOTH orders, and
+    # survivors paid it again in the projection (the exact pathology the
+    # r12 dedup_embedding_cosine fix documented). +0.0 is an arithmetic
+    # no-op; round() is unchanged by it.
+    from ._util import nd_zero
+
     cosine = F.round(
-        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 6
+        (_dot(F.col("emb_1"), F.col("emb_2")) + nd_zero())
+        / (F.col("nrm_1") * F.col("nrm_2")),
+        6,
     )
     return (
         a.join(
@@ -981,7 +1006,18 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_guard = (
         F.abs(F.length("p_name") - F.length("p_name_2")) <= F.lit(2)
     )
-    dist = F.levenshtein(F.col("p_name"), F.col("p_name_2"), 2)
+    # nd_zero pushdown barrier (r12, measured): without it the BETWEEN
+    # filter folds into the join condition AHEAD of the cheap conjuncts —
+    # the banded DP ran twice (>=1, <=2) for every block-mate pair BEFORE
+    # the id/length guards pruned anything, and once more in the
+    # projection for survivors. With the barrier the join keeps only the
+    # cheap guards and the DP runs once per guarded pair. floor(int+0.0)
+    # is the identical integer.
+    from ._util import nd_zero
+
+    dist = F.floor(
+        F.levenshtein(F.col("p_name"), F.col("p_name_2"), 2) + nd_zero()
+    ).cast("int")
     return (
         a.join(
             b,
@@ -1091,7 +1127,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     y = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    # nd_zero pushdown barrier (r12): keeps the threshold WHERE from
+    # folding into the verification join, where the intersect/union set
+    # walks would run once in the join condition and AGAIN in the
+    # projection (see dedup_ngram_jaccard). floor() of the exact small
+    # int +0.0 is the identical integer.
+    from ._util import nd_zero
+
+    n_common = F.floor(F.size(F.array_intersect("sh1", "sh2")) + nd_zero()).cast("int")
     n_union = F.size(F.array_union("sh1", "sh2"))
     return (
         cand.join(x, "doc_id_1")
@@ -1213,20 +1256,34 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = d.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"), F.col("n").alias("n1"))
     q = d.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"), F.col("n").alias("n2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
+    # nd_zero pushdown barrier (r12): materialize the intersection size
+    # ONCE per candidate — without it the threshold predicate folds into
+    # the verification join and the set walk runs there AND again in the
+    # containment_e6 projection (see dedup_ngram_jaccard).
+    from ._util import nd_zero
+
+    inter = F.floor(F.size(F.array_intersect("sh1", "sh2")) + nd_zero()).cast("int")
     return (
         cand.join(p, "doc_id_1")
         .join(q, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "lang",
+            "source",
+            inter.alias("_inter"),
+            F.least("n1", "n2").alias("_nmin"),
+        )
         .where(
-            F.lit(CONTAIN_DEN) * inter
-            >= F.lit(CONTAIN_NUM) * F.least("n1", "n2")
+            F.lit(CONTAIN_DEN) * F.col("_inter")
+            >= F.lit(CONTAIN_NUM) * F.col("_nmin")
         )
         .select(
             "doc_id_1",
             "doc_id_2",
             "lang",
             "source",
-            int_ratio(inter, F.least("n1", "n2"), 6, "containment_e6"),
+            int_ratio(F.col("_inter"), F.col("_nmin"), 6, "containment_e6"),
         )
     )
 
@@ -1456,14 +1513,21 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
          + F.lit(1.0)) * 1_000_000
     ).cast("bigint")
+    # lazy localCheckpoint (r12, measured): w feeds FOUR plan branches
+    # (both sides of the rerank join + both norm joins) and norms two —
+    # without the cuts the toks-explode + tf/df aggregates + the global
+    # count replayed per branch (4 identical SinglePartition count(1)
+    # subtrees in the audited plan; 1 after). Same staged-intermediate
+    # pattern as dedup_minhash_lsh's shingle frame.
     w = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", "df", (F.col("tf") * idf_micro).alias("wt"))
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("norm2")
-    )
+    ).localCheckpoint(eager=False)
     wa = w.select(
         F.col("doc_id").alias("doc_a"), "token", F.col("wt").alias("wt_a")
     )
@@ -1481,9 +1545,11 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = t.select("doc_id", F.explode(bigrams).alias("b"))
     bdf = bg.groupBy("b").agg(F.count("*").alias("bdf"))
+    # cut: blocked feeds both sides of the candidate self-join — one
+    # bigram explode + bdf aggregate instead of two
     blocked = bg.join(
         bdf.where(F.col("bdf").between(2, TFIDF_PAIR_DF_CAP)), "b"
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         blocked.select(F.col("doc_id").alias("doc_a"), "b")
         .join(blocked.select(F.col("doc_id").alias("doc_b"), "b"), "b")

@@ -426,10 +426,16 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor (≥{BASKET_MIN_SUPPORT}) keeps the output the interesting tail,
     applied BEFORE the scoring joins so low-support pairs never reach
     them."""
+    # lazy localCheckpoint (r12, measured): items feeds FIVE plan branches
+    # (both pair-join sides, part_orders, the basket-count scalar) — the
+    # lineitem scan + distinct replayed per branch (10 scans in the
+    # audited plan; 2 after). Same staged-intermediate pattern as the
+    # dedup shingle frame; at 100 TB this is the staged `items` table.
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")

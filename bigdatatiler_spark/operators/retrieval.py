@@ -99,7 +99,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the fusion."""
     # dense side — exact cosine kernel, rank ≤ EMB_K
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e)
+    # lazy localCheckpoint (r12): base feeds both dense-side join
+    # branches — one scan + ambiguity window instead of two
+    base = nz_base(e).localCheckpoint(eager=False)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -123,8 +125,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "emb_rank")
     )
 
-    # lexical side — shingle Jaccard, rank ≤ LEX_K
-    sh = _shingled(spark, sf_dir)
+    # lexical side — shingle Jaccard, rank ≤ LEX_K. Lazy localCheckpoint
+    # (r12): sh feeds the broadcast query side AND the probe side — one
+    # shingle pass instead of two.
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     q_sh = sh.where(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("q_sh")
     )

@@ -177,7 +177,9 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score with vec_id tiebreak gives a total order, so top-k is
     deterministic. At scale this kernel runs per-LSH-bucket, not globally."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e)
+    # lazy localCheckpoint (r12): base feeds both join sides — one
+    # scan + ambiguity window instead of two
+    base = nz_base(e).localCheckpoint(eager=False)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -954,7 +956,9 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     larger benchmark sizes the LSH/IVF bucketing kernels above replace
     the dense scan, same as the ANN query path."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e)
+    # lazy localCheckpoint (r12): base feeds the broadcast benchmark agg
+    # AND the corpus scoring pass — one scan + ambiguity window, not two
+    base = nz_base(e).localCheckpoint(eager=False)
     is_bench = F.col("vec_id") % EMB_BENCH_MOD == 0
     bench_row = F.broadcast(
         base.where(is_bench).agg(
@@ -1079,7 +1083,12 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks, so both stages are totally ordered and deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
-    codes = nz_base(e).select(
+    # lazy localCheckpoint (r12): the nz_base universe (scan + ambiguity
+    # window) feeds FOUR plan branches here (both Hamming sides + both
+    # rerank sides) — cut it so it computes once (9 scans → 1 in the
+    # audited plan)
+    nzb = nz_base(e).localCheckpoint(eager=False)
+    codes = nzb.select(
         "vec_id",
         bq_word(F.col("embedding"), 0).alias("w0"),
         bq_word(F.col("embedding"), 1).alias("w1"),
@@ -1109,7 +1118,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hrank") <= BQ_SHORTLIST)
         .drop("hrank")
     )
-    vecs = nz_base(e)
+    vecs = nzb
     qv = vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1310,7 +1319,9 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cells are bounded by the same occupancy reporting the LSH bucket
     audit provides for MinHash."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e)
+    # lazy localCheckpoint (r12): base feeds the assignment AND the
+    # vector-lookup join below — one scan + ambiguity window, not two
+    base = nz_base(e).localCheckpoint(eager=False)
     cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     # localCheckpoint: m feeds BOTH sides of the cell self-join — without
@@ -1334,8 +1345,16 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # nd_zero pushdown barrier (r12, measured): without it the threshold
+    # WHERE folds into the SMJ join condition and the 64-term fold runs
+    # there for every ordered cell-mate pair AND again in the projection
+    # for survivors (the dedup_embedding_cosine pathology). +0.0 is an
+    # arithmetic no-op; round() is unchanged by it.
+    from ._util import nd_zero
+
     cosine = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        (_dot(F.col("emb_a"), F.col("emb_b")) + nd_zero())
+        / (F.col("nrm_a") * F.col("nrm_b")),
         6,
     )
     pairs = (

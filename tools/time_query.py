@@ -48,8 +48,12 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
-    # warmup: JVM codegen + parquet footer caches (same as bench.py)
+    # warmup: JVM codegen + parquet footer caches + Python worker pool
+    # (same as bench.py)
+    from bench import _warm_python_workers
+
     _run(specs["events_filtered_topk"].fn(spark, SF_DIR))
+    _warm_python_workers(spark)
     _clear()
 
     out: dict[str, dict] = {}
