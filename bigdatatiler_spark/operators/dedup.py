@@ -1106,6 +1106,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("t"))
     ordered = tok.join(freq, "t").withColumn("pos", F.row_number().over(w))
+    # NOT checkpointed (r12, measured): cutting prefix here looks like the
+    # standard shared-branch stage, but it measures 4.2 → 9.7 s — the two
+    # consumers prune to the same thin columns anyway, and the cut forces
+    # the explode+window subtree to materialize serially before either
+    # join side starts, where uncut plans overlap the broadcast build with
+    # the probe-side scan.
     prefix = ordered.where(
         F.col("pos") <= F.col("n") - F.expr(f"({tn}*n + {td - 1}) div {td}") + 1
     )
