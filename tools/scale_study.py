@@ -13,7 +13,20 @@ when fixed overheads amortize); a factor ≫ 10× exposes a super-linear
 stage (an accidental all-pairs, a driver bottleneck, a skew collapse)
 that small-SF benches can't see.
 
-Usage: python tools/scale_study.py [--rebuild] [out.json]
+``--disjoint`` (r12, VERDICT item 2): the plain replica mode keeps each
+copy's TEXT identical, so every document gains ``copies-1`` exact
+near-dups and each LSH band bucket's occupancy multiplies by ``copies``
+— candidate pairs grow QUADRATICALLY in the copy count, and a dedup
+query's factor measures duplicate-multiplicity blowup at least as much
+as plan scaling. Disjoint-content mode applies a per-copy token
+bijection to ``documents.text`` (every token prefixed with the copy
+tag), which preserves the intra-copy shingle/Jaccard structure exactly
+(a bijection on tokens is a bijection on 3-shingles) while making
+copies mutually dissimilar — so near-dup density per copy matches 1×
+and the factor measures the PLAN. (Texts with runs of whitespace gain a
+few bare-tag tokens — a negligible approximation on this corpus.)
+
+Usage: python tools/scale_study.py [--rebuild] [--disjoint] [out.json]
 """
 
 from __future__ import annotations
@@ -69,7 +82,12 @@ QUERIES = (
 )
 
 
-def build(src: str = SRC, dest: str = DEST, copies: int = COPIES) -> None:
+def build(
+    src: str = SRC,
+    dest: str = DEST,
+    copies: int = COPIES,
+    disjoint: bool = False,
+) -> None:
     os.makedirs(dest, exist_ok=True)
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
@@ -98,6 +116,18 @@ def build(src: str = SRC, dest: str = DEST, copies: int = COPIES) -> None:
                 if cname in keys:
                     base = tbl[cname]
                     cols[cname] = pc.add(base, i * strides[cname])
+                elif disjoint and name == "documents" and cname == "text":
+                    # per-copy token bijection (see module docstring):
+                    # prefix every token with the copy tag so intra-copy
+                    # similarity structure is preserved exactly and
+                    # cross-copy similarity drops to ~0
+                    tag = f"c{i}·"
+                    cols[cname] = pc.binary_join_element_wise(
+                        tag,
+                        pc.replace_substring(tbl[cname], " ", f" {tag}"),
+                        "",
+                        null_handling="emit_null",
+                    )
                 else:
                     cols[cname] = tbl[cname]
             parts.append(pa.table(cols, schema=tbl.schema))
@@ -110,10 +140,14 @@ def main() -> int:
     out_path = next(
         (a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/scale10.json"
     )
+    disjoint = "--disjoint" in sys.argv
+    global DEST
+    if disjoint:
+        DEST = DEST + "_disjoint"
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(DEST, "events.parquet")
     ):
-        build()
+        build(dest=DEST, disjoint=disjoint)
 
     from bigdatatiler_spark.registry import load_all
     from bigdatatiler_spark.session import get_spark
@@ -149,7 +183,11 @@ def main() -> int:
         print(f"{name}: 1x={t1}s 10x={t10}s factor={report[name]['factor']}")
 
     with open(out_path, "w") as f:
-        json.dump({"copies": COPIES, "queries": report}, f, indent=1)
+        json.dump(
+            {"copies": COPIES, "disjoint": disjoint, "queries": report},
+            f,
+            indent=1,
+        )
         f.write("\n")
     print(f"wrote {out_path}")
     return 0
