@@ -53,6 +53,23 @@ BNLJ_BY_DESIGN = {
     "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
     "events_chi2_independence",  # 1-row grand-total crossJoin onto cells
     "graph_degree_assortativity",  # two 1-row count crossJoins
+    # distributed-rank / distributed-prefix-sum kernel (_util.py): the
+    # per-bucket offset frame is ≤ n_buckets rows BY CONSTRUCTION (one row
+    # per range bucket), and its triangular b._rb < a._rb broadcast join is
+    # the kernel's exclusive-prefix step — the thing that REPLACED the
+    # Exchange SinglePartition global window. Window partitioning is
+    # plan-asserted in tests/test_plans.py; whitelisted per r11 verdict
+    # item 5 so WARN means something again.
+    "customer_rfm_segments",
+    "customer_revenue_equidepth",
+    "customer_revenue_gini",
+    "orders_abc_classification",
+    "dsir_importance_weights",
+    "pack_training_sequences",
+    "pack_sequence_manifest",
+    "pack_span_manifest",
+    "pack_curriculum_sequences",
+    "sketch_hll_native",  # 1-row merged-estimate × 1-row exact-count crossJoin
 }
 
 
