@@ -299,7 +299,9 @@ def _warm_python_workers(spark) -> None:
     same class as the JVM/codegen warmup above (production executors keep
     reusable worker pools warm across queries; spark.python.worker.reuse is
     on by default), so it is amortized here, outside every per-query timing.
-    One batch per core: spark.range's 32 partitions each fork a worker."""
+    One batch per core (defaultParallelism, not a literal 32 — r12 ADVICE:
+    on a wider machine a hardcoded 32 would leave part of the pool cold and
+    bill the fork cost to the first timed pandas-UDF query)."""
     import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
     from pyspark.sql.types import LongType
@@ -310,7 +312,12 @@ def _warm_python_workers(spark) -> None:
     # real class objects, not strings: this module's `from __future__ import
     # annotations` would leave 'pd.Series' hints unresolvable (pd is local)
     _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _run(spark.range(0, 3200, 1, 32).select(pandas_udf(_identity, LongType())(col("id"))))
+    n = spark.sparkContext.defaultParallelism
+    _run(
+        spark.range(0, 100 * n, 1, n).select(
+            pandas_udf(_identity, LongType())(col("id"))
+        )
+    )
 
 
 def main() -> None:
@@ -352,8 +359,15 @@ def main() -> None:
     # dedup_incremental_components line below measures the per-ingest
     # merge against the built store (idempotent: a store left by an
     # earlier run on the same fixture makes this a no-op read).
-    from bigdatatiler_spark.operators.graph import old_labels_path
+    from bigdatatiler_spark.operators.graph import labels_store_path, old_labels_path
 
+    # freshness transparency (r12 verdict item 6): a store left in /tmp by
+    # an earlier run on the same fixture makes this line a ~0 s no-op read
+    # — record which one this measurement was, so the artifact can't pass
+    # off a warm read as a build.
+    label_store_built = not os.path.exists(
+        os.path.join(labels_store_path(SF_DIR), "_SUCCESS")
+    )
     t0 = time.time()
     old_labels_path(spark, SF_DIR)
     timings["dedup_cc_label_store_build"] = round(time.time() - t0, 3)
@@ -440,6 +454,7 @@ def main() -> None:
         "sf": sf_val,
         "budget_violations": budget_violations,
         "budget_status": budget_status,
+        "label_store_built": label_store_built,
     }
     # Solo-bench protocol (r8 verdict item 7): driver bench runs share the
     # box and measure 10-15% noisier than solo runs — every "regression"

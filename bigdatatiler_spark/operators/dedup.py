@@ -343,8 +343,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     not 3×/2× (and the lineage cut keeps every consumer's plan flat); at
     100 TB these become staged intermediate tables (write once, read per
     branch)."""
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    bands = minhash_bands(sh).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
+    bands = minhash_bands(sh).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -427,10 +427,18 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (bands self-join, sh re-joined per side); a bare persist
     # accumulates cached blocks across queries in a long-lived session
     # with no unpersist hook, while checkpoint blocks are released once
-    # the RDD is unreferenced. eager=False folds materialization into
-    # the first consuming job (r12).
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    bands = capped_bands(minhash_bands(sh)).localCheckpoint(eager=False)
+    # the RDD is unreferenced. eager=True (r13): a MULTI-consumer shared
+    # frame must materialize before its consumers — lazy materialization
+    # races when two consumer jobs start concurrently (the broadcast-
+    # build futures): both recompute the uncached subtree, and the first
+    # finisher's doCheckpoint() truncates the shared lineage mid-flight,
+    # killing the other job's metric accumulators (the measured
+    # dead-accumulator log storm that stalled the scheduler event loop —
+    # ~1.6k ERROR stack traces per bench run, all attributed to this
+    # family). Lazy stays correct only for SINGLE-consumer cuts (the
+    # iterative loops), where it saves one job dispatch per round.
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
+    bands = capped_bands(minhash_bands(sh)).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -513,8 +521,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join broadcasts when the batch is small. Here both roles are
     carved from the documents table (doc_id mod {INCREMENTAL_BATCH_MOD})
     so the oracle can replay the split."""
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    bands = minhash_bands(sh).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
+    bands = minhash_bands(sh).localCheckpoint(eager=True)
     is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
     cand = (
         bands.where(is_batch)
@@ -595,7 +603,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count — no corpus shuffle except the doc_id aggregate, which
     map-side combines. Here the benchmark role is doc_id mod
     {DECONTAM_BENCH_MOD} so the oracle replays the split."""
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bgrams = (
         sh.where(is_bench).select(F.explode("sh").alias("gram")).distinct()
@@ -741,7 +749,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.array_distinct(F.split(_norm_col(), " ")).alias("toks"),
-    ).withColumn("lb", F.floor(F.log2(F.size("toks")))).localCheckpoint(eager=False)
+    ).withColumn("lb", F.floor(F.log2(F.size("toks")))).localCheckpoint(eager=True)
     a = d.alias("a")
     b = d.select(
         F.col("doc_id").alias("doc_id_2"),
@@ -930,7 +938,7 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "nrm",
         lsh_bucket("embedding").alias("bucket"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = bucketed.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb_1"),
@@ -1101,7 +1109,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning at the join; verification touches candidates only. Every
     shuffle keys on token or doc_id. All-integer thresholds end to end."""
     tn, td = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     tok = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("t"))
@@ -1116,17 +1124,45 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos") <= F.col("n") - F.expr(f"({tn}*n + {td - 1}) div {td}") + 1
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "t"
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("n").alias("n1"),
+        F.col("pos").alias("pos1"),
+        "t",
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"), "t"
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("n").alias("n2"),
+        F.col("pos").alias("pos2"),
+        "t",
     )
+    # PPJoin POSITIONAL filter (r13, Xiao et al. §3.2): Jaccard ≥ tn/td
+    # ⟺ overlap I ≥ ⌈tn(n1+n2)/(tn+td)⌉. For the FIRST shared token in
+    # the global (df, t) order, matched at positions (pos1, pos2), every
+    # other common token sits in BOTH suffixes, so
+    # I ≤ 1 + min(n1−pos1, n2−pos2). Keeping a match only when that bound
+    # can still reach the threshold — (tn+td)·(1+min(suffixes)) ≥
+    # tn·(n1+n2), all integers — prunes candidates the length bound
+    # admits, with NO false negatives: a qualifying pair's first shared
+    # prefix token always passes (later shared tokens may fail the
+    # first-token bound, but the pair is already generated by the first).
+    # The exact verification below is unchanged, so results are identical;
+    # the oracle (plain all-pairs) proves completeness via the hash.
     cand = (
         a.join(
             b,
             (a["t"] == b["t"])
             & (F.col("doc_id_1") < F.col("doc_id_2"))
-            & (td * F.least("n1", "n2") >= tn * F.greatest("n1", "n2")),
+            & (td * F.least("n1", "n2") >= tn * F.greatest("n1", "n2"))
+            & (
+                (tn + td)
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("n1") - F.col("pos1"), F.col("n2") - F.col("pos2")
+                    )
+                )
+                >= tn * (F.col("n1") + F.col("n2"))
+            ),
         )
         .select("doc_id_1", "doc_id_2")
         .distinct()
@@ -1222,7 +1258,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", "lang", "source", shingles.alias("sh"))
         .withColumn("n", F.size("sh"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ex = d.select("doc_id", "lang", "source", "n", F.explode("sh").alias("s"))
     sdf = ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -1345,8 +1381,8 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed the band self-join plus two equi-joins back — the same staged
     shape as dedup_minhash_lsh with one extra broadcast-sized join."""
     k = MINHASH_GROUPS * MINHASH_SLICES
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    sigs = minhash_sigs(sh).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = minhash_sigs(sh).localCheckpoint(eager=True)
     bands = minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1529,11 +1565,11 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", "df", (F.col("tf") * idf_micro).alias("wt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("norm2")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     wa = w.select(
         F.col("doc_id").alias("doc_a"), "token", F.col("wt").alias("wt_a")
     )
@@ -1555,7 +1591,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram explode + bdf aggregate instead of two
     blocked = bg.join(
         bdf.where(F.col("bdf").between(2, TFIDF_PAIR_DF_CAP)), "b"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cand = (
         blocked.select(F.col("doc_id").alias("doc_a"), "b")
         .join(blocked.select(F.col("doc_id").alias("doc_b"), "b"), "b")

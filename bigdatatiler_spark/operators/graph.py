@@ -317,24 +317,14 @@ def dedup_components_two_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def old_labels_path(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
-) -> str:
-    """Build-once parquet store of the OLD corpus's component labels —
-    the production artifact a previous clustering run leaves behind,
-    which ``dedup_incremental_components`` merges new batches into.
-    Keyed on the documents file's identity via a key-derived /tmp path
-    (the _readable_path shadow-dir pattern), so the table survives
-    process boundaries — a fresh bench/driver run finds the previous
-    run's labels, a regenerated fixture lands on a fresh path and
-    rebuilds. bench.py times this build as its own line (the
-    ann_ivf_index_build split: one-time index cost vs per-ingest cost)."""
+def labels_store_path(sf_dir: str) -> str:
+    """The fixture-keyed /tmp path of the component-label store, WITHOUT
+    building it — pure key computation, split out (r12 verdict item 6) so
+    bench.py can report whether its build line was a real build or a
+    warm-store no-op read."""
     import hashlib
     import os
-    import shutil
     import tempfile
-
-    from .dedup import INCREMENTAL_BATCH_MOD
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     # key on the sorted per-member (path, mtime_ns, size) list, not the
@@ -356,7 +346,27 @@ def old_labels_path(
         for f in members
     )
     sig = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"bdt_cc_labels_{sig}")
+    return os.path.join(tempfile.gettempdir(), f"bdt_cc_labels_{sig}")
+
+
+def old_labels_path(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> str:
+    """Build-once parquet store of the OLD corpus's component labels —
+    the production artifact a previous clustering run leaves behind,
+    which ``dedup_incremental_components`` merges new batches into.
+    Keyed on the documents file's identity via a key-derived /tmp path
+    (the _readable_path shadow-dir pattern), so the table survives
+    process boundaries — a fresh bench/driver run finds the previous
+    run's labels, a regenerated fixture lands on a fresh path and
+    rebuilds. bench.py times this build as its own line (the
+    ann_ivf_index_build split: one-time index cost vs per-ingest cost)."""
+    import os
+    import shutil
+
+    from .dedup import INCREMENTAL_BATCH_MOD
+
+    path = labels_store_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         if edges is None:
             edges = _band_edges(spark, sf_dir)

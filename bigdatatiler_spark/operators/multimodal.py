@@ -405,7 +405,7 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides the decode stage — ahash_bands_stub.)
     from ._util import ensure_parallelism
 
-    bands = ahash_bands(ensure_parallelism(docs)).localCheckpoint(eager=False)
+    bands = ahash_bands(ensure_parallelism(docs)).localCheckpoint(eager=True)
     e = bands.select(
         "doc_id", "bands", F.posexplode("bands").alias("k", "v")
     )
@@ -646,7 +646,7 @@ def multimodal_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
                 rows.append((d, [(code >> (8 * k)) & 255 for k in range(8)]))
             yield pd.DataFrame(rows, columns=["doc_id", "bands"])
 
-    bands = docs.mapInPandas(_hash, _BANDS_SCHEMA).localCheckpoint(eager=False)
+    bands = docs.mapInPandas(_hash, _BANDS_SCHEMA).localCheckpoint(eager=True)
     e = bands.select("doc_id", "bands", F.posexplode("bands").alias("k", "v"))
     a = e.select(
         F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"), "k", "v"

@@ -101,14 +101,16 @@ def _codebook_row(base: DataFrame):
     )
 
 
-def encode_pq(base: DataFrame) -> DataFrame:
+def encode_pq(base: DataFrame, cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, codes): each vector's M nearest-codeword codes.
 
     All M argmins run inside one narrow projection against the broadcast
     codebook row — array_sort on (d2, code) structs gives a total order
     (exact integer distances; code breaks genuine ties), so the encoding
-    is deterministic from any partitioning."""
-    cb = _codebook_row(base)
+    is deterministic from any partitioning. Pass a prebuilt codebook row
+    to share it with other consumers in the same plan (r13)."""
+    if cb is None:
+        cb = _codebook_row(base)
 
     def best(sub: int):
         scored = F.transform(
@@ -248,8 +250,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "_n_ids", F.count("*").over(Window.partitionBy("vec_id"))
     ).where(F.col("_n_ids") == 1).select("vec_id", "embedding")
-    codes = encode_pq(base)
+    # eager localCheckpoint (r13, guide §2.4): base feeds SIX branches
+    # (encode probe, codebook sample ×2 via ReuseExchange, query-side
+    # dtab, rerank lookup ×2) — one scan + ambiguity window instead of
+    # replays. Eager, not lazy: dtab and shortlist are broadcast-built
+    # futures, and two concurrent jobs materializing a shared lazy
+    # checkpoint duplicate its compute and race its lineage truncation
+    # (the dead-accumulator storm class fixed across dedup.py this round).
+    base = base.localCheckpoint(eager=True)
     cb = _codebook_row(base)
+    codes = encode_pq(base, cb)
     # per-query ADC lookup table: map (sub*KSUB + code) → exact distance
     dtab = (
         base.where(F.col("vec_id") < N_QUERIES)

@@ -850,7 +850,7 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", (F.weekday("ts") + 1).cast("bigint").alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.localCheckpoint(eager=True)
     r = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
     c = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ct"))
     n = cells.agg(F.sum("o").cast("bigint").alias("nt"))

@@ -431,11 +431,19 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem scan + distinct replayed per branch (10 scans in the
     # audited plan; 2 after). Same staged-intermediate pattern as the
     # dedup shingle frame; at 100 TB this is the staged `items` table.
+    # Fault-tolerance tradeoff (r12 ADVICE, applies to every
+    # localCheckpoint in the package): executor-local checkpoint blocks
+    # are NOT recoverable — on a real cluster an executor loss or
+    # dynamic-allocation decommission fails the query instead of
+    # recomputing. The 100 TB-production equivalent of this cut is a
+    # replicated checkpoint (Dataset.checkpoint + a durable checkpoint
+    # dir) or an explicit staged table; localCheckpoint is the local-mode
+    # / short-interactive form of the same plan shape.
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -663,21 +671,41 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     dims = (
-        ("r", [F.desc("last_order_ms"), F.asc("c_custkey")]),
-        ("f", [F.desc("frequency"), F.asc("c_custkey")]),
-        ("m", [F.desc("monetary_cents"), F.asc("c_custkey")]),
+        ("r", "last_order_ms"),
+        ("f", "frequency"),
+        ("m", "monetary_cents"),
     )
-    scored = base.select("c_custkey", "monetary_cents")
-    for name, order in dims:
+    # r13 (guide §2.3/§2.4): each ranking pass projects to (c_custkey,
+    # order column) before the range exchange — the rank machinery was
+    # carrying all four base columns through two exchanges per dimension.
+    # The three per-dimension tile frames then merge via ONE union +
+    # groupBy(c_custkey) pivot instead of three successive equi-joins
+    # (each customer appears exactly once per dimension, so max(when) is
+    # exact) — one exchange of 3n thin rows replaces three join shuffles.
+    tile_parts = []
+    for name, col in dims:
         tiles = (
-            distributed_rank(base, order, rank_name="_rn")
+            distributed_rank(
+                base.select("c_custkey", col),
+                [F.desc(col), F.asc("c_custkey")],
+                rank_name="_rn",
+            )
             .crossJoin(F.broadcast(n))
             .select(
                 "c_custkey",
-                ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias(name),
+                F.lit(name).alias("_dim"),
+                ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias("_tile"),
             )
         )
-        scored = scored.join(tiles, "c_custkey")
+        tile_parts.append(tiles)
+    u = tile_parts[0].unionByName(tile_parts[1]).unionByName(tile_parts[2])
+    pivoted = u.groupBy("c_custkey").agg(
+        *[
+            F.max(F.when(F.col("_dim") == name, F.col("_tile"))).alias(name)
+            for name, _ in dims
+        ]
+    )
+    scored = base.select("c_custkey", "monetary_cents").join(pivoted, "c_custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),

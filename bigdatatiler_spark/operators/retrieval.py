@@ -101,7 +101,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # lazy localCheckpoint (r12): base feeds both dense-side join
     # branches — one scan + ambiguity window instead of two
-    base = nz_base(e).localCheckpoint(eager=False)
+    base = nz_base(e).localCheckpoint(eager=True)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -128,7 +128,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexical side — shingle Jaccard, rank ≤ LEX_K. Lazy localCheckpoint
     # (r12): sh feeds the broadcast query side AND the probe side — one
     # shingle pass instead of two.
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     q_sh = sh.where(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("q_sh")
     )
@@ -252,7 +252,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings frame once instead of re-running the explode+agg per branch
     # (split normalization measured: no win here — the agg pipeline, not
     # the explode, bounds this query)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = F.broadcast(
         dl.agg(
@@ -384,7 +384,7 @@ def _trigram_candidates(docs: DataFrame, patterns, n_rare: int = TRIGRAM_N_RARE)
     postings = ensure_parallelism(docs).select(
         "doc_id", F.explode(_char_trigrams("text")).alias("tg")
     )
-    hits = postings.join(F.broadcast(pats), "tg").localCheckpoint(eager=False)
+    hits = postings.join(F.broadcast(pats), "tg").localCheckpoint(eager=True)
     tgdf = hits.groupBy("pattern", "tg").agg(F.count("*").alias("df"))
     w = Window.partitionBy("pattern").orderBy(F.asc("df"), F.asc("tg"))
     rare = F.broadcast(

@@ -179,7 +179,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # lazy localCheckpoint (r12): base feeds both join sides — one
     # scan + ambiguity window instead of two
-    base = nz_base(e).localCheckpoint(eager=False)
+    base = nz_base(e).localCheckpoint(eager=True)
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -368,7 +368,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow hashing + one equi-join + the per-candidate kernel — no
     all-pairs anywhere."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).localCheckpoint(eager=False)
+    base = nz_base(e).localCheckpoint(eager=True)
     per_table = [
         base.select(
             F.lit(t).alias("ht"),
@@ -380,7 +380,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = per_table[0]
     for frame in per_table[1:]:
         idx = idx.unionByName(frame)
-    idx = idx.localCheckpoint(eager=False)
+    idx = idx.localCheckpoint(eager=True)
     q_idx = idx.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "ht", "bucket"
     )
@@ -570,6 +570,36 @@ def _cents_frame(
     return spark.createDataFrame(data, _CENTS_SCHEMA)
 
 
+def _sql_double(x: float) -> str:
+    """Shortest round-trip decimal as a SQL DOUBLE literal. repr() emits
+    the shortest string that parses back to the same IEEE double, and
+    Java's Double.parseDouble of that string returns the identical bits,
+    so inlining a centroid component as text loses nothing."""
+    return repr(float(x)) + "D"
+
+
+def _cents_lit(data: list[tuple[int, list[float], float]]):
+    """The trained centroid table as ONE literal array-of-structs
+    expression (r13, guide §2.4/§1.2): the index is k×DIM doubles of
+    driver-held metadata, so instead of rebuilding a 16-row DataFrame per
+    call (createDataFrame → Python-RDD scan) and folding it through
+    agg(collect_list) → BroadcastExchange → crossJoin in every consumer
+    plan, the whole table is inlined as a literal — zero scans, zero
+    exchanges, zero jobs for the index side of the assignment. Built as
+    a single SQL string → one F.expr (one py4j call; the JVM parses it),
+    the same move as lsh_bucket's hyperplane inlining (r12)."""
+    entries = ", ".join(
+        "named_struct('cell_id', {cid}, 'cent_emb', array({emb}),"
+        " 'cent_nrm', {nrm})".format(
+            cid=int(cid),
+            emb=", ".join(_sql_double(v) for v in emb),
+            nrm=_sql_double(nrm),
+        )
+        for cid, emb, nrm in data
+    )
+    return F.expr(f"array({entries})")
+
+
 def kmeans_centroids(
     base: DataFrame,
     k: int = N_CELLS,
@@ -616,7 +646,20 @@ def kmeans_centroids(
     Scale: corpus-side work is unchanged — full-corpus assignment stays
     the broadcast-centroids narrow map in nearest_cells; only the
     TRAIN_CAP sample ever reaches the driver."""
-    spark = base.sparkSession
+    return _cents_frame(
+        base.sparkSession, kmeans_centroids_data(base, k, iters, cache_key)
+    )
+
+
+def kmeans_centroids_data(
+    base: DataFrame,
+    k: int = N_CELLS,
+    iters: int = KMEANS_ITERS,
+    cache_key: tuple | None = None,
+) -> list[tuple[int, list[float], float]]:
+    """The trained index as raw driver-side data (see kmeans_centroids).
+    Query plans pass this straight to nearest_cells, which inlines it as
+    a literal (_cents_lit) — no per-call DataFrame reconstruction."""
     full_key = (cache_key, k, iters) if cache_key is not None else None
     data = _INDEX_CACHE.get(full_key) if full_key else None
     if data is None:
@@ -633,7 +676,7 @@ def kmeans_centroids(
         data = _py_lloyd(rows, k, iters)
         if full_key:
             _INDEX_CACHE[full_key] = data
-    return _cents_frame(spark, data)
+    return data
 
 
 def _py_round6(x: float) -> float:
@@ -687,7 +730,7 @@ def _py_lloyd(
     return data
 
 
-def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
+def nearest_cells(base: DataFrame, cents, n_probe: int = 1) -> DataFrame:
     """(vec_id, cell_id): each vector's ``n_probe`` nearest centroids by
     rounded cosine (cell_id-asc tiebreak → total order → deterministic).
 
@@ -700,16 +743,28 @@ def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFr
     corpus × k rows, and at 100 TB the inverted-list build touches the
     corpus exactly once before the downstream per-cell shuffle.
     collect_list's order doesn't matter: array_sort on (−cos, cell_id)
-    structs yields the same total order from any permutation."""
-    cent_row = F.broadcast(
-        cents.agg(
-            F.collect_list(F.struct("cell_id", "cent_emb", "cent_nrm")).alias(
-                "_cents"
+    structs yields the same total order from any permutation.
+
+    ``cents`` may be the centroid DataFrame or the raw driver-side list
+    (kmeans_centroids_data). The list form inlines the index as a
+    literal (_cents_lit): the 1-row agg + BroadcastExchange + crossJoin
+    disappear from the plan and assignment is a pure narrow projection —
+    same values, bit for bit (r13)."""
+    if isinstance(cents, list):
+        cents_col = _cents_lit(cents)
+        src = base
+    else:
+        cent_row = F.broadcast(
+            cents.agg(
+                F.collect_list(F.struct("cell_id", "cent_emb", "cent_nrm")).alias(
+                    "_cents"
+                )
             )
         )
-    )
+        cents_col = F.col("_cents")
+        src = base.crossJoin(cent_row)
     scored = F.transform(
-        "_cents",
+        cents_col,
         lambda c: F.struct(
             (
                 -F.round(
@@ -723,8 +778,7 @@ def nearest_cells(base: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFr
     )
     top = F.slice(F.array_sort(scored), 1, n_probe)
     return (
-        base.crossJoin(cent_row)
-        .select("vec_id", F.explode(top).alias("t"))
+        src.select("vec_id", F.explode(top).alias("t"))
         .select("vec_id", F.col("t.cell_id").alias("cell_id"))
     )
 
@@ -767,8 +821,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     off via nprobe (join against the n nearest cells instead of 1) and
     is pinned vs the brute-force kernel in tests/test_ann_recall.py."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).localCheckpoint(eager=False)
-    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    base = nz_base(e).localCheckpoint(eager=True)
+    cents = kmeans_centroids_data(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     qcells = cells.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell_id"
@@ -837,8 +891,8 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1 plus one more row per query in the probe table; candidates
     from both probes rank in a single window."""
     e = table(spark, sf_dir, "embeddings")
-    base = nz_base(e).localCheckpoint(eager=False)
-    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    base = nz_base(e).localCheckpoint(eager=True)
+    cents = kmeans_centroids_data(base, cache_key=("ivf", sf_dir))
     qprobes = nearest_cells(
         base.where(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE
     ).select(F.col("vec_id").alias("query_id"), "cell_id")
@@ -891,7 +945,7 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm this touches the corpus exactly once."""
     e = table(spark, sf_dir, "embeddings")
     base = nz_base(e)
-    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    cents = kmeans_centroids_data(base, cache_key=("ivf", sf_dir))
     return (
         nearest_cells(base, cents)
         .groupBy("cell_id")
@@ -958,7 +1012,7 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     e = table(spark, sf_dir, "embeddings")
     # lazy localCheckpoint (r12): base feeds the broadcast benchmark agg
     # AND the corpus scoring pass — one scan + ambiguity window, not two
-    base = nz_base(e).localCheckpoint(eager=False)
+    base = nz_base(e).localCheckpoint(eager=True)
     is_bench = F.col("vec_id") % EMB_BENCH_MOD == 0
     bench_row = F.broadcast(
         base.where(is_bench).agg(
@@ -1087,7 +1141,7 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window) feeds FOUR plan branches here (both Hamming sides + both
     # rerank sides) — cut it so it computes once (9 scans → 1 in the
     # audited plan)
-    nzb = nz_base(e).localCheckpoint(eager=False)
+    nzb = nz_base(e).localCheckpoint(eager=True)
     codes = nzb.select(
         "vec_id",
         bq_word(F.col("embedding"), 0).alias("w0"),
@@ -1321,15 +1375,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # lazy localCheckpoint (r12): base feeds the assignment AND the
     # vector-lookup join below — one scan + ambiguity window, not two
-    base = nz_base(e).localCheckpoint(eager=False)
-    cents = kmeans_centroids(base, cache_key=("ivf", sf_dir))
+    base = nz_base(e).localCheckpoint(eager=True)
+    cents = kmeans_centroids_data(base, cache_key=("ivf", sf_dir))
     cells = nearest_cells(base, cents)
     # localCheckpoint: m feeds BOTH sides of the cell self-join — without
     # the cut the nz_base window + assignment join replay per side
     # (13 exchanges audited; 6 with the cut)
     m = cells.join(
         base.select("vec_id", "embedding", "nrm"), "vec_id"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     _dot = dot  # shared fold kernel
 

@@ -1064,31 +1064,33 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = marked.where(~F.col("is_stop") & (F.col("w") != "")).select(
         "doc_id", "pid", "w", "pos"
     )
-    plen = members.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
-    wstat = (
-        members.join(plen, ["doc_id", "pid"])
-        .groupBy("doc_id", "w")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.sum("plen").cast("bigint").alias("deg"),
-        )
+    # r13 (guide §2.4): phrase length / word freq / word degree were three
+    # groupBy+join round trips over the exploded token frame (the explode
+    # and its doc-keyed window replayed per branch — 6 exchanges). All
+    # three are expressible as WINDOWS over (doc_id, pid) / (doc_id, w):
+    # hash-partitioning by doc_id (established once by the running-
+    # stopword window above) satisfies clustering on both, so every
+    # subsequent step is a sort within the SAME partitioning — the whole
+    # query keeps exactly one exchange. Row-for-row identical values: the
+    # window frames span the full partition, so plen/freq/deg match the
+    # old per-group aggregates exactly.
+    w_pid = Window.partitionBy("doc_id", "pid")
+    w_word = Window.partitionBy("doc_id", "w")
+    scored = (
+        members.withColumn("plen", F.count(F.lit(1)).over(w_pid))
+        .withColumn("freq", F.count(F.lit(1)).over(w_word))
+        .withColumn("deg", F.sum("plen").over(w_word).cast("bigint"))
+        .withColumn("ws", F.expr("(deg * 1000) div freq"))
     )
-    wscore = wstat.select(
-        "doc_id", "w", F.expr("(deg * 1000) div freq").alias("ws")
-    )
-    pscore = (
-        members.join(wscore, ["doc_id", "w"])
-        .groupBy("doc_id", "pid")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-            ).alias("phrase"),
-            F.sum("ws").cast("bigint").alias("score_permille"),
-        )
+    pscore = scored.groupBy("doc_id", "pid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.sum("ws").cast("bigint").alias("score_permille"),
     )
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.desc("score_permille"), F.asc("phrase"), F.asc("pid")

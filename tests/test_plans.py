@@ -164,14 +164,18 @@ def test_pii_scrub_is_map_only(spark):
 def test_duplicate_spans_no_all_pairs(spark):
     """Span-level dedup must stay keyed by span hash: no nested-loop /
     cartesian anywhere, and exactly one corpus explode feeding both the
-    shared-span agg and the join-back (self-join on the exploded frame,
-    not a second scan+explode of documents)."""
+    shared-span agg and the join-back. r13: the exploded span frame is an
+    eager localCheckpoint (guide §2.4 — the tokenize+md5 pass ran twice
+    without it), so the executed plan reads the staged frame (Scan
+    ExistingRDD) on both branches and the explode happens exactly once,
+    upstream of the cut — no documents scan may remain in the plan."""
     from bigdatatiler_spark.operators.cleaning import doc_duplicate_spans
 
     plan = _executed_plan(doc_duplicate_spans(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Generate explode" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # both branches read the staged spans
 
 
 def test_unigram_logprob_broadcasts_vocab(spark):
@@ -301,3 +305,40 @@ def test_ntile_family_has_no_unpartitioned_windows(spark):
         assert ", true, 0" not in plan.replace("(true, 0)", ""), (
             f"{name}: global sort in plan"
         )
+
+
+def test_nd_zero_barrier_keeps_kernels_out_of_join_conditions(spark):
+    """r12 ADVICE item 2: the nd_zero() pushdown barrier's 2-3× wins rest
+    on Catalyst never folding the expensive similarity kernel back into
+    the physical join condition (where it would run per candidate pair
+    BEFORE the cheap conjuncts, and again in the projection). Pin it like
+    the join-strategy pins: no Join operator line in any barrier-protected
+    pair query may contain its kernel expression — a Spark upgrade that
+    learns to constant-fold rand(seed)*0.0 breaks here, not silently."""
+    from bigdatatiler_spark.registry import load_all
+
+    specs = load_all()
+    kernels = {
+        "dedup_ngram_jaccard": ("array_intersect(", "array_union("),
+        "dedup_edit_distance": ("levenshtein(",),
+        "dedup_embedding_lsh_blocked": ("zip_with(",),
+        "dedup_semantic_cells": ("zip_with(",),
+        "dedup_shingle_containment": ("array_intersect(",),
+        "dedup_prefix_filter_jaccard": ("array_intersect(", "array_union("),
+        "dedup_embedding_cosine": ("zip_with(",),
+    }
+    for name, toks in kernels.items():
+        spark.catalog.clearCache()
+        plan = _executed_plan(specs[name].fn(spark, SF))
+        join_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "Join" in ln and "Exchange" not in ln
+        ]
+        assert join_lines, f"{name}: no join operators found"
+        for ln in join_lines:
+            for tok in toks:
+                assert tok not in ln, (
+                    f"{name}: kernel {tok} re-folded into a join condition: "
+                    + ln.strip()[:200]
+                )

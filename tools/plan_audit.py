@@ -20,56 +20,59 @@ from bigdatatiler_spark.registry import load_all  # noqa: E402
 from bigdatatiler_spark.session import get_spark  # noqa: E402
 
 
-#: queries whose BroadcastNestedLoopJoin is by design: the broadcast side
-#: is a constant-size frame (a ≤5-row query set or a 1-row scalar
+#: queries whose BroadcastNestedLoopJoin(s) are by design: the broadcast
+#: side is a constant-size frame (a ≤5-row query set or a 1-row scalar
 #: aggregate), so the "nested loop" is one pass over the big side.
+#: r13 (verdict item 8): the value pins the EXPECTED BNLJ count — a future
+#: accidental cartesian in one of these queries raises the count past the
+#: pin and WARNs again, instead of being silenced by the name alone.
 BNLJ_BY_DESIGN = {
-    "knn_bruteforce_cosine",  # 5 query vectors × corpus (exact baseline)
-    "ann_hamming_binary_topk",  # 5-row query-code broadcast × corpus codes
-    "ann_ivf_topk",  # 5 query vectors; cell equi-join does the pruning
-    "ann_ivf_multiprobe",  # 5 queries × 16 centroids probe assignment
-    "dedup_embedding_cosine",  # self-pair generation, id<id residual
-    "tpch_q22_idle_customers",  # 1-row scalar avg broadcast
-    "tpch_q11_important_parts",  # 1-row scalar threshold broadcast
-    "sketch_frequent_tokens",  # 1-row grand-total broadcast
-    "sketch_kmv_join_estimate",  # 1-row estimate × 1-row exact crossJoin
-    "orders_selectivity_report",  # 3-row predicate-list crossJoin (×2)
-    "hybrid_search_rrf",  # 5-row query block broadcast on both sides
-    "doc_unigram_logprob",  # 1-row corpus-total + vocab broadcast
-    "embedding_kmeans_cells",  # 1-row centroid-struct broadcast (nearest_cells)
-    "doc_length_rank_deciles",  # 1-row corpus-count broadcast
-    "decontaminate_embedding_cosine",  # 1-row benchmark-struct broadcast
-    "events_zorder_key",  # 1-row min/max-bounds broadcast
-    "events_decayed_engagement",  # 1-row reference-timestamp broadcast
-    "orders_constraint_audit",  # audit() cross-joins 1-row check frames
-    "lineitem_constraint_audit",  # same 1-row audit() combination
-    "ann_pq_adc_topk",  # 1-row codebook crossJoin (×2) + 5-row query ADC tables
-    "basket_part_pairs",  # 1-row total-baskets crossJoin for support denominator
-    "bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
-    "doc_tfidf_keywords",  # 1-row corpus-count crossJoin for the idf term
-    "dedup_tfidf_cosine",  # same 1-row corpus-count idf broadcast (x4 lineage replays)
-    "corpus_pmi_collocations",  # 1-row (T, B) totals crossJoin for the PMI term
-    "events_type_drift_psi",  # 1-row midpoint + 1-row totals crossJoins
-    "orders_benford_audit",  # 1-row digit-total crossJoin for expectations
-    "events_chi2_independence",  # 1-row grand-total crossJoin onto cells
-    "graph_degree_assortativity",  # two 1-row count crossJoins
+    "knn_bruteforce_cosine": 1,  # 5 query vectors × corpus (exact baseline)
+    "ann_hamming_binary_topk": 1,  # 5-row query-code broadcast × corpus codes
+    "ann_ivf_topk": 0,  # centroids inlined as literal (r13) removed the probe BNLJ
+    "ann_ivf_multiprobe": 0,  # centroids inlined as literal (r13)
+    "dedup_embedding_cosine": 1,  # self-pair generation, id<id residual
+    "tpch_q22_idle_customers": 1,  # 1-row scalar avg broadcast
+    "tpch_q11_important_parts": 1,  # 1-row scalar threshold broadcast
+    "sketch_frequent_tokens": 1,  # 1-row grand-total broadcast
+    "sketch_kmv_join_estimate": 1,  # 1-row estimate × 1-row exact crossJoin
+    "orders_selectivity_report": 4,  # 3-row predicate-list crossJoin (×2)
+    "hybrid_search_rrf": 2,  # 5-row query block broadcast on both sides
+    "doc_unigram_logprob": 1,  # 1-row corpus-total + vocab broadcast
+    "embedding_kmeans_cells": 0,  # centroids inlined as literal (r13); pin stays so a re-introduced crossJoin shows as a count bump
+    "doc_length_rank_deciles": 1,  # 1-row corpus-count broadcast
+    "decontaminate_embedding_cosine": 1,  # 1-row benchmark-struct broadcast
+    "events_zorder_key": 1,  # 1-row min/max-bounds broadcast
+    "events_decayed_engagement": 1,  # 1-row reference-timestamp broadcast
+    "orders_constraint_audit": 2,  # audit() cross-joins 1-row check frames
+    "lineitem_constraint_audit": 2,  # same 1-row audit() combination
+    "ann_pq_adc_topk": 3,  # 1-row codebook crossJoin (×2) + 5-row query ADC tables
+    "basket_part_pairs": 1,  # 1-row total-baskets crossJoin for support denominator
+    "bm25_topk": 1,  # 1-row corpus-stats (N, avgdl) scalar broadcast
+    "doc_tfidf_keywords": 1,  # 1-row corpus-count crossJoin for the idf term
+    "dedup_tfidf_cosine": 0,  # same 1-row corpus-count idf broadcast
+    "corpus_pmi_collocations": 2,  # 1-row (T, B) totals crossJoin for the PMI term
+    "events_type_drift_psi": 3,  # 1-row midpoint + 1-row totals crossJoins
+    "orders_benford_audit": 1,  # 1-row digit-total crossJoin for expectations
+    "events_chi2_independence": 1,  # 1-row grand-total crossJoin onto cells
+    "graph_degree_assortativity": 2,  # two 1-row count crossJoins
     # distributed-rank / distributed-prefix-sum kernel (_util.py): the
     # per-bucket offset frame is ≤ n_buckets rows BY CONSTRUCTION (one row
     # per range bucket), and its triangular b._rb < a._rb broadcast join is
     # the kernel's exclusive-prefix step — the thing that REPLACED the
     # Exchange SinglePartition global window. Window partitioning is
-    # plan-asserted in tests/test_plans.py; whitelisted per r11 verdict
-    # item 5 so WARN means something again.
-    "customer_rfm_segments",
-    "customer_revenue_equidepth",
-    "customer_revenue_gini",
-    "orders_abc_classification",
-    "dsir_importance_weights",
-    "pack_training_sequences",
-    "pack_sequence_manifest",
-    "pack_span_manifest",
-    "pack_curriculum_sequences",
-    "sketch_hll_native",  # 1-row merged-estimate × 1-row exact-count crossJoin
+    # plan-asserted in tests/test_plans.py; count-pinned per r12 ADVICE so
+    # WARN means something again.
+    "customer_rfm_segments": 6,
+    "customer_revenue_equidepth": 2,
+    "customer_revenue_gini": 1,
+    "orders_abc_classification": 2,
+    "dsir_importance_weights": 1,
+    "pack_training_sequences": 1,
+    "pack_sequence_manifest": 1,
+    "pack_span_manifest": 1,
+    "pack_curriculum_sequences": 1,
+    "sketch_hll_native": 1,  # 1-row merged-estimate × 1-row exact-count crossJoin
 }
 
 
@@ -168,8 +171,15 @@ def main() -> int:
             f"{' topk' if a.takeordered else ''}"
         )
         for w in a.warnings:
-            if "BroadcastNestedLoopJoin" in w and name in BNLJ_BY_DESIGN:
-                print(f"    note {w} (by design: tiny broadcast side)")
+            if (
+                "BroadcastNestedLoopJoin" in w
+                and name in BNLJ_BY_DESIGN
+                and a.nestedloop_joins <= BNLJ_BY_DESIGN[name]
+            ):
+                print(
+                    f"    note {w} (by design: tiny broadcast side; "
+                    f"pinned ≤{BNLJ_BY_DESIGN[name]})"
+                )
                 continue
             print(f"    WARN {w}")
             warned = True

@@ -122,9 +122,18 @@ def build(
                     # similarity structure is preserved exactly and
                     # cross-copy similarity drops to ~0
                     tag = f"c{i}·"
+                    # normalize ALL whitespace classes _norm_col splits on
+                    # to plain spaces first (r12 ADVICE): a tab/newline-
+                    # separated token would otherwise escape the tag and
+                    # leak shared content across copies. Tokenization is
+                    # unchanged (the tokenizer splits on every one of
+                    # these), so intra-copy structure is preserved.
+                    txt = tbl[cname]
+                    for ws in ("\t", "\n", "\r", "\x0b", "\f"):
+                        txt = pc.replace_substring(txt, ws, " ")
                     cols[cname] = pc.binary_join_element_wise(
                         tag,
-                        pc.replace_substring(tbl[cname], " ", f" {tag}"),
+                        pc.replace_substring(txt, " ", f" {tag}"),
                         "",
                         null_handling="emit_null",
                     )
