@@ -124,67 +124,63 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: rotation commit empties this tuple.
 _WINDOW_DEFER: tuple[str, ...] = ()
 
-#: ROUND-12 ROTATION (r11 verdict item 1): the eight mid-r11 registrations
-#: (parked in ``_WINDOW_DEFER`` through r11 per the defer contract) take
-#: their first slots, and ``sketch_hll_native`` — which gained an
-#: exact-bound oracle in r11 after its r9 slot was burned as
-#: ``err: no_oracle`` — re-enters as fresh under the held-but-never-green
-#: extension to ``next_window``. After this round certifies, EVERY
-#: registered query (the registry has zero oracle-less entries since r11)
-#: has a green driver row. Sentinels/fill follow the staleness policy
-#: unchanged. This list is EXACTLY tools/window_ledger.py::next_window()
-#: output at this commit, pinned by tests/test_contract.py.
+#: ROUND-13 ROTATION: every registered query has now held a green driver
+#: slot at least once (the r12 window went 50/50), so this round's window
+#: is pure staleness policy — each module's query whose most recent green
+#: round is OLDEST re-certifies first, then fill by global staleness.
+#: This list is EXACTLY tools/window_ledger.py::next_window() output at
+#: this commit, pinned by tests/test_contract.py.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_bpe_token_counts",
-    "events_filtered_topk",
-    "asof_purchase_to_click",
-    "doc_unigram_logprob",
-    "dedup_embedding_lsh_blocked",
-    "graph_pagerank_docs",
-    "multimodal_image_ahash_near_dup",
+    "events_gather_disjunctive",
+    "range_join_event_windows",
+    "events_value_winsorized",
+    "dedup_embedding_cosine",
+    "graph_bfs_hops",
+    "graph_triangle_cohesion",
+    "multimodal_image_resize_stats",
     "ann_pq_adc_topk",
-    "lineitem_constraint_audit",
+    "orders_constraint_audit",
     "rangejoin_error_bursts",
-    "tpch_q1_pricing_summary",
-    "doc_phrase_proximity",
-    "event_id_generation",
-    "setops_customer_cohorts",
+    "orders_fullouter_recon",
+    "hybrid_search_rrf",
+    "sample_domain_mixture",
+    "events_map_functions",
+    "union_priority_tiers",
+    "decontaminate_embedding_cosine",
+    "sketch_countmin_tokens",
     "skew_salted_user_activity",
-    "events_props_json",
-    "doc_tile_bytecap_roundtrip",
-    "tpch_q8_market_share",
-    "events_zscore_grouped",
-    "events_session_windows",
+    "events_jsonl_roundtrip",
+    "tokenizer_vocab_coverage",
+    "doc_tile_roundtrip",
+    "tpch_q12_late_shipment",
+    "doc_rag_chunks",
+    "events_dau_mau_stickiness",
     "events_zorder_key",
     "events_hourly_rollup",
-    "corpus_datasheet",
-    "dedup_incremental_components",
-    "dedup_semantic_cells",
-    "docs_streaming_neardedup_parity",
-    "docs_streaming_quality_parity",
-    "pack_curriculum_sequences",
-    "pack_span_manifest",
-    "sample_source_cap",
-    "sketch_hll_native",
-    "ann_lsh_topk",
-    "dedup_exact",
-    "doc_token_stats",
-    "embedding_kmeans_cells",
-    "nation_grouping_sets",
-    "order_price_percentiles",
-    "pack_token_budget",
-    "sketch_kmv_distinct",
-    "tpch_q18_large_volume_customer",
-    "ann_hamming_binary_topk",
-    "basket_part_pairs",
-    "dedup_keep_canonical",
-    "dedup_minhash_estimate_audit",
-    "dedup_minhash_lsh",
-    "doc_rake_keyphrases",
-    "doc_sentence_stats",
-    "embedding_dimension_stats",
-    "events_bitmap_distinct",
-    "events_csv_roundtrip",
+    "events_streaming_session_parity",
+    "events_funnel_conversion",
+    "events_interval_coverage",
+    "events_weekly_retention",
+    "graph_kcore_peel",
+    "lineitem_weighted_median_price",
+    "multimodal_video_frame_sample",
+    "multimodal_wav_rms_windows",
+    "sample_leakage_safe_split",
+    "tpch_fk_orphan_audit",
+    "corpus_zipf_slope",
+    "customer_revenue_gini",
+    "dedup_components_two_star",
+    "dedup_simhash",
+    "doc_gopher_quality_rules",
+    "doc_tfidf_keywords",
+    "events_ab_test_readout",
+    "events_chi2_independence",
+    "events_cusum_changepoint",
+    "events_first_touch_attribution",
+    "events_funnel_windowed",
+    "events_hourly_gapfill",
+    "events_k_anonymity",
 )
 
 

@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for registered queries to plans/r12/.
+"""Dump .explain("formatted") for registered queries to plans/r13/.
 
 Usage:
     python tools/explain_dump.py <suffix> [name ...]
 
-Writes plans/r12/<name>_<suffix>.txt for each requested query (default:
+Writes plans/r13/<name>_<suffix>.txt for each requested query (default:
 every registered query). ``suffix`` is normally ``before`` or ``after`` —
 the optimization-round evidence files the judge diffs against the code.
 
@@ -24,7 +24,7 @@ from bigdatatiler_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
 )
 
 
